@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2's inventory
+  * (engine ops E1-E9 via the MR queries; [EXT] relational / LLM-pipeline
+  * ops via graft.operators). Each key present in `oracleSql` is
+  * hash-compared against DuckDB by the driver at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference apps through the faithful MR engine (A1/A2 on E1-E9)
+    "mr_wordcount"      -> (MrQueries.mrWordCount _),
+    "mr_inverted_index" -> (MrQueries.mrInvertedIndex _),
+    // -- idiomatic DataFrame twins
+    "wc_native"             -> (MrQueries.wcNative _),
+    "inverted_index_native" -> (MrQueries.invertedIndexNative _),
+    // -- relational [EXT]
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "mr_wordcount"          -> MrQueries.mrWordCountSql,
+    "mr_inverted_index"     -> MrQueries.mrInvertedIndexSql,
+    "wc_native"             -> MrQueries.wcNativeSql,
+    "inverted_index_native" -> MrQueries.invertedIndexNativeSql,
+    "q1_pricing_summary"    -> Relational.q1Sql
+  )
 }
