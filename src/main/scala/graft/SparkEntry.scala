@@ -24,7 +24,25 @@ object SparkEntry {
     "wc_native"             -> (MrQueries.wcNative _),
     "inverted_index_native" -> (MrQueries.invertedIndexNative _),
     // -- relational [EXT]
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
+    "join_broadcast_part" -> (Relational.joinBroadcastPart _),
+    "join_semi"           -> (Relational.joinSemi _),
+    "join_anti"           -> (Relational.joinAnti _),
+    "window_topk"         -> (Relational.windowTopkPerCustomer _),
+    "window_analytics"    -> (Relational.windowAnalytics _),
+    "agg_rollup"          -> (Relational.aggRollup _),
+    "agg_cube"            -> (Relational.aggCube _),
+    "agg_distinct"        -> (Relational.aggDistinct _),
+    "topk_orders"         -> (Relational.topkOrders _),
+    "set_ops"             -> (Relational.setOps _),
+    "scalar_functions"    -> (Relational.scalarFunctions _),
+    "json_extract"        -> (Relational.jsonExtract _),
+    // -- event-time windowing [EXT]
+    "events_hourly"     -> (Events.eventsHourly _),
+    "events_sliding"    -> (Events.eventsSliding _),
+    "events_sessionize" -> (Events.eventsSessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +52,23 @@ object SparkEntry {
     "mr_inverted_index"     -> MrQueries.mrInvertedIndexSql,
     "wc_native"             -> MrQueries.wcNativeSql,
     "inverted_index_native" -> MrQueries.invertedIndexNativeSql,
-    "q1_pricing_summary"    -> Relational.q1Sql
+    "q1_pricing_summary"    -> Relational.q1Sql,
+    "q3_shipping_priority"  -> Relational.q3Sql,
+    "q5_local_supplier"     -> Relational.q5Sql,
+    "join_broadcast_part"   -> Relational.joinBroadcastPartSql,
+    "join_semi"             -> Relational.joinSemiSql,
+    "join_anti"             -> Relational.joinAntiSql,
+    "window_topk"           -> Relational.windowTopkSql,
+    "window_analytics"      -> Relational.windowAnalyticsSql,
+    "agg_rollup"            -> Relational.aggRollupSql,
+    "agg_cube"              -> Relational.aggCubeSql,
+    "agg_distinct"          -> Relational.aggDistinctSql,
+    "topk_orders"           -> Relational.topkOrdersSql,
+    "set_ops"               -> Relational.setOpsSql,
+    "scalar_functions"      -> Relational.scalarFunctionsSql,
+    "json_extract"          -> Relational.jsonExtractSql,
+    "events_hourly"         -> Events.eventsHourlySql,
+    "events_sliding"        -> Events.eventsSlidingSql,
+    "events_sessionize"     -> Events.eventsSessionizeSql
   )
 }

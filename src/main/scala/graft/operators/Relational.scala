@@ -11,14 +11,24 @@ import Tables._
  * (its only query shape is group-by-key + holistic reduce); everything here
  * is expressed declaratively so Catalyst gets pushdown/pruning/join
  * selection for free (SURVEY.md §4.1).
+ *
+ * Scale notes applying to the whole file:
+ *  - dimension tables (region/nation/customer/supplier/part) stay tiny
+ *    relative to the fact tables at any SF, so dimension joins are
+ *    broadcast (explicitly hinted where the optimizer might not see it);
+ *    only fact-fact joins (orders ⋈ lineitem) shuffle, on their natural key.
+ *  - aggregates are all algebraic (sum/count/min/max) → Spark runs them
+ *    partial+final; the shuffle carries O(groups) bytes.
+ *  - money arithmetic goes through `Tables.dec/dsum` (exact decimal) both
+ *    for oracle determinism and because at 100 TB a float drift bug is
+ *    unauditable.
  */
 object Relational {
 
   /**
    * TPC-H Q1-shaped pricing summary: the canonical wide hash aggregate.
-   * Scale: partial (map-side) aggregation collapses ~600k rows/partition to
-   * 4 groups before the shuffle — the exchange carries O(groups), not
-   * O(rows), at any scale factor.
+   * Partial aggregation collapses each scan partition to ≤|groups| rows
+   * before the exchange.
    */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -43,4 +53,284 @@ object Relational {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /**
+   * TPC-H Q3-shaped shipping priority: customer ⋈ orders ⋈ lineitem with a
+   * top-10. customer is broadcast (small dim); orders ⋈ lineitem shuffles
+   * on the order key. The top-10 runs as TakeOrderedAndProject: each
+   * partition keeps 10 rows, the driver merges — no global sort at scale.
+   */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li   = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /**
+   * TPC-H Q5-shaped multi-join: the full snowflake
+   * region ⋈ nation ⋈ {customer, supplier} ⋈ orders ⋈ lineitem.
+   * All four dimension joins broadcast; the one genuine shuffle is
+   * orders ⋈ lineitem on the order key.
+   */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val cust   = t(spark, dir, "customer")
+    val supp   = t(spark, dir, "supplier")
+    val ord    = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li     = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM region, nation, customer, supplier, orders, lineitem
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Explicit broadcast-hash join of the fact table against a hinted small
+    * dimension (part): revenue by brand. */
+  def joinBroadcastPart(spark: SparkSession, dir: String): DataFrame = {
+    val li   = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val joinBroadcastPartSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  /** Left-semi join (EXISTS): orders that contain at least one high-quantity
+    * line. Semi joins ship no payload columns from the probe side and stop
+    * at first match — cheaper than join+distinct at scale. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val big = t(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+    ord.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders on file. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord  = t(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by price. The window
+    * partitions on the grouping key, so it costs one hash exchange; ties are
+    * broken by order key for determinism. */
+  def windowTopkPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowTopkSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Analytic window battery: running sum (exact decimal), lag, lead, rank
+    * over a deterministic (date, key) order within each customer. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(running).cast("double").as("running_spend"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("spend_rank"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(rank() OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS spend_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** ROLLUP hierarchy totals (flag, status) → (flag) → (). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Distinct aggregates (expand-based in Spark) next to plain ones. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition heaps + driver merge, no full sort). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT (both dedup, both hash-partition on
+    * the full row — same shuffle shape in Spark and any MPP engine). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord  = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val open   = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val closed = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val poor   = cust.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+    open.intersect(closed).except(poor)
+  }
+
+  val setOpsSql: String =
+    """(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin
+
+  /** Scalar function battery: string, date-part, formatting, math — all
+    * codegen'd builtins (no UDFs), all with exact cross-engine semantics. */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_snake"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        (col("o_orderkey") % 7).cast("int").as("key_mod7"))
+
+  val scalarFunctionsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+      |  regexp_replace(o_orderpriority, '-', '_', 'g') AS prio_snake,
+      |  o_orderstatus || '|' || o_orderpriority AS status_prio,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(o_orderkey % 7 AS INT) AS key_mod7
+      |FROM orders""".stripMargin
+
+  /** JSON extraction from the events.props string column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        upper(col("event_type")).as("etype"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+      |  upper(event_type) AS etype
+      |FROM events""".stripMargin
 }
