@@ -42,7 +42,18 @@ object SparkEntry {
     // -- event-time windowing [EXT]
     "events_hourly"     -> (Events.eventsHourly _),
     "events_sliding"    -> (Events.eventsSliding _),
-    "events_sessionize" -> (Events.eventsSessionize _)
+    "events_sessionize" -> (Events.eventsSessionize _),
+    // -- dedup [EXT]
+    "dedup_exact"         -> (Dedup.dedupExact _),
+    "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
+    "minhash_signatures"  -> (Dedup.minhashSignatures _),
+    "dedup_simhash"       -> (Dedup.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    // -- text analysis [EXT]
+    "text_tokens"      -> (TextAnalysis.textTokens _),
+    "text_quality"     -> (TextAnalysis.textQuality _),
+    "text_langid"      -> (TextAnalysis.textLangid _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,6 +80,15 @@ object SparkEntry {
     "json_extract"          -> Relational.jsonExtractSql,
     "events_hourly"         -> Events.eventsHourlySql,
     "events_sliding"        -> Events.eventsSlidingSql,
-    "events_sessionize"     -> Events.eventsSessionizeSql
+    "events_sessionize"     -> Events.eventsSessionizeSql,
+    "dedup_exact"           -> Dedup.dedupExactSql,
+    "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
+    "minhash_signatures"    -> Dedup.minhashSignaturesSql,
+    "dedup_simhash"         -> Dedup.dedupSimhashSql,
+    "dedup_ngram_jaccard"   -> Dedup.dedupNgramJaccardSql,
+    "text_tokens"           -> TextAnalysis.textTokensSql,
+    "text_quality"          -> TextAnalysis.textQualitySql,
+    "text_langid"           -> TextAnalysis.textLangidSql,
+    "text_fingerprint"      -> TextAnalysis.textFingerprintSql
   )
 }

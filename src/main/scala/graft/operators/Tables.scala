@@ -37,4 +37,22 @@ object Tables {
 
   /** Exact sum of a 2-decimal money column, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /**
+   * Cross-engine 60-bit hash: the first 15 hex digits of md5, as a
+   * non-negative BIGINT. md5 is bit-identical everywhere, so this is the
+   * one hash primitive whose value a DuckDB oracle can reproduce exactly
+   * (`CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)`), unlike
+   * Spark's xxhash64/Murmur3 vs DuckDB's own `hash()`. Used as the seed
+   * hash for shingles, minhash, simhash and fingerprints.
+   */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Scala-side twin of [[md5Long]] for imperative (mapPartitions) paths. */
+  def md5LongOf(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars, need 15
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Text-analysis operators for a training-data pipeline [EXT]: token
+ * statistics, quality scoring, language-ID heuristics, and document
+ * fingerprinting over the `documents` table.
+ *
+ * Everything is built from codegen'd builtins and higher-order array
+ * functions — no UDFs — so at 100 TB these are embarrassingly parallel
+ * single-pass scans (no shuffle at all except where grouped).
+ * Ratios divide exact integer counts, so a DuckDB oracle reproduces every
+ * double bit-for-bit.
+ */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Token counting: whitespace tokens, distinct tokens, a BPE-ish regex
+    * token count (letter runs / digit runs / single other chars), and mean
+    * token length. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"), col("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).as("n_bpe_ish"),
+        (aggregate(transform(col("ts"), x => length(x)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(col("ts"))).as("mean_token_len"))
+
+  val textTokensSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_distinct,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_ish,
+      |  CAST(list_aggregate(list_transform(string_split_regex(text, '\s+'), x -> length(x)), 'sum') AS DOUBLE)
+      |    / len(string_split_regex(text, '\s+')) AS mean_token_len
+      |FROM documents""".stripMargin
+
+  /** Quality scoring from exact integer counts: stopword ratio, alpha
+    * ratio, length band — the length/punct/stopword heuristics used to
+    * filter web corpora. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(filter(col("ts"), x => x.isin(stop: _*))).as("n_stop"),
+        aggregate(transform(col("ts"), x => length(x)), lit(0), (acc, x) => acc + x).as("alpha_chars"),
+        length(col("text")).as("n_chars"))
+    d.select(
+      col("doc_id"), col("n_tokens"), col("n_stop"),
+      (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+      (col("alpha_chars").cast("double") / col("n_chars")).as("alpha_ratio"),
+      when(col("n_tokens").between(20, 400) && col("n_stop") > 0, "keep")
+        .otherwise("drop").as("quality_flag"))
+  }
+
+  val textQualitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\s+') AS ts FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(ts) AS n_tokens,
+      |    len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+      |    list_aggregate(list_transform(ts, x -> length(x)), 'sum') AS alpha_chars,
+      |    length(text) AS n_chars
+      |  FROM d)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_stop AS INT) AS n_stop,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+      |  CASE WHEN n_tokens BETWEEN 20 AND 400 AND n_stop > 0
+      |       THEN 'keep' ELSE 'drop' END AS quality_flag
+      |FROM c""".stripMargin
+
+  /** Language-ID heuristic: stopword-list hit counts per candidate
+    * language, argmax with a fixed tie order. (The testdata's text is
+    * synthetic, so the point is the operator shape — a broadcastable
+    * token-set membership scan — not linguistic accuracy.) */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val lists = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"))
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+    val withHits = lists.foldLeft(d) { case (df, (code, words)) =>
+      df.withColumn(s"hits_$code", size(filter(col("ts"), x => x.isin(words: _*))))
+    }
+    withHits.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr"),
+      when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") &&
+           col("hits_en") >= col("hits_fr") && col("hits_en") > 0, "en")
+        .when(col("hits_es") >= col("hits_de") && col("hits_es") >= col("hits_fr") &&
+              col("hits_es") > 0, "es")
+        .when(col("hits_de") >= col("hits_fr") && col("hits_de") > 0, "de")
+        .when(col("hits_fr") > 0, "fr")
+        .otherwise("und").as("guessed_lang"))
+  }
+
+  val textLangidSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS ts FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS INT) AS hits_en,
+      |    CAST(len(list_filter(ts, x -> x IN ('el','la','de','y','que'))) AS INT) AS hits_es,
+      |    CAST(len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS INT) AS hits_de,
+      |    CAST(len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS INT) AS hits_fr
+      |  FROM d)
+      |SELECT doc_id, lang AS labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+      |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+      |       WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+      |       WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+      |       WHEN hits_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS guessed_lang
+      |FROM h""".stripMargin
+
+  /** Position-weighted rolling fingerprint: Σ (md5hash(token) mod P) · pos
+    * mod Q — one number per document, order-sensitive (unlike a bag-of-words
+    * hash), computable in a single scan. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+              ((md5Long(col("tok")) % 1000003L) * (col("pos") + 1)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % 1000000007L).as("fingerprint"),
+           count(lit(1)).as("n_tokens"))
+
+  val textFingerprintSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(ts, (tok, pos) ->
+      |    (CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1000003) * pos))
+      |    % 1000000007 AS BIGINT) AS fingerprint,
+      |  CAST(len(ts) AS BIGINT) AS n_tokens
+      |FROM d""".stripMargin
+}
