@@ -53,7 +53,12 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.textTokens _),
     "text_quality"     -> (TextAnalysis.textQuality _),
     "text_langid"      -> (TextAnalysis.textLangid _),
-    "text_fingerprint" -> (TextAnalysis.textFingerprint _)
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    // -- similarity search [EXT]
+    "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
+    "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
+    "ann_lsh_buckets"     -> (Similarity.annLshBuckets _),
+    "dedup_embedding"     -> (Similarity.dedupEmbedding _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +94,10 @@ object SparkEntry {
     "text_tokens"           -> TextAnalysis.textTokensSql,
     "text_quality"          -> TextAnalysis.textQualitySql,
     "text_langid"           -> TextAnalysis.textLangidSql,
-    "text_fingerprint"      -> TextAnalysis.textFingerprintSql
+    "text_fingerprint"      -> TextAnalysis.textFingerprintSql,
+    "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
+    "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
+    "ann_lsh_buckets"       -> Similarity.annLshBucketsSql,
+    "dedup_embedding"       -> Similarity.dedupEmbeddingSql
   )
 }

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Similarity search over the `embeddings` table [EXT]: brute-force cosine
+ * top-k as the exact baseline, an IVF-style cluster-probed variant and a
+ * random-hyperplane LSH bucketing as the 100 TB scale paths, plus
+ * embedding-cosine near-dup.
+ *
+ * Scale design:
+ *  - the query set is tiny and is always the broadcast side — the corpus is
+ *    scanned exactly once per query batch, never shuffled whole;
+ *  - per-vector norms are computed once in the same scan (no second pass);
+ *  - brute force is the oracle baseline; IVF restricts candidates to the
+ *    nprobe nearest coarse clusters (the corpus side arrives pre-blocked on
+ *    its cluster id, so the candidate join is an equi-join on `label`, not a
+ *    cross join); LSH restricts to equal sign-bucket (equi-join on bucket);
+ *  - ranking ties break on (cosine DESC, vec_id ASC) so results are
+ *    deterministic under any physical plan / partition pre-pruning.
+ *
+ * Numeric determinism vs the DuckDB oracle: floats are cast to double
+ * BEFORE any arithmetic (exact conversion in both engines), dot products
+ * fold strictly left-to-right in array order (Spark `aggregate` HOF vs
+ * DuckDB `list_reduce`), so every cosine is bit-identical.
+ */
+object Similarity {
+
+  /** Number of query vectors (smallest vec_ids — deterministic sample). */
+  private val NumQueries = 8
+  private val K = 5
+  private val NProbe = 2
+
+  /** Sequential left-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Corpus with double-cast vectors and precomputed L2 norms. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** DuckDB twins: double-cast corpus with norms; sequential-fold dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  private val corpusSql: String =
+    s"""corpus AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(${dotSql("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  private val queriesSqlCte: String =
+    s"""qs AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM corpus
+       |  WHERE vec_id < $NumQueries)""".stripMargin
+
+  // ---------------------------------------------------------- brute force
+
+  /** Exact cosine top-k: broadcast the query batch against one corpus scan,
+    * rank per query with a deterministic tiebreak. */
+  def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  val annBruteforceTopkSql: String =
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "v")} / (qn * c.nrm) AS cos
+       |  FROM corpus c JOIN qs ON c.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF top-k: coarse centroids = per-label mean vector (one cheap agg);
+    * each query probes its NProbe nearest centroids and searches only those
+    * clusters — the candidate set arrives via an equi-join on `label`, so
+    * at 100 TB only the probed fraction of the corpus is ever scored. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    // centroid per label: element-wise mean — explode to (label, dim, x),
+    // partial-agg'd avg, rebuild the array ordered by dim.
+    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                     s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    import org.apache.spark.sql.expressions.Window
+    // probe: rank centroids per query, keep NProbe labels
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("label"),
+              cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("ccos"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    // search only the probed clusters (equi-join on label)
+    val scored = c.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  val annIvfTopkSql: String =
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |cent AS (
+       |  SELECT label, list(m ORDER BY dim) AS cv
+       |  FROM (
+       |    SELECT label, dim, AVG(x) AS m
+       |    FROM (SELECT label, unnest(v) AS x,
+       |                 unnest(generate_series(1, len(v))) AS dim
+       |          FROM corpus)
+       |    GROUP BY label, dim)
+       |  GROUP BY label),
+       |cent2 AS (SELECT label, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM cent),
+       |probes AS (
+       |  SELECT q_id, qv, qn, label FROM (
+       |    SELECT q_id, qv, qn, label,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, label ASC) AS crnk
+       |    FROM qs CROSS JOIN cent2)
+       |  WHERE crnk <= $NProbe),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "v")} / (qn * c.nrm) AS cos
+       |  FROM corpus c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Hyperplane count for sign-bucket LSH. */
+  private val NPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes derived from md5 so both
+    * engines materialize the same matrix: h[j][i] ∈ [-1, 1). Baked into the
+    * plan as literals (the matrix is 8×64 doubles — broadcast-trivial). */
+  private[operators] val planes: Seq[Seq[Double]] =
+    (0 until NPlanes).map { j =>
+      (0 until 64).map { i =>
+        (md5LongOf(s"plane_${j}_$i".getBytes("UTF-8")) % 2000001L) / 1000000.0 - 1.0
+      }
+    }
+
+  /** Sign-bit bucket of a vector under the md5-derived hyperplanes:
+    * bit j = 1 iff dot(v, h_j) > 0. Angular LSH — near-parallel vectors
+    * agree on most sign bits, so near-dups land in the same bucket. */
+  private def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def lshBucketSql(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, planeLit)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** LSH bucket table: one scan, 8 fused dot products per row, no shuffle.
+    * The bucket histogram is the output (grouped) so the oracle check
+    * covers every vector's bucket assignment. */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("vec_id"), lshBucket(col("v")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+
+  val annLshBucketsSql: String =
+    s"""WITH $corpusSql,
+       |b AS (SELECT vec_id, ${lshBucketSql("v")} AS bucket FROM corpus)
+       |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+       |FROM b GROUP BY bucket""".stripMargin
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** The synthetic embeddings have no true near-dups (max in-cluster
+    * cosine ≈ 0.47), so the threshold sits where the operator produces a
+    * non-trivial, fully-oracle-checked result; a production corpus would
+    * use ≈0.95. */
+  private val DupThreshold = 0.3
+
+  /** Embedding-cosine near-dup: candidate pairs blocked on the coarse
+    * cluster id (IVF-style blocking — cross-cluster pairs are never
+    * materialized), scored exactly, thresholded. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val a = c.select(col("label"), col("vec_id").as("id_a"),
+                     col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("label"), col("vec_id").as("id_b"),
+                     col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .filter(col("cos") >= DupThreshold)
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH $corpusSql
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
+}
