@@ -58,7 +58,10 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
     "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
     "ann_lsh_buckets"     -> (Similarity.annLshBuckets _),
-    "dedup_embedding"     -> (Similarity.dedupEmbedding _)
+    "dedup_embedding"     -> (Similarity.dedupEmbedding _),
+    // -- multimodal binary columns [EXT]
+    "media_features" -> (Multimodal.mediaFeatures _),
+    "media_frames"   -> (Multimodal.mediaFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,6 +101,8 @@ object SparkEntry {
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
     "ann_lsh_buckets"       -> Similarity.annLshBucketsSql,
-    "dedup_embedding"       -> Similarity.dedupEmbeddingSql
+    "dedup_embedding"       -> Similarity.dedupEmbeddingSql,
+    "media_features"        -> Multimodal.mediaFeaturesSql,
+    "media_frames"          -> Multimodal.mediaFramesSql
   )
 }

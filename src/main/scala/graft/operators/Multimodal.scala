@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Multimodal-column plumbing [EXT]: image/audio/video payloads modeled as
+ * opaque `binary` columns with typed metadata, and decode / feature-extract
+ * / frame-sample implemented as typed `mapPartitions`/`flatMap` stages over
+ * `Dataset[MediaRecord]`.
+ *
+ * The actual codec is a STUB (this container has no image/audio libraries):
+ * [[decodeFrames]] deterministically "decodes" the payload into fixed-size
+ * frames, standing in for e.g. a JPEG decoder or audio resampler. Everything
+ * around the stub is real and load-bearing at scale:
+ *  - the media table schema (binary payload + typed metadata columns);
+ *  - the Tungsten-encoded Dataset boundary (`as[MediaRecord]`) into
+ *    imperative per-partition code — the same shape a JNI/FFI codec needs;
+ *  - batched iteration inside each partition ([[DecodeBatch]] records per
+ *    in-flight batch, mirroring a vectorized `mapInPandas`-style decoder
+ *    that amortizes codec setup without materializing the partition);
+ *  - features are exact integers (plus one integer-ratio double), so the
+ *    whole pipeline — including the binary payload bytes — is verified
+ *    against the DuckDB oracle.
+ *
+ * The payload is the document's UTF-8 bytes (testdata is pure ASCII, so the
+ * oracle can address the same bytes with `ord(text[i])`).
+ */
+object Multimodal {
+
+  /** One media object: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, format: String, width: Int,
+                         payload: Array[Byte])
+
+  /** Decoded per-object features (integer-exact for oracle parity). */
+  case class MediaFeatures(doc_id: Long, format: String, width: Int,
+                           n_bytes: Int, content_hash: Long, n_frames: Int,
+                           n_sampled: Int, sampled_byte_sum: Long,
+                           frame_mean: Double)
+
+  /** One sampled frame (flatMap output — the UDTF shape). */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
+                        frame_sum: Long)
+
+  /** Frame geometry of the fake codec. */
+  private val FrameBytes = 32
+  /** Keep every 4th frame (frame sampling, as a video pipeline would). */
+  private val FrameStride = 4
+  /** Records decoded per batch inside a partition. */
+  private val BatchSize = 64
+
+  /** The media table: documents re-typed as binary media objects with
+    * deterministic metadata (format from doc_id, width from doc_id — fake
+    * but typed and oracle-reproducible). Column pruning still works: the
+    * payload column only reaches stages that consume it. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                         (col("doc_id") % 3).cast("int") + 1).as("format"),
+              (lit(16) + (col("doc_id") % 16) * 8).cast("int").as("width"),
+              encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** SQL twin of [[mediaTable]]'s metadata + payload-as-text view. */
+  private val mediaSql: String =
+    """media AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+      |         CAST(16 + (doc_id % 16) * 8 AS INT) AS width,
+      |         text, length(text) AS n_bytes
+      |  FROM documents)""".stripMargin
+
+  /** STUB codec: "decode" the payload into its sampled frames. A real
+    * implementation would hand `payload` to an image/audio library here;
+    * the deterministic stand-in slices fixed-size frames and keeps every
+    * [[FrameStride]]-th, preserving the exact dataflow shape. */
+  private def decodeFrames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] =
+    payload.grouped(FrameBytes).zipWithIndex.collect {
+      case (frame, idx) if idx % FrameStride == 0 => (idx, frame)
+    }
+
+  /** Feature extraction: batched per-partition decode. The `grouped`
+    * iterator keeps at most [[BatchSize]] decoded records in flight —
+    * the partition itself is never materialized. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // one DecodeBatch ≙ one vectorized codec call
+        batch.iterator.map { r =>
+          val frames = decodeFrames(r.payload).toSeq
+          val sampledBytes = frames.iterator.flatMap(_._2).map(_ & 0xff)
+          var n = 0; var s = 0L
+          sampledBytes.foreach { b => n += 1; s += b }
+          MediaFeatures(
+            doc_id = r.doc_id, format = r.format, width = r.width,
+            n_bytes = r.payload.length,
+            content_hash = md5LongOf(r.payload),
+            n_frames = (r.payload.length + FrameBytes - 1) / FrameBytes,
+            n_sampled = n, sampled_byte_sum = s,
+            frame_mean = s.toDouble / n)
+        }
+      }
+    }.toDF()
+  }
+
+  val mediaFeaturesSql: String =
+    s"""WITH $mediaSql,
+       |f AS (
+       |  SELECT doc_id, format, width, n_bytes,
+       |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+       |    (n_bytes + ${FrameBytes - 1}) // $FrameBytes AS n_frames,
+       |    list_transform(
+       |      list_filter(generate_series(1, n_bytes),
+       |                  i -> ((i - 1) // $FrameBytes) % $FrameStride = 0),
+       |      i -> ord(text[i])) AS sampled
+       |  FROM media)
+       |SELECT doc_id, format, width, CAST(n_bytes AS INT) AS n_bytes,
+       |  content_hash, CAST(n_frames AS INT) AS n_frames,
+       |  CAST(len(sampled) AS INT) AS n_sampled,
+       |  CAST(list_sum(sampled) AS BIGINT) AS sampled_byte_sum,
+       |  CAST(list_sum(sampled) AS DOUBLE) / len(sampled) AS frame_mean
+       |FROM f""".stripMargin
+
+  /** Frame sampling as a UDTF-shaped flatMap: one output row per sampled
+    * frame. This is the explode side of the decode — at 100 TB it fans out
+    * inside the scan stage with no shuffle. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap { r =>
+      decodeFrames(r.payload).map { case (idx, frame) =>
+        MediaFrame(r.doc_id, idx, frame.length,
+                   frame.iterator.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }.toDF()
+  }
+
+  val mediaFramesSql: String =
+    s"""WITH $mediaSql,
+       |fr AS (
+       |  SELECT doc_id, n_bytes, text,
+       |    unnest(list_filter(
+       |      generate_series(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes - 1),
+       |      f -> f % $FrameStride = 0)) AS frame_idx
+       |  FROM media)
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(least($FrameBytes, n_bytes - frame_idx * $FrameBytes) AS INT) AS frame_len,
+       |  CAST(list_sum(list_transform(
+       |    generate_series(frame_idx * $FrameBytes + 1,
+       |                    least(frame_idx * $FrameBytes + $FrameBytes, n_bytes)),
+       |    i -> ord(text[i]))) AS BIGINT) AS frame_sum
+       |FROM fr""".stripMargin
+}
