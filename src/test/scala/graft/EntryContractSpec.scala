@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The driver contract, end-to-end on sf0.001: every registered query runs
+ * and yields a sane result; every query has its DuckDB oracle twin. (Value
+ * correctness against DuckDB is the driver's t2 gate, exercised locally via
+ * tools/check.py — these smokes keep `sbt test` self-contained.)
+ */
+class EntryContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("entry() returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle twin (and no orphan oracles)") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  /** Queries whose correct answer on this data is legitimately empty. */
+  private val mayBeEmpty = Set("join_anti")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, TestSpark.Sf0001)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run (Spark startup is the
+  * dominant cost; suites must not stop() it). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Smallest driver testdata scale — the smoke fixture. */
+  val Sf0001 = "/root/testdata/sf0.001"
+}
