@@ -73,24 +73,36 @@ object Dedup {
   private val NumHashes = 16
   private val RowsPerBand = 4
 
-  /** Per-document minhash signatures, banded; one row per (doc, band) with
-    * a concatenated signature string. */
-  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document minhash signatures, wide: one row per doc with columns
+    * mh0..mh15. The 16 hash functions are 16 parallel `min` aggregates over
+    * the (doc, shingle-hash) rows — ONE shuffle of the shingle rows (with
+    * map-side partial mins), instead of exploding ×16 through the exchange.
+    * At 100 TB this is the difference between shuffling the corpus'
+    * shingles once vs sixteen times. */
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"))
       .select(col("doc_id"), (md5Long(col("shingle")) % M).as("sh"))
-    docs
-      .select(col("doc_id"), col("sh"),
-              explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-              (((col("i") * 2 + 1) * col("sh") + (col("i") + 1) * 7919L) % M).as("hv"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("hv")).as("minh"))
-      .withColumn("band", (col("i") / RowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
-                                s => s.getField("minh").cast("string")), ",").as("sig"))
+    val mins = (0 until NumHashes).map { i =>
+      min((col("sh") * (2 * i + 1) + (i + 1) * 7919L) % M).as(s"mh$i")
+    }
+    docs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band signature strings derived row-wise from the wide minhashes (no
+    * extra shuffle): band b = "mh(4b),..,mh(4b+3)". */
+  private def bandSig(b: Int): Column =
+    concat_ws(",", (0 until RowsPerBand).map(r =>
+      col(s"mh${b * RowsPerBand + r}").cast("string")): _*)
+
+  /** One row per (doc, band) with the band's signature string. */
+  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val bandArr = array((0 until NumHashes / RowsPerBand).map(b =>
+      struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
+    signaturesWide(spark, dir)
+      .select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   private val bandedSignaturesSql: String =
@@ -109,16 +121,23 @@ object Dedup {
        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
        |  FROM mh GROUP BY doc_id, band)""".stripMargin
 
-  /** MinHash+LSH candidate pairs: documents sharing any band signature. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandedSignatures(spark, dir)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** MinHash+LSH candidate pairs: documents sharing any band signature.
+    * Implemented as bucket-grouping (shuffle on (band, sig), collect the
+    * bucket's doc list, explode its i<j pairs) rather than a self-join —
+    * the signature pipeline runs ONCE instead of once per join side, and
+    * only multi-occupant buckets produce any downstream rows. Bucket lists
+    * are small by construction (a bucket = documents agreeing on 4 of 16
+    * minhashes); a production run would cap pathological buckets. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    bandedSignatures(spark, dir)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+                  y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   val dedupMinhashLshSql: String =
     s"""$bandedSignaturesSql
@@ -127,12 +146,14 @@ object Dedup {
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
   /** Per-document minhash signature table (the reusable artifact a corpus
-    * pipeline would persist; also directly checks the minhash math). */
+    * pipeline would persist; also directly checks the minhash math).
+    * Derived row-wise from the wide signature — the minhash aggregate is
+    * the only shuffle. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    bandedSignatures(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("band"), col("sig")))),
-                                s => s.getField("sig")), ";").as("signature"))
+    signaturesWide(spark, dir)
+      .select(col("doc_id"),
+              concat_ws(";", (0 until NumHashes / RowsPerBand).map(bandSig): _*)
+                .as("signature"))
 
   val minhashSignaturesSql: String =
     s"""$bandedSignaturesSql
@@ -143,19 +164,25 @@ object Dedup {
 
   /** 32-bit SimHash over token multiset: bit b is set iff the signed sum of
     * bit b across all token hashes is positive. Emitted with a 16-bit
-    * prefix bucket — near-dups (small Hamming distance) tend to share it. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    * prefix bucket — near-dups (small Hamming distance) tend to share it.
+    * The 32 per-bit signed sums are 32 parallel aggregates over the
+    * (doc, token-hash) rows — one shuffle with map-side combine, not an
+    * explode ×32 through the exchange. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 32).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), md5Long(col("tok")).as("h"),
-              explode(sequence(lit(0), lit(31))).as("b"))
-      .select(col("doc_id"), col("b"),
-              when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1).as("sgn"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("sgn")).as("s"))
+      .select(col("doc_id"), md5Long(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+              (0 until 32).map(b =>
+                when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+                .reduce(_ + _).as("simhash"))
       .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("bucket"))
+  }
 
   val dedupSimhashSql: String =
     """WITH tok AS (

@@ -129,15 +129,18 @@ object TextAnalysis {
 
   /** Position-weighted rolling fingerprint: Σ (md5hash(token) mod P) · pos
     * mod Q — one number per document, order-sensitive (unlike a bag-of-words
-    * hash), computable in a single scan. */
+    * hash). Computed as a per-row array fold (indexed transform +
+    * aggregate), so the whole operator is a single scan with NO shuffle —
+    * integer arithmetic makes the fold order-insensitive anyway. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"),
-              ((md5Long(col("tok")) % 1000003L) * (col("pos") + 1)).as("term"))
-      .groupBy(col("doc_id"))
-      .agg((sum(col("term")) % 1000000007L).as("fingerprint"),
-           count(lit(1)).as("n_tokens"))
+              (aggregate(
+                 transform(col("ts"), (x, i) =>
+                   (md5Long(x) % 1000003L) * (i.cast("long") + 1L)),
+                 lit(0L), (acc, x) => acc + x) % 1000000007L).as("fingerprint"),
+              size(col("ts")).cast("long").as("n_tokens"))
 
   val textFingerprintSql: String =
     """WITH d AS (

@@ -1,6 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway exploration main (not part of the library surface). */
 object Scratch {
@@ -11,13 +10,11 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.select(col("event_id"), col("ts"),
-        timestamp_micros(expr("ts div 1000")).as("ts_us"),
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"))
-      .show(5, false)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- args) {
+      println(s"========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
