@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` stream [EXT] (the
+ * reference is batch-only — SURVEY.md §2.3 "Streaming").
+ *
+ * The transforms are written once against `DataFrame` and run unchanged in
+ * batch or streaming — Spark's unified model is the design: the batch twins
+ * in [[graft.operators.Events]] are the DuckDB-oracle-able formulations,
+ * these are the incremental ones, and StreamingSpec differentially checks
+ * stream-vs-batch equivalence on the same files.
+ *
+ * Scale: a streaming deployment of these at 100 TB/day is the same plan as
+ * batch — one hash exchange per aggregation, state store partitioned by
+ * (window, key) or user — plus watermark-bounded state eviction.
+ */
+object EventStreams {
+
+  /** File-source schema (streaming sources cannot infer). `ts` arrives as
+    * parquet TIMESTAMP(NANOS) which Spark only admits as a long (see
+    * [[graft.operators.Tables.events]]); normalized to micros here. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a parquet-file event stream (one file per micro-batch — the test
+    * harness's stand-in for a Kafka-like source). */
+  def readEventsStream(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ------------------------------------------------- unified transforms
+
+  /** Tumbling 1-hour counts per event type — the incremental twin of
+    * [[graft.operators.Events.eventsHourly]] (minus exact distinct-count,
+    * which streaming aggregation cannot hold incrementally; a streaming
+    * deployment would use approx_count_distinct). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Production shape: watermarked append-mode hourly counts. A window
+    * emits once the 2-hour watermark passes its end, and its state is
+    * evicted — bounded state at any input rate. */
+  def hourlyCountsAppend(events: DataFrame): DataFrame =
+    hourlyCounts(events.withWatermark("ts", "2 hours"))
+
+  /** Declarative gap-sessionization via `session_window` — runs in batch
+    * and streaming. (Boundary semantics: an event exactly at gap distance
+    * starts a new session, where the lag-based batch formulation in
+    * [[graft.operators.Events.eventsSessionize]] keeps it — coincident
+    * only for gaps of exactly 30:00.000000.) */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------- custom stateful operator
+
+  /** Gap in microseconds splitting sessions (30 min). */
+  val GapUs: Long = 30L * 60 * 1000000
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  /** Per-user state: the currently open session (money held as exact
+    * cents — state must not accumulate float error across batches). */
+  case class Open(start_us: Long, last_us: Long, n: Long, sum_cents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, sum_cents: Long)
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  /** The state transition: fold this micro-batch's events (sorted by event
+    * time) into the open session; emit every session a >gap jump closes. */
+  private def sessionStep(userId: Long, evs: Iterator[Ev],
+                          state: GroupState[Open]): Iterator[SessionOut] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var open = state.getOption
+    for (e <- sorted) {
+      open = open match {
+        case Some(o) if e.ts_us - o.last_us > GapUs =>
+          out += SessionOut(userId, o.start_us, o.last_us, o.n, o.sum_cents)
+          Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
+        case Some(o) =>
+          Some(Open(o.start_us, e.ts_us, o.n + 1, o.sum_cents + cents(e.value)))
+        case None =>
+          Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
+      }
+    }
+    open.foreach(state.update)
+    out.iterator
+  }
+
+  /**
+   * Custom stateful sessionizer via `flatMapGroupsWithState` — the engine
+   * extension point `session_window` can't reach (arbitrary per-key state,
+   * e.g. per-session ML features or cross-field invariants). Emits each
+   * session when the gap that closes it arrives; the open tail stays in
+   * state (a production pipeline adds EventTimeTimeout + watermark to
+   * flush and evict idle users — kept minimal here so batch and streaming
+   * runs are comparable: a batch run emits exactly the closed sessions).
+   *
+   * Assumes micro-batches arrive in event-time order per user (true for
+   * the file harness; a Kafka source would pair this with the timeout).
+   */
+  def sessionizeStateful(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStep)
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionOut
+
+/**
+ * Differential stream-vs-batch tests: the same unified transforms run over
+ * the sf0.001 events as one batch and as a 4-file micro-batched stream, and
+ * must agree. This is the streaming analogue of the repo's DuckDB gate
+ * (batch formulations are the oracle).
+ */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private var srcDir: String = _
+
+  /** Raw events (ts still nanos-long) for splitting into stream files. */
+  private def rawEvents: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+  }
+
+  /** Batch view with normalized micros timestamps (= Tables.events). */
+  private def batchEvents: DataFrame =
+    graft.operators.Tables.events(spark, TestSpark.Sf0001)
+
+  override def beforeAll(): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    srcDir = tmp.toString
+    // split the corpus into 4 event-time-ordered files = 4 micro-batches
+    val rows = rawEvents.orderBy("ts", "event_id").collect()
+    val schema = rawEvents.schema
+    val chunks = rows.grouped(math.max(1, (rows.length + 3) / 4)).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val stage = s"$srcDir/_stage$i"
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk: _*), schema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1)) // enforce source ordering
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(stage))
+    }
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(srcDir))
+  }
+
+  /** Run a streaming DataFrame to a memory sink until drained. */
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", s"$srcDir/_ckpt_$name")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def asSortedSeq(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("hourly counts: 4-microbatch stream == single batch (complete mode)") {
+    val streamed = runToMemory(
+      EventStreams.hourlyCounts(EventStreams.readEventsStream(spark, srcDir)),
+      "hourly_complete", "complete")
+    val batch = EventStreams.hourlyCounts(batchEvents)
+    assert(asSortedSeq(streamed) == asSortedSeq(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("watermarked append mode emits exactly the watermark-passed windows") {
+    val streamed = runToMemory(
+      EventStreams.hourlyCountsAppend(EventStreams.readEventsStream(spark, srcDir)),
+      "hourly_append", "append")
+    val maxTsUs = batchEvents.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val watermarkUs = maxTsUs - 2L * 3600 * 1000000
+    // batch rows whose window END is strictly below the final watermark
+    // must have emitted; nothing beyond the batch answer may ever emit
+    val batch = EventStreams.hourlyCounts(batchEvents)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def winEndUs(winStart: String): Long = fmt.parse(winStart).getTime * 1000 + 3600L * 1000000
+    val batchRows = batch.collect().map(r => (r.getString(0), r.mkString("|"))).toSeq
+    val streamedSet = streamed.collect().map(_.mkString("|")).toSet
+    assert(streamedSet.subsetOf(batchRows.map(_._2).toSet))
+    val mustEmit = batchRows.filter { case (ws, _) => winEndUs(ws) < watermarkUs }
+    assert(mustEmit.nonEmpty, "test data spans too little time to exercise the watermark")
+    mustEmit.foreach { case (ws, row) =>
+      assert(streamedSet.contains(row), s"window $ws should have passed the watermark")
+    }
+  }
+
+  /** Plain-Scala sequential oracle: closed sessions per user (the open
+    * tail never emits — mirrors the operator's contract). */
+  private def oracleClosedSessions: Seq[SessionOut] = {
+    val evs = batchEvents
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur: Option[SessionOut] = None
+      for ((_, _, ts, v) <- sorted) {
+        val c = math.round(v * 100)
+        cur = cur match {
+          case Some(s) if ts - s.end_us > EventStreams.GapUs =>
+            sessions += s; Some(SessionOut(u, ts, ts, 1, c))
+          case Some(s) =>
+            Some(SessionOut(u, s.start_us, ts, s.n_events + 1, s.sum_cents + c))
+          case None => Some(SessionOut(u, ts, ts, 1, c))
+        }
+      }
+      sessions.toSeq // open tail dropped
+    }
+  }
+
+  test("stateful sessionizer: streaming across micro-batches == sequential oracle") {
+    val streamed = runToMemory(
+      EventStreams.sessionizeStateful(EventStreams.readEventsStream(spark, srcDir)).toDF(),
+      "sessions_stream", "append")
+    val got = streamed.collect().map(r =>
+      SessionOut(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got.sortBy(s => (s.user_id, s.start_us)) ==
+           oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
+  }
+
+  test("stateful sessionizer: batch run == streaming run (unified semantics)") {
+    val batchRun = EventStreams.sessionizeStateful(batchEvents).collect().toSeq
+    assert(batchRun.sortBy(s => (s.user_id, s.start_us)) ==
+           oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
+  }
+
+  test("session_window agrees with the lag-based batch sessionization") {
+    val declarative = EventStreams.sessionWindows(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val lagBased = graft.operators.Events.eventsSessionize(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(declarative == lagBased)
+  }
+}
