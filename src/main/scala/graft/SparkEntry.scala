@@ -61,7 +61,10 @@ object SparkEntry {
     "dedup_embedding"     -> (Similarity.dedupEmbedding _),
     // -- multimodal binary columns [EXT]
     "media_features" -> (Multimodal.mediaFeatures _),
-    "media_frames"   -> (Multimodal.mediaFrames _)
+    "media_frames"   -> (Multimodal.mediaFrames _),
+    // -- extended joins (as-of, range) [EXT]
+    "join_asof_clicks" -> (JoinsExt.joinAsofClicks _),
+    "join_range_price" -> (JoinsExt.joinRangePrice _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +106,8 @@ object SparkEntry {
     "ann_lsh_buckets"       -> Similarity.annLshBucketsSql,
     "dedup_embedding"       -> Similarity.dedupEmbeddingSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
-    "media_frames"          -> Multimodal.mediaFramesSql
+    "media_frames"          -> Multimodal.mediaFramesSql,
+    "join_asof_clicks"      -> JoinsExt.joinAsofClicksSql,
+    "join_range_price"      -> JoinsExt.joinRangePriceSql
   )
 }

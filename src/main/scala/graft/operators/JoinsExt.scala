@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Extended join operators [EXT] — join kinds Spark has no native operator
+ * for (SURVEY.md §2.3 "Joins": all absent in the reference), built from
+ * compositions that stay scale-correct:
+ *
+ *  - **as-of join**: union the two streams, one window pass per key —
+ *    ONE hash exchange, no range cross-product, no per-key collect. The
+ *    classic sort-merge-as-of re-expressed as a declarative plan AQE can
+ *    skew-split.
+ *  - **range join** (points into intervals): intervals are exploded to the
+ *    fixed-width buckets they cover, points hash to their bucket, and the
+ *    join becomes an equi-join on bucket + residual predicate — no
+ *    broadcast-nested-loop blowup; shuffle volume is linear in points +
+ *    interval-bucket coverage.
+ */
+object JoinsExt {
+
+  // ---------------------------------------------------------------- as-of
+
+  /**
+   * For each left row, attach the payload of the most recent right row of
+   * the same key with time <= the left row's time (inclusive; ties among
+   * right rows break on `rightOrd`, last wins).
+   *
+   * Both inputs need columns `keyCol` and `timeCol`; the right side's
+   * `payload` columns are appended to left rows as `asof_<name>` (null when
+   * no right row precedes).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payload: Seq[String],
+               rightOrd: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_src", lit(1))
+      .withColumn("_ord", lit(0L))
+      .withColumns(payload.map(p => s"_p_$p" -> lit(null).cast(right.schema(p).dataType)).toMap)
+    val rTagged = right
+      .select((Seq(col(keyCol), col(timeCol)) ++
+               leftCols.filterNot(c => c == keyCol || c == timeCol)
+                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+               Seq(lit(0).as("_src"), col(rightOrd).cast("long").as("_ord")) ++
+               payload.map(p => col(p).as(s"_p_$p"))): _*)
+    // (time, src, ord): right rows sort before the left row at equal time
+    // (inclusive semantics), and among themselves by rightOrd.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_src"), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // separate last() per payload column is safe: with one frame and one
+    // ordering, they are all non-null on exactly the same (right) rows, so
+    // every last() picks the same row.
+    val matched = lTagged.unionByName(rTagged)
+      .withColumns(payload.map(p => s"asof_$p" -> last(col(s"_p_$p"), ignoreNulls = true).over(w)).toMap)
+    matched.filter(col("_src") === 1)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+  }
+
+  /** As-of query: every purchase matched to the same user's most recent
+    * click at-or-before it; reports the match and the gap. */
+  def joinAsofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+    asofJoin(purchases, clicks, "user_id", "ts_us",
+             payload = Seq("click_id", "click_ts_us"), rightOrd = "click_id")
+      .select(col("user_id"), col("purchase_id"), col("ts_us").as("purchase_ts_us"),
+              col("asof_click_id").as("click_id"),
+              (col("ts_us") - col("asof_click_ts_us")).as("gap_us"))
+  }
+
+  val joinAsofClicksSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |u AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN ts_us END AS c_ts
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, ts_us, event_id, src,
+      |    last_value(c_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, src, coalesce(c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+      |    last_value(c_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, src, coalesce(c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+      |  FROM u)
+      |SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+      |       click_id, ts_us - click_ts AS gap_us
+      |FROM m WHERE src = 1""".stripMargin
+
+  // ---------------------------------------------------------------- range
+
+  /**
+   * Join points to the intervals containing them ([lo, hi), same-unit
+   * doubles) via bucketing: every interval is replicated to the
+   * `bucketWidth`-wide buckets it overlaps, every point hashes to its one
+   * bucket, and the match is an equi-join on bucket plus the exact residual
+   * range predicate. Pick `bucketWidth` ≈ the typical interval span so
+   * replication stays O(1) per interval.
+   */
+  def rangeJoinPoints(points: DataFrame, pCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+                       floor(col(hiCol) / bucketWidth).cast("long"))))
+    val pts = points.withColumn("_bucket",
+      floor(col(pCol) / bucketWidth).cast("long"))
+    pts.join(iv, Seq("_bucket"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("_bucket")
+  }
+
+  /** Range query: per part, aggregate the lineitems whose extended price
+    * falls in the part's derived price interval (irregular, overlapping
+    * intervals — a genuine range join, not band-alignment). */
+  def joinRangePrice(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_retailprice") * 10).as("lo"),
+              (col("p_retailprice") * 10 + (col("p_size") + 1) * 2).as("hi"))
+    val pts = t(spark, dir, "lineitem").select(col("l_extendedprice"))
+    rangeJoinPoints(pts, "l_extendedprice", iv, "lo", "hi", bucketWidth = 100.0)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_points"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val joinRangePriceSql: String =
+    """WITH iv AS (
+      |  SELECT p_partkey, p_retailprice * 10 AS lo,
+      |         p_retailprice * 10 + (p_size + 1) * 2 AS hi
+      |  FROM part)
+      |SELECT p_partkey, COUNT(*) AS n_points,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM iv JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY 1""".stripMargin
+}

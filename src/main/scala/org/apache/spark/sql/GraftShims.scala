@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into `private[sql]` surface: Column <-> Catalyst
+ * Expression conversion for graft's native expressions (the conversion
+ * became sql-private with Spark 4's column-node API). This is the
+ * conventional escape hatch for Spark extension libraries; nothing else
+ * private is touched.
+ */
+object GraftShims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
