@@ -64,7 +64,11 @@ object SparkEntry {
     "media_frames"   -> (Multimodal.mediaFrames _),
     // -- extended joins (as-of, range) [EXT]
     "join_asof_clicks" -> (JoinsExt.joinAsofClicks _),
-    "join_range_price" -> (JoinsExt.joinRangePrice _)
+    "join_range_price" -> (JoinsExt.joinRangePrice _),
+    // -- grouping sets, tf-idf, sketches [EXT]
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "text_tfidf"        -> (TextAnalysis.textTfidf _),
+    "kmv_distinct"      -> (Sketches.kmvDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +112,9 @@ object SparkEntry {
     "media_features"        -> Multimodal.mediaFeaturesSql,
     "media_frames"          -> Multimodal.mediaFramesSql,
     "join_asof_clicks"      -> JoinsExt.joinAsofClicksSql,
-    "join_range_price"      -> JoinsExt.joinRangePriceSql
+    "join_range_price"      -> JoinsExt.joinRangePriceSql,
+    "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
+    "text_tfidf"            -> TextAnalysis.textTfidfSql,
+    "kmv_distinct"          -> Sketches.kmvDistinctSql
   )
 }

@@ -242,6 +242,24 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * {(status, priority), (priority), ()} — Spark 4's Dataset.groupingSets
+    * lowers to the same Expand as rollup/cube. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())""".stripMargin
+
   /** Distinct aggregates (expand-based in Spark) next to plain ones. */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -127,6 +127,48 @@ object TextAnalysis {
       |       ELSE 'und' END AS guessed_lang
       |FROM h""".stripMargin
 
+  /** TF-IDF top-3 terms per document. Scale shape: term frequencies are
+    * one hash aggregate over the exploded tokens; document frequencies are
+    * a vocabulary-sized table joined back broadcast-style; the per-doc
+    * top-k is a window over the doc partition. Scores are rounded to 9
+    * decimals before ranking/output — `ln` is correctly-rounded-ish (≤1
+    * ulp) in both engines but not guaranteed identical, and the rounding
+    * plus a (score, token) tiebreak makes the result engine-portable. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
+  val textTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.tok, tf, df,
+      |         round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 9) AS score
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, tok, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, df, score
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
   /** Position-weighted rolling fingerprint: Σ (md5hash(token) mod P) · pos
     * mod Q — one number per document, order-sensitive (unlike a bag-of-words
     * hash). Computed as a per-row array fold (indexed transform +
