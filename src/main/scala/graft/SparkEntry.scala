@@ -67,6 +67,7 @@ object SparkEntry {
     "join_range_price" -> (JoinsExt.joinRangePrice _),
     // -- grouping sets, tf-idf, sketches [EXT]
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_percentiles"   -> (Relational.aggPercentiles _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
     "kmv_distinct"      -> (Sketches.kmvDistinct _)
   )
@@ -114,6 +115,7 @@ object SparkEntry {
     "join_asof_clicks"      -> JoinsExt.joinAsofClicksSql,
     "join_range_price"      -> JoinsExt.joinRangePriceSql,
     "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
+    "agg_percentiles"       -> Relational.aggPercentilesSql,
     "text_tfidf"            -> TextAnalysis.textTfidfSql,
     "kmv_distinct"          -> Sketches.kmvDistinctSql
   )

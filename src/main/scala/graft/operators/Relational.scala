@@ -242,6 +242,22 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * the same formula DuckDB's quantile_cont uses). */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+           percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+           count(lit(1)).as("n"))
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * {(status, priority), (priority), ()} — Spark 4's Dataset.groupingSets
     * lowers to the same Expand as rollup/cube. */

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/**
+ * Proof-of-plan tests for the scale techniques: bucketed co-located joins
+ * (no exchange, no sort) and salted skew joins (multiset-equal results).
+ */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables join with zero exchanges and zero sorts") {
+    val orders = graft.operators.Tables.t(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val lineitem = graft.operators.Tables.t(spark, TestSpark.Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    graft.sources.Bucketed.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    graft.sources.Bucketed.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8)
+    try {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      try {
+        val joined = spark.table("lineitem_b")
+          .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        val n = joined.count()
+        // same answer as the plain (shuffling) join
+        assert(n == lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count())
+        val finalPlan = joined.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p => p.toString
+        }
+        assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+        assert(!finalPlan.contains("Exchange"),
+               s"bucketed join should not shuffle:\n$finalPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join returns exactly the plain join's multiset on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // key 0 is hot: 5000 rows; keys 1..9 get ~100 each
+    val big = ((1 to 5000).map(i => (0L, rnd.nextInt(1000))) ++
+               (1 to 1000).map(i => ((i % 9 + 1).toLong, rnd.nextInt(1000))))
+      .toDF("k", "payload")
+    val small = (0L to 9L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", salts = 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").collect()
+        .map(_.mkString("|")).sorted.toSeq
+    assert(canon(salted) == canon(plain))
+    assert(salted.count() == 6000)
+  }
+}
