@@ -71,4 +71,10 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.column(
       DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Make `graft_dot` callable from SQL in an already-running session
+    * (new sessions can use [[graft.plans.GraftExtensions]] instead). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftShims.registerFunction(spark, "graft_dot",
+      children => DotProduct(children.head, children(1)))
 }
