@@ -68,6 +68,8 @@ object SparkEntry {
     // -- grouping sets, tf-idf, sketches [EXT]
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_percentiles"   -> (Relational.aggPercentiles _),
+    "agg_pivot"           -> (Relational.aggPivot _),
+    "subquery_correlated" -> (Relational.subqueryCorrelated _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
     "kmv_distinct"      -> (Sketches.kmvDistinct _)
   )
@@ -116,6 +118,8 @@ object SparkEntry {
     "join_range_price"      -> JoinsExt.joinRangePriceSql,
     "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
     "agg_percentiles"       -> Relational.aggPercentilesSql,
+    "agg_pivot"             -> Relational.aggPivotSql,
+    "subquery_correlated"   -> Relational.subqueryCorrelatedSql,
     "text_tfidf"            -> TextAnalysis.textTfidfSql,
     "kmv_distinct"          -> Sketches.kmvDistinctSql
   )

@@ -242,6 +242,49 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Pivot: event counts per user wide by event type — Spark lowers the
+    * explicit-values pivot to one hash aggregate with CASE projections
+    * (no extra pass to discover values). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val aggPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'view')     AS view,
+      |  COUNT(*) FILTER (event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (event_type = 'error')    AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Correlated scalar subquery through the SQL entry path (`spark.sql`
+    * over registered views): orders priced above their customer's average.
+    * Catalyst decorrelates this into an aggregate + join — no per-row
+    * re-execution. */
+  def subqueryCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders_v o
+        |WHERE o_totalprice > 2 * (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |                          FROM orders_v i
+        |                          WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+      .withColumn("price", col("price").cast("double"))
+  }
+
+  val subqueryCorrelatedSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+      |                          FROM orders i
+      |                          WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * the same formula DuckDB's quantile_cont uses). */
   def aggPercentiles(spark: SparkSession, dir: String): DataFrame =

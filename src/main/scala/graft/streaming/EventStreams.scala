@@ -72,6 +72,13 @@ object EventStreams {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.operators.Dedup.dedupExact]]'s idea: first occurrence wins,
+    * with the watermark bounding the key state (an id older than 2 hours
+    * of event time can no longer collide and is evicted). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates(Seq("event_id"))
+
   // ------------------------------------------- custom stateful operator
 
   /** Gap in microseconds splitting sessions (30 min). */

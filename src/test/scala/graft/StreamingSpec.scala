@@ -143,6 +143,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
            oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    // build a second stream where each batch replays the previous batch's
+    // last 5 rows (inside the watermark -> caught by dedup state, not by
+    // the late-row filter)
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    try {
+      val rows = rawEvents.orderBy("ts", "event_id").collect()
+      val schema = rawEvents.schema
+      val chunks = rows.grouped(250).toSeq
+      val withDups = chunks.zipWithIndex.map { case (chunk, i) =>
+        if (i == 0) chunk else chunks(i - 1).takeRight(5) ++ chunk
+      }
+      withDups.zipWithIndex.foreach { case (chunk, i) =>
+        val stage = s"$dupDir/_stage$i"
+        spark.createDataFrame(java.util.Arrays.asList(chunk: _*), schema)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dupDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val streamed = runToMemory(
+        EventStreams.dedupEvents(EventStreams.readEventsStream(spark, dupDir)),
+        "dedup_stream", "append")
+      assert(streamed.count() == rows.length) // each event exactly once
+      val ids = streamed.select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == rows.map(_.getAs[Long]("event_id")).toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dupDir))
+    }
+  }
+
   test("session_window agrees with the lag-based batch sessionization") {
     val declarative = EventStreams.sessionWindows(batchEvents)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
