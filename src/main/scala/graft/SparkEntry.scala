@@ -20,6 +20,7 @@ object SparkEntry {
     // -- reference apps through the faithful MR engine (A1/A2 on E1-E9)
     "mr_wordcount"      -> (MrQueries.mrWordCount _),
     "mr_inverted_index" -> (MrQueries.mrInvertedIndex _),
+    "mr_sorted_concat"  -> (MrQueries.mrSortedConcat _),
     // -- idiomatic DataFrame twins
     "wc_native"             -> (MrQueries.wcNative _),
     "inverted_index_native" -> (MrQueries.invertedIndexNative _),
@@ -69,6 +70,7 @@ object SparkEntry {
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_percentiles"   -> (Relational.aggPercentiles _),
     "agg_pivot"           -> (Relational.aggPivot _),
+    "agg_approx"          -> (Relational.aggApprox _),
     "subquery_correlated" -> (Relational.subqueryCorrelated _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
     "kmv_distinct"      -> (Sketches.kmvDistinct _)
@@ -79,6 +81,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount"          -> MrQueries.mrWordCountSql,
     "mr_inverted_index"     -> MrQueries.mrInvertedIndexSql,
+    "mr_sorted_concat"      -> MrQueries.mrSortedConcatSql,
     "wc_native"             -> MrQueries.wcNativeSql,
     "inverted_index_native" -> MrQueries.invertedIndexNativeSql,
     "q1_pricing_summary"    -> Relational.q1Sql,

@@ -42,6 +42,25 @@ object MrQueries {
       |        FROM documents))
       |WHERE w <> '' GROUP BY w""".stripMargin
 
+  /** A3's query (the crash app minus fault injection, SURVEY.md §2.2):
+    * four fixed keys, values sorted and space-joined — the engine-level
+    * sorted-value guarantee made directly visible in the output. */
+  def mrSortedConcat(spark: SparkSession, dir: String): DataFrame =
+    MrJob.run(MrJob.tableInput(t(spark, dir, "documents"), "doc_id", "text"),
+              MrApps.load("sorted_concat")).toDF()
+
+  val mrSortedConcatSql: String =
+    """WITH m AS (
+      |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS val FROM documents
+      |  UNION ALL
+      |  SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'd', 'xyzzy' FROM documents)
+      |SELECT key, string_agg(val, ' ' ORDER BY val) AS value
+      |FROM m GROUP BY key""".stripMargin
+
   /** A1 idiomatic twin: explode + codegen'd hash agg with partial
     * aggregation — the shape that scales to 100 TB. */
   def wcNative(spark: SparkSession, dir: String): DataFrame =

@@ -242,6 +242,18 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Approximate sketch surface: HLL++ distinct and quantile-sketch
+    * percentiles — Spark's own sketches, whose exact outputs no other
+    * engine reproduces, so this query has NO oracleSql twin (the driver
+    * records a rows-only check; the exact twins `agg_distinct` and
+    * `agg_percentiles` are the hash-checked counterparts). */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"),
+           count(lit(1)).as("n"))
+
   /** Pivot: event counts per user wide by event type — Spark lowers the
     * explicit-values pivot to one hash aggregate with CASE projections
     * (no extra pass to discover values). */

@@ -15,8 +15,13 @@ class EntryContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle twin (and no orphan oracles)") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  /** Queries intentionally without a DuckDB twin (driver does a rows-only
+    * check): Spark-native sketches no other engine reproduces bit-for-bit. */
+  private val rowsOnly = Set("agg_approx")
+
+  test("every oracle names a query; only the declared sketches lack oracles") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
   /** Queries whose correct answer on this data is legitimately empty. */

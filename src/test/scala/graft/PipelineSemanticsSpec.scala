@@ -130,6 +130,36 @@ class PipelineSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("frame_mean") == byteSum.toDouble / 29)
   }
 
+  test("asofJoin: inclusive at equal time, latest-id tiebreak, null when none precedes") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 8L), (1L, 60L, 5L), (2L, 20L, 9L))
+      .toDF("k", "t", "rid")
+      .withColumn("rt", org.apache.spark.sql.functions.col("t"))
+    val got = graft.operators.JoinsExt
+      .asofJoin(left, right, "k", "t", payload = Seq("rid", "rt"), rightOrd = "rid")
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[Any]("asof_rid")), Option(r.getAs[Any]("asof_rt")))).toSet
+    assert(got == Set(
+      ("p1", Some(8L), Some(100L)),  // equal time included; rid 8 beats 7
+      ("p0", None, None),            // nothing at or before t=50
+      ("p2", None, None)))           // right row at t=20 is after t=10
+  }
+
+  test("rangeJoinPoints: half-open [lo, hi) boundaries across bucket edges") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(0.0, 99.9, 100.0, 150.0, 250.0).toDF("p")
+    val intervals = Seq((1L, 100.0, 250.0), (2L, 0.0, 100.0)).toDF("id", "lo", "hi")
+    val got = graft.operators.JoinsExt
+      .rangeJoinPoints(points, "p", intervals, "lo", "hi", bucketWidth = 100.0)
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 100.0), (1L, 150.0), (2L, 0.0), (2L, 99.9)))
+    // 250.0 excluded (hi), 100.0 in interval 1 not 2 (half-open)
+  }
+
   test("media frames: every 4th frame is sampled with correct geometry") {
     val doc4Len = Seq.fill(15)("the quick fox").mkString(" ").length // 209 bytes
     val frames = Multimodal.mediaFrames(spark, dir).collect()
