@@ -50,6 +50,7 @@ object SparkEntry {
     "minhash_signatures"  -> (Dedup.minhashSignatures _),
     "dedup_simhash"       -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_components"    -> (Dedup.dedupComponents _),
     // -- text analysis [EXT]
     "text_tokens"      -> (TextAnalysis.textTokens _),
     "text_quality"     -> (TextAnalysis.textQuality _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,
     "dedup_simhash"         -> Dedup.dedupSimhashSql,
     "dedup_ngram_jaccard"   -> Dedup.dedupNgramJaccardSql,
+    "dedup_components"      -> Dedup.dedupComponentsSql,
     "text_tokens"           -> TextAnalysis.textTokensSql,
     "text_quality"          -> TextAnalysis.textQualitySql,
     "text_langid"           -> TextAnalysis.textLangidSql,

@@ -145,6 +145,67 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
+  // --------------------------------------------------- connected components
+
+  /**
+   * Dedup groups: connected components over the MinHash-LSH candidate
+   * graph — the step that turns pairwise near-dup hits into "keep one per
+   * group". Iterative minimum-label propagation: every node adopts the
+   * smallest label among itself and its neighbors until fixpoint (= the
+   * component's minimum doc_id, the canonical representative).
+   *
+   * Scale shape: each round is one join + one min-aggregate on the edge
+   * list — the standard large-graph CC loop (GraphX/Pregel does the same
+   * dataflow); rounds ≈ component diameter, and near-dup clusters are
+   * shallow. The edge list is checkpointed once up front so the signature
+   * pipeline never re-runs, and each round's result is checkpointed to
+   * keep lineage flat (a cluster deployment would use a checkpoint dir).
+   */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).isEmpty // labels only decrease
+      labels = next
+    }
+    import org.apache.spark.sql.expressions.Window
+    labels.select(col("doc_id"), col("label").as("rep_doc_id"),
+                  count(lit(1)).over(Window.partitionBy(col("label")))
+                    .as("component_size"))
+  }
+
+  /** Oracle: reachability closure via recursive CTE, then min per node —
+    * the fixpoint label propagation converges to exactly this. */
+  val dedupComponentsSql: String =
+    s"""${bandedSignaturesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_a AS doc_id, doc_a AS r FROM edges
+       |  UNION
+       |  SELECT e.doc_a AS doc_id, reach.r
+       |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b)
+       |SELECT doc_id, MIN(r) AS rep_doc_id,
+       |       COUNT(*) OVER (PARTITION BY MIN(r)) AS component_size
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   /** Per-document minhash signature table (the reusable artifact a corpus
     * pipeline would persist; also directly checks the minhash math).
     * Derived row-wise from the wide signature — the minhash aggregate is

@@ -69,6 +69,14 @@ class PipelineSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((0L, 1L, 1.0)))
   }
 
+  test("connected components group the exact-dup pair under the min doc_id") {
+    val rows = Dedup.dedupComponents(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_doc_id"),
+                 r.getAs[Long]("component_size"))).toSet
+    assert(rows.contains((0L, 0L, 2L)) && rows.contains((1L, 0L, 2L)),
+           s"docs 0 and 1 are identical and must share component 0: $rows")
+  }
+
   test("fingerprint is order-sensitive, token count is not") {
     val m = TextAnalysis.textFingerprint(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
