@@ -72,6 +72,9 @@ object SparkEntry {
     "agg_percentiles"   -> (Relational.aggPercentiles _),
     "agg_pivot"           -> (Relational.aggPivot _),
     "agg_approx"          -> (Relational.aggApprox _),
+    "agg_argmax"          -> (Relational.aggArgmax _),
+    "window_range_frame"  -> (Relational.windowRangeFrame _),
+    "map_functions"       -> (Relational.mapFunctions _),
     "subquery_correlated" -> (Relational.subqueryCorrelated _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
     "kmv_distinct"      -> (Sketches.kmvDistinct _)
@@ -124,6 +127,9 @@ object SparkEntry {
     "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
     "agg_percentiles"       -> Relational.aggPercentilesSql,
     "agg_pivot"             -> Relational.aggPivotSql,
+    "agg_argmax"            -> Relational.aggArgmaxSql,
+    "window_range_frame"    -> Relational.windowRangeFrameSql,
+    "map_functions"         -> Relational.mapFunctionsSql,
     "subquery_correlated"   -> Relational.subqueryCorrelatedSql,
     "text_tfidf"            -> TextAnalysis.textTfidfSql,
     "kmv_distinct"          -> Sketches.kmvDistinctSql

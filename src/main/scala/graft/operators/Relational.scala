@@ -242,6 +242,76 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Event-time RANGE window frame: each order with its customer's rolling
+    * 30-day order count and revenue (value-based frame over epoch micros —
+    * peers at equal timestamps are in-frame in both engines by RANGE
+    * semantics). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us30d = 30L * 86400 * 1000000
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-us30d, 0)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      .select(col("o_orderkey"), col("o_custkey"),
+              count(lit(1)).over(w).as("n_30d"),
+              sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_30d"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER w AS n_30d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** MapType surface: props JSON → map<string,int>, map explode, grouped
+    * entry stats. */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+              explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.IntegerType))).as(Seq("map_key", "map_val")))
+      .groupBy(col("event_type"), col("map_key"))
+      .agg(count(lit(1)).as("n"), sum(col("map_val")).cast("long").as("sum_val"),
+           min(col("map_val")).as("min_val"), max(col("map_val")).as("max_val"))
+
+  val mapFunctionsSql: String =
+    """WITH kv AS (
+      |  SELECT event_type, unnest(json_keys(props)) AS map_key, props
+      |  FROM events),
+      |v AS (
+      |  SELECT event_type, map_key,
+      |         CAST(json_extract(props, '$.' || map_key) AS INT) AS map_val
+      |  FROM kv)
+      |SELECT event_type, map_key, COUNT(*) AS n,
+      |  CAST(SUM(map_val) AS BIGINT) AS sum_val,
+      |  MIN(map_val) AS min_val, MAX(map_val) AS max_val
+      |FROM v GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic argmax via struct ordering: each customer's priciest
+    * order, ties broken by the orderkey inside the compared struct (plain
+    * max_by/arg_max leaves ties engine-defined). */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(dec(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))).as("m"))
+      .select(col("o_custkey"), col("m.k").as("top_orderkey"),
+              col("m.p").cast("double").as("top_price"))
+
+  val aggArgmaxSql: String =
+    """SELECT o_custkey,
+      |  (max_row).k AS top_orderkey,
+      |  CAST((max_row).p AS DOUBLE) AS top_price
+      |FROM (
+      |  SELECT o_custkey,
+      |         MAX({'p': CAST(o_totalprice AS DECIMAL(18,2)), 'k': o_orderkey}) AS max_row
+      |  FROM orders GROUP BY 1)""".stripMargin
+
   /** Approximate sketch surface: HLL++ distinct and quantile-sketch
     * percentiles — Spark's own sketches, whose exact outputs no other
     * engine reproduces, so this query has NO oracleSql twin (the driver
