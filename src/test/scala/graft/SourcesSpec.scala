@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+/** Source-format breadth: the documents table survives CSV and JSON
+  * round-trips value-exactly (with explicit schemas — headers/inference
+  * are not part of the contract at scale). */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private var dir: String = _
+
+  override def beforeAll(): Unit =
+    dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  private def docs = graft.operators.Tables.t(spark, TestSpark.Sf0001, "documents")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(docs.columns.map(col): _*).collect().map(_.mkString("")).sorted.toSeq
+
+  test("csv round-trip is value-exact") {
+    val out = s"$dir/docs_csv"
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.schema(docs.schema).option("header", "true").csv(out)
+    assert(canon(back) == canon(docs))
+  }
+
+  test("json round-trip is value-exact") {
+    val out = s"$dir/docs_json"
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.schema(docs.schema).json(out)
+    assert(canon(back) == canon(docs))
+  }
+
+  test("text kv sink round-trip preserves the documents word multiset") {
+    // the MR engine's own sink/source pair on real data
+    val result = graft.mr.MrJob.run(
+      graft.mr.MrJob.tableInput(docs, "doc_id", "text"),
+      graft.mr.MrApps.load("wc"))
+    val out = s"$dir/wc_text"
+    graft.mr.MrJob.writeText(result, out)
+    val back = graft.mr.MrJob.readText(spark, out).collect().toSeq
+    val direct = result.collect().map(kv => s"${kv.key} ${kv.value}").sorted.toSeq
+    assert(back == direct)
+  }
+}
