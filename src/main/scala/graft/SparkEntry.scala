@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
     "minhash_signatures"  -> (Dedup.minhashSignatures _),
     "dedup_simhash"       -> (Dedup.dedupSimhash _),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_components"    -> (Dedup.dedupComponents _),
     // -- text analysis [EXT]
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,
     "dedup_simhash"         -> Dedup.dedupSimhashSql,
+    "dedup_simhash_pairs"   -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard"   -> Dedup.dedupNgramJaccardSql,
     "dedup_components"      -> Dedup.dedupComponentsSql,
     "text_tokens"           -> TextAnalysis.textTokensSql,

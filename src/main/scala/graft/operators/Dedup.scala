@@ -260,6 +260,40 @@ object Dedup {
       |  FROM bits GROUP BY doc_id)
       |SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim""".stripMargin
 
+  /** SimHash candidate pairs: same 16-bit prefix bucket, Hamming distance
+    * ≤ 10 over the 32-bit signatures (bit_count(xor) — codegen'd builtin
+    * in both engines). The bucket equi-join is the blocking step; the
+    * Hamming filter is the exact residual check, mirroring the
+    * range-join's bucket+residual pattern. */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = dedupSimhash(spark, dir)
+    sh.as("a")
+      .join(sh.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 10)
+  }
+
+  val dedupSimhashPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+      |  GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |sb AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
+
   // -------------------------------------------------------------- jaccard
 
   /** N-gram Jaccard near-dup: inverted-index self-join on 3-gram shingles
