@@ -44,6 +44,8 @@ object SparkEntry {
     "events_hourly"     -> (Events.eventsHourly _),
     "events_sliding"    -> (Events.eventsSliding _),
     "events_sessionize" -> (Events.eventsSessionize _),
+    "events_funnel"     -> (Events.eventsFunnel _),
+    "events_cohorts"    -> (Events.eventsCohorts _),
     // -- dedup [EXT]
     "dedup_exact"         -> (Dedup.dedupExact _),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "events_hourly"         -> Events.eventsHourlySql,
     "events_sliding"        -> Events.eventsSlidingSql,
     "events_sessionize"     -> Events.eventsSessionizeSql,
+    "events_funnel"         -> Events.eventsFunnelSql,
+    "events_cohorts"        -> Events.eventsCohortsSql,
     "dedup_exact"           -> Dedup.dedupExactSql,
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,

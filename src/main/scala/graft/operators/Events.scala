@@ -57,6 +57,66 @@ object Events {
       |       event_type, COUNT(*) AS n_events
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** Funnel: view → click-after-view → purchase-after-click per user.
+    * Three conditional-min aggregates chained by broadcastable per-user
+    * tables (each stage is one hash agg + one join on user_id — at scale
+    * the per-user stage tables are tiny relative to the event log). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click").as("stage"), col("user_id")))
+      .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS t_click FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us >= t_view GROUP BY 1),
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS t_purchase FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY 1),
+      |s AS (SELECT '1_view' AS stage, user_id FROM v
+      |      UNION ALL SELECT '2_click', user_id FROM c
+      |      UNION ALL SELECT '3_purchase', user_id FROM p)
+      |SELECT stage, COUNT(DISTINCT user_id) AS n_users FROM s GROUP BY 1""".stripMargin
+
+  /** Cohort retention: users grouped by first-active ISO week; per cohort,
+    * size and average number of distinct active weeks. */
+  def eventsCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+              date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"),
+           countDistinct(col("week")).as("active_weeks"))
+    perUser.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+           (sum(col("active_weeks")).cast("double") / count(lit(1))).as("avg_active_weeks"))
+  }
+
+  val eventsCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id, MIN(week) AS cohort_week,
+      |         COUNT(DISTINCT week) AS active_weeks
+      |  FROM ev GROUP BY 1)
+      |SELECT cohort_week, COUNT(*) AS n_users,
+      |       CAST(SUM(active_weeks) AS DOUBLE) / COUNT(*) AS avg_active_weeks
+      |FROM pu GROUP BY 1""".stripMargin
+
   /**
    * Sessionization: split each user's event stream on >30 min inactivity
    * gaps (the classic lag + cumulative-flag-sum formulation — runs on one
