@@ -41,6 +41,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned writes prune partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val orders = graft.operators.Tables.t(spark, TestSpark.Sf0001, "orders")
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      val read = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+      val scan = read.queryExecution.executedPlan.toString
+      // the status predicate must become a partition filter, not a data filter
+      assert(scan.contains("PartitionFilters") &&
+             scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+               .contains("o_orderstatus"),
+             s"expected partition pruning on o_orderstatus:\n$scan")
+      assert(read.count() ==
+             orders.filter(col("o_orderstatus") === "F").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("salted join returns exactly the plain join's multiset on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
