@@ -179,6 +179,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-static broadcast join enriches every event exactly once") {
+    val dim = batchEvents.groupBy("user_id").count()
+      .withColumnRenamed("count", "user_total")
+    val enriched = EventStreams.readEventsStream(spark, srcDir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val streamed = runToMemory(enriched, "enrich_stream", "append")
+    assert(streamed.count() == batchEvents.count())
+    assert(streamed.filter(col("user_total").isNull).count() == 0)
+    // spot-check: every row carries its user's correct total
+    val expected = dim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.select("user_id", "user_total").distinct().collect().foreach { r =>
+      assert(expected(r.getLong(0)) == r.getLong(1))
+    }
+  }
+
+  test("streaming parquet file sink lands exactly the input rows") {
+    val outDir = s"$srcDir/_filesink_out"
+    val q = EventStreams.readEventsStream(spark, srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$srcDir/_ckpt_filesink")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() == batchEvents.count())
+    assert(landed.select("event_id").collect().map(_.getLong(0)).toSet ==
+           batchEvents.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("session_window agrees with the lag-based batch sessionization") {
     val declarative = EventStreams.sessionWindows(batchEvents)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
