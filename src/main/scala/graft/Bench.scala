@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor threads, codegen, and the parquet reader once so the

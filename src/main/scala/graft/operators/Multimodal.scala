@@ -103,7 +103,9 @@ object Multimodal {
             content_hash = md5LongOf(r.payload),
             n_frames = (r.payload.length + FrameBytes - 1) / FrameBytes,
             n_sampled = n, sampled_byte_sum = s,
-            frame_mean = s.toDouble / n)
+            // guard the empty payload: 0/0 would be NaN here but NULL in
+            // the oracle's list_sum path — pin both to 0.0
+            frame_mean = if (n == 0) 0.0 else s.toDouble / n)
         }
       }
     }.toDF()
@@ -123,8 +125,10 @@ object Multimodal {
        |SELECT doc_id, format, width, CAST(n_bytes AS INT) AS n_bytes,
        |  content_hash, CAST(n_frames AS INT) AS n_frames,
        |  CAST(len(sampled) AS INT) AS n_sampled,
-       |  CAST(list_sum(sampled) AS BIGINT) AS sampled_byte_sum,
-       |  CAST(list_sum(sampled) AS DOUBLE) / len(sampled) AS frame_mean
+       |  CAST(COALESCE(list_sum(sampled), 0) AS BIGINT) AS sampled_byte_sum,
+       |  CASE WHEN len(sampled) = 0 THEN 0.0
+       |       ELSE CAST(list_sum(sampled) AS DOUBLE) / len(sampled)
+       |  END AS frame_mean
        |FROM f""".stripMargin
 
   /** Frame sampling as a UDTF-shaped flatMap: one output row per sampled

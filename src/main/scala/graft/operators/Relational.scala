@@ -346,14 +346,22 @@ object Relational {
   /** Correlated scalar subquery through the SQL entry path (`spark.sql`
     * over registered views): orders priced above their customer's average.
     * Catalyst decorrelates this into an aggregate + join — no per-row
-    * re-execution. */
+    * re-execution.
+    *
+    * The threshold is SUM(decimal)/COUNT(*), not AVG: Spark's decimal AVG
+    * rounds to 6 decimals while DuckDB computes it in double, so a price
+    * sitting exactly on the boundary could classify differently. The
+    * decimal SUM is exact in both engines, its cast to double is one
+    * deterministic rounding, and the division by an integer count is IEEE —
+    * the two engines compare against bit-identical thresholds. */
   def subqueryCorrelated(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders_v")
     spark.sql(
       """SELECT o_orderkey, o_custkey,
         |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |FROM orders_v o
-        |WHERE o_totalprice > 2 * (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                                   / COUNT(*)
         |                          FROM orders_v i
         |                          WHERE i.o_custkey = o.o_custkey)""".stripMargin)
       .withColumn("price", col("price").cast("double"))
@@ -363,7 +371,8 @@ object Relational {
     """SELECT o_orderkey, o_custkey,
       |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders o
-      |WHERE o_totalprice > 2 * (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+      |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                                   / COUNT(*)
       |                          FROM orders i
       |                          WHERE i.o_custkey = o.o_custkey)""".stripMargin
 

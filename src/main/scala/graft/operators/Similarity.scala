@@ -24,7 +24,9 @@ import Tables._
  * Numeric determinism vs the DuckDB oracle: floats are cast to double
  * BEFORE any arithmetic (exact conversion in both engines), dot products
  * fold strictly left-to-right in array order (Spark `aggregate` HOF vs
- * DuckDB `list_reduce`), so every cosine is bit-identical.
+ * DuckDB `list_reduce`), and the one place a mean is taken (IVF centroids)
+ * sums 1e-6-quantized integers instead of doubles — so every cosine,
+ * including the centroid-probe stage, is bit-identical.
  */
 object Similarity {
 
@@ -103,13 +105,22 @@ object Similarity {
   /** IVF top-k: coarse centroids = per-label mean vector (one cheap agg);
     * each query probes its NProbe nearest centroids and searches only those
     * clusters — the candidate set arrives via an equi-join on `label`, so
-    * at 100 TB only the probed fraction of the corpus is ever scored. */
+    * at 100 TB only the probed fraction of the corpus is ever scored.
+    *
+    * Centroid means are computed over 1e-6-quantized components summed as
+    * exact integers, NOT `avg` over doubles: double summation is
+    * accumulation-order-dependent across partitions/engines, and a last-ulp
+    * centroid wobble could flip a probe (cluster) ranking. Integer sums are
+    * associative, so the centroid — and every downstream cosine — is
+    * bit-identical under any partitioning and in the DuckDB oracle. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    // centroid per label: element-wise mean — explode to (label, dim, x),
-    // partial-agg'd avg, rebuild the array ordered by dim.
+    // centroid per label: element-wise quantized mean — explode to
+    // (label, dim, x), exact integer partial-agg, rebuild ordered by dim.
     val cent = c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
                      s => s.getField("m")).as("cv"))
@@ -143,7 +154,9 @@ object Similarity {
        |cent AS (
        |  SELECT label, list(m ORDER BY dim) AS cv
        |  FROM (
-       |    SELECT label, dim, AVG(x) AS m
+       |    SELECT label, dim,
+       |           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1000000.0) AS m
        |    FROM (SELECT label, unnest(v) AS x,
        |                 unnest(generate_series(1, len(v))) AS dim
        |          FROM corpus)

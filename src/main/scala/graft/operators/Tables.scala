@@ -10,6 +10,10 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The session conf required to read the events table's TIMESTAMP(NANOS)
+    * column; must be enabled at session construction (see [[events]]). */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /**
    * Load the events table. Its `ts` column is parquet TIMESTAMP(NANOS),
    * which Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL) — even when `ts`
@@ -17,9 +21,19 @@ object Tables {
    * legacy conf reads it as a long (nanos since epoch); we then truncate to
    * microseconds, which is bit-identical to how DuckDB (µs-native) reads
    * the same file, keeping timestamp values oracle-comparable.
+   *
+   * The conf is deliberately NOT set here: a table loader mutating session
+   * state would silently switch every later nanos read in the session to
+   * the legacy path. It is execution-time state (re-read at every action),
+   * so a set/restore scope around the lazy `read` would break the first
+   * action; instead every entry point that owns a session (Verify, Bench,
+   * Scratch, TestSpark) enables it at construction, and this loader fails
+   * fast with the conf name if handed a session without it.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(NanosConf).contains("true"),
+      s"the events table needs $NanosConf=true at session construction " +
+      "(its ts column is parquet TIMESTAMP(NANOS))")
     t(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -32,7 +32,9 @@ object EventStreams {
   /** Open a parquet-file event stream (one file per micro-batch — the test
     * harness's stand-in for a Kafka-like source). */
   def readEventsStream(spark: SparkSession, srcDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(graft.operators.Tables.NanosConf).contains("true"),
+      s"the events stream needs ${graft.operators.Tables.NanosConf}=true at " +
+      "session construction (ts is parquet TIMESTAMP(NANOS))")
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")

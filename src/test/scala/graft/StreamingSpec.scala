@@ -17,11 +17,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private var srcDir: String = _
 
-  /** Raw events (ts still nanos-long) for splitting into stream files. */
-  private def rawEvents: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Raw events (ts still nanos-long) for splitting into stream files;
+    * the nanos conf comes from TestSpark's session construction. */
+  private def rawEvents: DataFrame =
     spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
-  }
 
   /** Batch view with normalized micros timestamps (= Tables.events). */
   private def batchEvents: DataFrame =

@@ -11,6 +11,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
     .config("spark.sql.warehouse.dir",
             java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
