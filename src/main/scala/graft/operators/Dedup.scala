@@ -169,6 +169,13 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // Convergence witness: labels only ever decrease, so Σ label strictly
+    // decreases until fixpoint — comparing two scalar sums replaces the
+    // join-per-round changed-row check (one cheap agg over the already-
+    // checkpointed round result instead of an extra join + filter action).
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
@@ -176,8 +183,9 @@ object Dedup {
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") < col("prev")).isEmpty // labels only decrease
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     import org.apache.spark.sql.expressions.Window
