@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
  *         `sort_array` reproduces the load-bearing value-order guarantee
  *         (SURVEY.md §1.4) that a bare `collect_list` would break (shuffle
  *         arrival order is nondeterministic).
- *  - E7 holistic reduce (`main.rs:38`, `worker.rs:181`) -> scalar UDF over the
- *      sorted value array. The reference has no combiner (every map output
- *      pair crosses the shuffle, `app-wc/src/lib.rs:12`); we keep the same
- *      holistic contract for generality, and ship DataFrame-native "twins"
- *      of the bundled apps for the decomposable cases (graft.operators).
+ *  - E7 holistic reduce (`main.rs:38`, `worker.rs:181`) -> the native
+ *      [[graft.functions.HolisticReduce]] TypedImperativeAggregate (or the
+ *      builtins-only `sort_array(collect_list)` + UDF twin,
+ *      [[MrJob.runDeclarative]]). The reference has no combiner (every map
+ *      output pair crosses the shuffle, `app-wc/src/lib.rs:12`); we keep the
+ *      same holistic contract for generality, and ship DataFrame-native
+ *      "twins" of the bundled apps for the decomposable cases
+ *      (graft.operators).
  *  - E8 atomic text sink (`worker.rs:178-190`) -> `df.write.text` under
  *      Spark's FileOutputCommitter (temp + rename protocol, same
  *      exactly-once-visibility guarantee).
@@ -79,28 +82,56 @@ object MrJob {
    * Execute `app` over `input`, returning the final `(key, value)` table,
    * globally sorted by key — the observable equivalent of the reference's
    * merged `sort mr-out* | grep .` output (`Makefile:33-34`).
+   *
+   * The reduce stage (E5-E7) runs as the native
+   * [[graft.functions.HolisticReduce]] aggregate: one typed imperative
+   * aggregate that collects values (with partial buffers through the
+   * shuffle), sorts once per group at eval (§1.4's guarantee), and applies
+   * the app's reduce — no intermediate array column and no UDF conversion
+   * boundary. [[runDeclarative]] is the builtins-only formulation of the
+   * same semantics; MrEngineSpec holds them differentially equal.
    */
   def run(input: Dataset[KV], app: MrApp, nReduce: Int = DefaultNumReduce): Dataset[KV] = {
     val spark = input.sparkSession
     import spark.implicits._
 
-    // E2: UDTF flat-map. Dataset.flatMap keeps the app's Scala signature
-    // verbatim (`fn map(k, v) -> Vec<(k, v)>`, common/src/lib.rs:6).
-    val intermediate: Dataset[KV] =
-      input.flatMap(r => app.map(r.key, r.value).map { case (k, v) => KV(k, v) })
+    // E3: hash shuffle into exactly nReduce partitions on the key; then
+    // E5+E6+E7 fused into the native holistic-reduce aggregate.
+    mapStage(input, app)
+      .repartition(nReduce, $"key")
+      .groupBy($"key")
+      .agg(graft.functions.HolisticReduce(app.reduce _)($"key", $"value").as("value"))
+      .orderBy($"key") // E9: global merge-sort of partition outputs
+      .as[KV]
+  }
 
-    // E3: hash shuffle into exactly nReduce partitions on the key.
-    val partitioned = intermediate.repartition(nReduce, $"key")
-
-    // E5+E6: sorted grouping with the §1.4 value-order guarantee, then
-    // E7: the holistic reduce UDF over the complete ordered value list.
+  /**
+   * The declarative twin of [[run]]'s reduce stage, from builtins only:
+   * `sort_array(collect_list(value))` (E5+E6, the §1.4 value-order
+   * guarantee a bare collect_list would break — shuffle arrival order is
+   * nondeterministic) + a scalar reduce UDF (E7). Semantically identical
+   * to the native aggregate; kept as the cross-check and as the
+   * formulation that needs zero custom Catalyst code.
+   */
+  def runDeclarative(input: Dataset[KV], app: MrApp,
+                     nReduce: Int = DefaultNumReduce): Dataset[KV] = {
+    val spark = input.sparkSession
+    import spark.implicits._
     val reduceUdf = udf((k: String, vs: Seq[String]) => app.reduce(k, vs))
-    partitioned
+    mapStage(input, app)
+      .repartition(nReduce, $"key")
       .groupBy($"key")
       .agg(sort_array(collect_list($"value")).as("values"))
       .select($"key", reduceUdf($"key", $"values").as("value"))
-      .orderBy($"key") // E9: global merge-sort of partition outputs
+      .orderBy($"key")
       .as[KV]
+  }
+
+  /** E2: UDTF flat-map. Dataset.flatMap keeps the app's Scala signature
+    * verbatim (`fn map(k, v) -> Vec<(k, v)>`, common/src/lib.rs:6). */
+  private def mapStage(input: Dataset[KV], app: MrApp): Dataset[KV] = {
+    import input.sparkSession.implicits._
+    input.flatMap(r => app.map(r.key, r.value).map { case (k, v) => KV(k, v) })
   }
 
   /** Convenience: load the app by name (E11) and run over whole files. */

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HolisticReduce}
 
 /**
  * Session extension installing graft's native functions into the SQL
@@ -19,5 +19,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // graft_mr_reduce('<app>', key, value): the engine's holistic reduce
+    // aggregate (E7) from SQL, resolving the app by registry name — the
+    // SQL-surface twin of the reference's `-a <app>` dylib selection.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mr_reduce"),
+      new ExpressionInfo(classOf[HolisticReduce].getName, "graft_mr_reduce"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children.head.foldable,
+          "usage: graft_mr_reduce('<app name literal>', key, value)")
+        val appName = children.head.eval().toString
+        val app = graft.mr.MrApps.load(appName)
+        HolisticReduce(children(1), children(2), app.reduce _)
+      }))
   }
 }

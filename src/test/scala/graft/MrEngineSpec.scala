@@ -99,6 +99,61 @@ class MrEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("native HolisticReduce aggregate == declarative collect_list twin == oracle") {
+    // The engine hot path (TypedImperativeAggregate) and the builtins-only
+    // formulation must be indistinguishable for every app and any nReduce.
+    import spark.implicits._
+    for (appName <- Seq("wc", "indexer", "sorted_concat"); n <- Seq(1, 3)) {
+      val app = MrApps.load(appName)
+      val input = corpus(seed = 99, nDocs = 25)
+      val ds = spark.createDataset(input.map { case (k, v) => MrJob.KV(k, v) })
+      val native = MrJob.run(ds, app, n).collect().toSeq
+      val declarative = MrJob.runDeclarative(ds, app, n).collect().toSeq
+      val oracle = MrJob.runSequential(app, input).sorted
+      assert(native == declarative, s"$appName nReduce=$n")
+      assert(native.map(kv => (kv.key, kv.value)).sorted == oracle, s"$appName nReduce=$n")
+    }
+  }
+
+  test("HolisticReduce partial buffers survive serialize/merge across many input partitions") {
+    // Force partial aggregation by spreading each key's values over many
+    // input partitions — merge() then combines shuffled partial buffers,
+    // and §1.4's sort must still hold on the merged whole.
+    import spark.implicits._
+    val probe = new MrApp {
+      val name = "merge_probe"
+      def map(k: String, v: String): Seq[(String, String)] = Seq((v.take(1), v))
+      def reduce(k: String, vs: Seq[String]): String =
+        (if (vs == vs.sorted) "sorted:" else "UNSORTED:") + vs.mkString(",")
+    }
+    val values = (0 until 200).map(i => f"v$i%03d")
+    val input = scala.util.Random.shuffle(values).map(v => MrJob.KV("in", v))
+    val ds = spark.createDataset(input).repartition(16)
+    val out = MrJob.run(ds, probe, nReduce = 3).collect()
+    assert(out.length == 1 && out.head.value == "sorted:" + values.mkString(","))
+  }
+
+  test("graft_mr_reduce is callable from SQL (extensions-equivalent registration)") {
+    // same builder GraftExtensions injects, registered into the live session
+    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_mr_reduce",
+      children => {
+        val app = MrApps.load(children.head.eval().toString)
+        graft.functions.HolisticReduce(children(1), children(2), app.reduce _)
+      })
+    import spark.implicits._
+    val input = corpus(seed = 5, nDocs = 10)
+    spark.createDataset(input.map { case (k, v) => MrJob.KV(k, v) })
+      .createOrReplaceTempView("mr_in")
+    val viaSql = spark.sql(
+      """SELECT key, graft_mr_reduce('wc', key, value) AS value
+        |FROM (SELECT w AS key, '1' AS value
+        |      FROM mr_in LATERAL VIEW explode(split(value, '[^A-Za-z]+')) t AS w
+        |      WHERE w <> '')
+        |GROUP BY key ORDER BY key""".stripMargin).as[MrJob.KV].collect().toSeq
+    val oracle = MrJob.runSequential(MrApps.load("wc"), input)
+    assert(viaSql.map(kv => (kv.key, kv.value)) == oracle)
+  }
+
   test("unknown app name fails with the known-apps listing (E11 registry)") {
     val e = intercept[NoSuchElementException](MrApps.load("nope"))
     assert(e.getMessage.contains("wc"))
