@@ -62,6 +62,7 @@ object SparkEntry {
     // -- similarity search [EXT]
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
     "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
+    "ann_kmeans_topk"     -> (Similarity.annKmeansTopk _),
     "ann_lsh_buckets"     -> (Similarity.annLshBuckets _),
     "dedup_embedding"     -> (Similarity.dedupEmbedding _),
     // -- multimodal binary columns [EXT]
@@ -124,6 +125,7 @@ object SparkEntry {
     "text_fingerprint"      -> TextAnalysis.textFingerprintSql,
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
+    "ann_kmeans_topk"       -> Similarity.annKmeansTopkSql,
     "ann_lsh_buckets"       -> Similarity.annLshBucketsSql,
     "dedup_embedding"       -> Similarity.dedupEmbeddingSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,

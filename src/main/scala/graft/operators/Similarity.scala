@@ -181,6 +181,151 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
        |FROM ranked WHERE rnk <= $K""".stripMargin
 
+  // -------------------------------------------------------------- k-means
+
+  /** Lloyd iterations for the k-means IVF variant. Fixed count (no
+    * convergence test) so the computation is a pure function of the data —
+    * a convergence loop would still be deterministic here, but a fixed
+    * unroll is what lets the DuckDB oracle mirror it CTE-for-CTE. */
+  private val KmIters = 2
+
+  /** Quantized centroid table of an assignment: per-cluster element-wise
+    * mean over 1e-6-quantized components summed as exact integers (same
+    * determinism argument as [[annIvfTopk]]); cluster count is k (tiny), so
+    * the result is always the broadcast side downstream. */
+  private def kmCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                     s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Nearest-centroid assignment (argmax cosine, ties to the smaller
+    * cluster id): one corpus scan against the broadcast centroid table. */
+  private def kmAssign(c: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cluster").asc)
+    c.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .withColumn("arnk", row_number().over(w))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cluster"))
+  }
+
+  /**
+   * IVF over iterated k-means coarse clusters: initialize centroids from
+   * the label partition (the [[annIvfTopk]] quantizer), run [[KmIters]]
+   * Lloyd steps (assign to nearest centroid → recompute quantized means),
+   * then probe-and-search exactly like IVF — queries rank the final
+   * centroids, candidates arrive via an equi-join on the final cluster
+   * assignment.
+   *
+   * Scale shape: each Lloyd step is one corpus scan against a broadcast
+   * k-row centroid table plus one centroid re-aggregation (the classic
+   * Spark k-means dataflow); centroid tables are localCheckpointed per
+   * step so the final query plan stays shallow instead of re-deriving the
+   * whole iteration lineage. At 100 TB the per-step cost is a linear scan
+   * with map-side partial sums — no all-pairs anything.
+   */
+  def annKmeansTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    var cent = kmCentroids(c.select(col("label").as("cluster"), col("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to KmIters)
+      cent = kmCentroids(kmAssign(c, cent).select(col("cluster"), col("v")))
+        .localCheckpoint(true)
+    val assigned = kmAssign(c, cent)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("cluster"),
+              cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("ccos"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Oracle: the same fixed Lloyd unroll, CTE-for-CTE. Centroid CTE i is a
+    * function of assignment CTE i (assignment 0 = the label column), so
+    * the chain is mechanical; all arithmetic mirrors the Spark side
+    * bit-for-bit (quantized integer sums, double division, identical
+    * tie-breaks). */
+  val annKmeansTopkSql: String = {
+    def centSql(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT cluster, list(m ORDER BY dim) AS cv
+         |  FROM (
+         |    SELECT cluster, dim,
+         |           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+         |             / (COUNT(*) * 1000000.0) AS m
+         |    FROM (SELECT cluster, unnest(v) AS x,
+         |                 unnest(generate_series(1, len(v))) AS dim
+         |          FROM $src)
+         |    GROUP BY cluster, dim)
+         |  GROUP BY cluster),
+         |${name}n AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $name)""".stripMargin
+    def asgSql(name: String, centN: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT c.vec_id, ct.cluster,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) DESC,
+         |                      ct.cluster ASC) AS arnk
+         |    FROM corpus c CROSS JOIN $centN ct)
+         |  WHERE arnk = 1)""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      asgSql(s"asg$i", s"cent${i - 1}n") + ",\n" +
+        centSql(s"cent$i", s"corpus c JOIN asg$i USING (vec_id)")
+    }.mkString(",\n")
+    val last = s"cent${KmIters}n"
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |${centSql("cent0", "(SELECT label AS cluster, v FROM corpus) c")},
+       |$iters,
+       |final_asg AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT c.vec_id, ct.cluster,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) DESC,
+       |                      ct.cluster ASC) AS arnk
+       |    FROM corpus c CROSS JOIN $last ct)
+       |  WHERE arnk = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qn, cluster FROM (
+       |    SELECT q_id, qv, qn, cluster,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, cluster ASC) AS crnk
+       |    FROM qs CROSS JOIN $last)
+       |  WHERE crnk <= $NProbe),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "c.v")} / (qn * c.nrm) AS cos
+       |  FROM corpus c
+       |  JOIN final_asg fa ON fa.vec_id = c.vec_id
+       |  JOIN probes p ON p.cluster = fa.cluster AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Hyperplane count for sign-bucket LSH. */
