@@ -59,6 +59,11 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.textQuality _),
     "text_langid"      -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "text_pii_redact"  -> (TextAnalysis.textPiiRedact _),
+    "text_repetition"  -> (TextAnalysis.textRepetition _),
+    // -- deterministic sampling / dataset splitting [EXT]
+    "sample_split"      -> (Sampling.sampleSplit _),
+    "sample_stratified" -> (Sampling.sampleStratified _),
     // -- similarity search [EXT]
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
     "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
@@ -123,6 +128,10 @@ object SparkEntry {
     "text_quality"          -> TextAnalysis.textQualitySql,
     "text_langid"           -> TextAnalysis.textLangidSql,
     "text_fingerprint"      -> TextAnalysis.textFingerprintSql,
+    "text_pii_redact"       -> TextAnalysis.textPiiRedactSql,
+    "text_repetition"       -> TextAnalysis.textRepetitionSql,
+    "sample_split"          -> Sampling.sampleSplitSql,
+    "sample_stratified"     -> Sampling.sampleStratifiedSql,
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
     "ann_kmeans_topk"       -> Similarity.annKmeansTopkSql,

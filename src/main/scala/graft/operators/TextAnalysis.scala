@@ -178,6 +178,137 @@ object TextAnalysis {
       |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, df, score
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ------------------------------------------------------------------ PII
+
+  /** Java-regex / RE2 common-subset patterns (no lookaround, no backrefs —
+    * identical semantics in Spark's java.util.regex and DuckDB's RE2). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9() -]{6,}[0-9]"
+
+  /**
+   * PII scrubbing [EXT]: count and redact email / phone patterns. The
+   * synthetic corpus contains no natural PII, so the query grafts
+   * deterministic synthetic contact strings onto a slice of documents
+   * first (doc_id-derived, so the oracle builds the identical input) —
+   * the redaction plumbing (codegen'd regexp_extract_all/regexp_replace,
+   * one pass, no shuffle) is the real, scale-relevant part, exactly like
+   * the multimodal stub codec.
+   *
+   * At 100 TB this is an embarrassingly parallel scan; the regexes are
+   * deliberately in the Java/RE2 common subset so the operator is portable
+   * across engines (and the oracle can replay it).
+   */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+                   lit("@example.com asap"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call +1 555-01"),
+                   lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+                   lit(" now"))).otherwise(lit(""))).as("raw"))
+      .select(col("doc_id"), col("lang"),
+        // Column-API regexp functions take the Java pattern verbatim — an
+        // expr()/SQL literal would re-process the backslash escapes.
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+                           PhoneRe, "<PHONE>")).as("redacted_md5"),
+        (length(col("raw")) -
+         length(regexp_replace(regexp_replace(col("raw"), EmailRe, ""),
+                               PhoneRe, ""))).as("n_pii_chars"))
+
+  val textPiiRedactSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, lang,
+       |    text
+       |      || CASE WHEN doc_id % 5 = 0
+       |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+       |              ELSE '' END
+       |      || CASE WHEN doc_id % 7 = 0
+       |              THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now'
+       |              ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+       |                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5,
+       |  CAST(length(raw)
+       |    - length(regexp_replace(regexp_replace(raw, '$EmailRe', '', 'g'),
+       |                            '$PhoneRe', '', 'g')) AS INT) AS n_pii_chars
+       |FROM raw""".stripMargin
+
+  // ----------------------------------------------------------- repetition
+
+  /**
+   * Repetition-based quality metrics [EXT] (the Gopher-rule family):
+   * duplicate-token fraction and duplicate-2-gram fraction from array
+   * arithmetic (zero shuffle), plus the most-frequent token and its mass
+   * fraction via one exploded aggregate + a per-doc argmax window.
+   * All ratios divide exact integer counts — bit-identical in the oracle.
+   */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        expr("transform(slice(ts, 1, size(ts) - 1), (x, i) -> concat_ws(' ', x, ts[i + 1]))")
+          .as("g2"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"),
+        size(col("g2")).as("n_2grams"),
+        size(array_distinct(col("g2"))).as("n_distinct_2grams"))
+    val top = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("tok").as("top_tok"), col("c").as("top_cnt"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        ((col("n_2grams") - col("n_distinct_2grams")).cast("double")
+          / col("n_2grams")).as("dup_2gram_frac"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        when((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens") > 0.9,
+             "drop").otherwise("keep").as("rep_flag"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    len(ts) AS n_tokens,
+      |    len(list_distinct(ts)) AS n_distinct,
+      |    len(ts) - 1 AS n_2grams,
+      |    len(list_distinct(list_transform(list_slice(ts, 1, len(ts) - 1),
+      |      (x, i) -> x || ' ' || ts[i + 1]))) AS n_distinct_2grams
+      |  FROM d),
+      |tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok FROM d),
+      |cnt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, tok AS top_tok, c AS top_cnt FROM (
+      |    SELECT doc_id, tok, c,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rnk
+      |    FROM cnt)
+      |  WHERE rnk = 1)
+      |SELECT base.doc_id, CAST(n_tokens AS INT) AS n_tokens, top_tok,
+      |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |  CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams AS dup_2gram_frac,
+      |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
+      |  CASE WHEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens > 0.9
+      |       THEN 'drop' ELSE 'keep' END AS rep_flag
+      |FROM base JOIN top ON base.doc_id = top.doc_id""".stripMargin
+
   /** Position-weighted rolling fingerprint: Σ (md5hash(token) mod P) · pos
     * mod Q — one number per document, order-sensitive (unlike a bag-of-words
     * hash). Computed as a per-row array fold (indexed transform +
