@@ -28,6 +28,8 @@ object SparkEntry {
     "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q18_large_orders"    -> (Relational.q18LargeOrders _),
     "join_broadcast_part" -> (Relational.joinBroadcastPart _),
     "join_semi"           -> (Relational.joinSemi _),
     "join_anti"           -> (Relational.joinAnti _),
@@ -100,6 +102,8 @@ object SparkEntry {
     "q1_pricing_summary"    -> Relational.q1Sql,
     "q3_shipping_priority"  -> Relational.q3Sql,
     "q5_local_supplier"     -> Relational.q5Sql,
+    "q6_forecast_revenue"   -> Relational.q6Sql,
+    "q18_large_orders"      -> Relational.q18Sql,
     "join_broadcast_part"   -> Relational.joinBroadcastPartSql,
     "join_semi"             -> Relational.joinSemiSql,
     "join_anti"             -> Relational.joinAntiSql,

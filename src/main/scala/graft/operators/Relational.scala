@@ -112,6 +112,68 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /**
+   * TPC-H Q6-shaped forecast revenue: the pure filter-and-aggregate probe.
+   * All three predicates and the two-column projection push into the
+   * parquet scan (`PushedFilters` + pruned `ReadSchema` — only
+   * l_shipdate/l_discount/l_quantity/l_extendedprice leave the reader),
+   * then one algebraic aggregate with no grouping: partial sums collapse
+   * every scan partition to a single row before the one-row exchange. The
+   * canonical "is pushdown actually working" query at any scale.
+   */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.04) &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin
+
+  /**
+   * TPC-H Q18-shaped large-volume customers: aggregate-then-semijoin-
+   * then-rejoin. The HAVING side reduces lineitem to qualifying order
+   * keys first (partial+final sums, O(orders) rows), which then drive a
+   * semi-join-shaped filter back onto orders ⋈ lineitem; at scale the
+   * qualifying-key set is small, so AQE turns the rejoin broadcast. The
+   * top-k is TakeOrderedAndProject — no global sort.
+   */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val qualifying = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = t(spark, dir, "orders")
+    ord.join(qualifying, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              (col("o_totalprice").cast("decimal(18,2)")).cast("double").as("totalprice"),
+              col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) q
+      |  ON o_orderkey = q.l_orderkey
+      |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
   val q5Sql: String =
     """SELECT r_name, n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
