@@ -88,7 +88,8 @@ object SparkEntry {
     "map_functions"       -> (Relational.mapFunctions _),
     "subquery_correlated" -> (Relational.subqueryCorrelated _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
-    "kmv_distinct"      -> (Sketches.kmvDistinct _)
+    "kmv_distinct"      -> (Sketches.kmvDistinct _),
+    "hll_distinct"      -> (Sketches.hllDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,6 +154,7 @@ object SparkEntry {
     "map_functions"         -> Relational.mapFunctionsSql,
     "subquery_correlated"   -> Relational.subqueryCorrelatedSql,
     "text_tfidf"            -> TextAnalysis.textTfidfSql,
-    "kmv_distinct"          -> Sketches.kmvDistinctSql
+    "kmv_distinct"          -> Sketches.kmvDistinctSql,
+    "hll_distinct"          -> Sketches.hllDistinctSql
   )
 }

@@ -42,6 +42,109 @@ object Sketches {
                 .as("est_distinct"))
   }
 
+  /** HLL geometry: 2^8 = 256 registers; the remaining 52 hash bits feed
+    * the leading-zero rank, so register values lie in [1, 53]. */
+  private val HllP = 8
+  private val HllM = 1 << HllP                    // 256 registers
+  private val HllW = 60 - HllP                    // 52 rank bits
+  private val Pow53 = 1L << (HllW + 1)            // 2^53, the "register 0" term
+  /** α_256 (Flajolet et al.) times m²·2^53: the raw-estimate numerator,
+    * computed ONCE in Scala double arithmetic and inlined into both
+    * engines as the same IEEE value. (Writing the formula as SQL literals
+    * is a trap: Spark parses `0.7213` as DECIMAL, not DOUBLE, and the
+    * decimal arithmetic rounds differently than DuckDB's — measured as a
+    * 6th-decimal estimate divergence at sf0.1. The ×256×256×2^53 factors
+    * are exact powers of two, so this product carries α's mantissa
+    * unrounded.) */
+  private val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * Pow53.toDouble
+
+  /**
+   * HyperLogLog distinct-count sketch from scratch, exactly reproducible
+   * [EXT]: registers derive from the shared md5 hash (bucket = low 8 bits,
+   * rank = leading-zero position of the remaining 52 bits via the binary
+   * string length — integer-only), and the harmonic-mean denominator
+   * Σ 2^-M_j is kept EXACT by summing 2^(53-M_j) as integers (≤ 256·2^53
+   * < 2^63) and dividing once at the end — double summation would be
+   * accumulation-order-dependent. The only inexact steps are one long→
+   * double conversion, one division, and the small-range ln correction
+   * (rounded to 6 decimals), all deterministic — so the DuckDB oracle
+   * checks the sketch registers (via s_int and zeros) and the estimate
+   * itself, not just an error bound.
+   *
+   * Scale: duplicates hit the same register with the same rank, so NO
+   * pre-distinct is needed — one pass, groupBy(group, bucket) with
+   * map-side partial max, then a 256-row-per-group final agg; registers
+   * merge by max, the textbook mergeable-sketch dataflow. The exact
+   * count_distinct alongside is the verification column (it shuffles every
+   * distinct pair; the sketch is what survives at 100 TB).
+   */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hashed = ev.select(col("event_type"),
+        md5Long(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(HllM)).as("bucket"),
+        shiftright(col("h"), HllP).as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("w")))).as("rho"))
+    val regs = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    val g = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllW + 1} - m_j AS INT))"))
+             .as("s_present"))
+      .select(col("event_type"),
+        (lit(HllM) - col("n_buckets")).as("zeros"),
+        (col("s_present") + (lit(HllM) - col("n_buckets")) * lit(Pow53)).as("s_int"))
+      .withColumn("e_raw", lit(HllNumerator) / col("s_int").cast("double"))
+      .withColumn("hll_estimate",
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0,
+                   lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
+                .otherwise(col("e_raw")), 6))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    g.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("zeros"), col("s_int"),
+              col("hll_estimate"))
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |b AS (SELECT event_type, h % $HllM AS bucket, h >> $HllP AS w FROM h),
+       |r AS (
+       |  SELECT event_type, bucket,
+       |         MAX(CASE WHEN w = 0 THEN ${HllW + 1}
+       |                  ELSE ${HllW + 1} - length(bin(w)) END) AS m_j
+       |  FROM b GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, COUNT(*) AS n_buckets,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (${HllW + 1} - m_j)) AS BIGINT) AS s_present
+       |  FROM r GROUP BY 1),
+       |e AS (
+       |  SELECT event_type,
+       |         $HllM - n_buckets AS zeros,
+       |         s_present + ($HllM - n_buckets) * ${Pow53} AS s_int
+       |  FROM g),
+       |est AS (
+       |  SELECT event_type, zeros, s_int,
+       |         CAST('$HllNumerator' AS DOUBLE) / CAST(s_int AS DOUBLE) AS e_raw
+       |  FROM e)
+       |SELECT est.event_type,
+       |       CAST(x.n_exact AS BIGINT) AS n_exact,
+       |       zeros, s_int,
+       |       round(CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
+       |                  THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+       |                  ELSE e_raw END, 6) AS hll_estimate
+       |FROM est
+       |JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY 1) x
+       |  ON est.event_type = x.event_type""".stripMargin
+
   val kmvDistinctSql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
        |h AS (SELECT event_type,
