@@ -81,6 +81,32 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates(Seq("event_id"))
 
+  /** Stream-stream inner join with an event-time interval bound: each
+    * `view` joins the same user's `purchase`s within the following hour —
+    * the ad-attribution shape. Both sides are watermarked and the join
+    * condition bounds purchase time relative to view time, so Spark can
+    * evict buffered rows once the watermark passes the interval: state
+    * stays bounded at any input rate (an unconstrained stream-stream join
+    * would buffer forever). The same function runs in batch (watermarks
+    * are a no-op there) — StreamingSpec holds the two differentially
+    * equal. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+              col("view_ts"), col("purchase_ts"))
+  }
+
   // ------------------------------------------- custom stateful operator
 
   /** Gap in microseconds splitting sessions (30 min). */

@@ -178,6 +178,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-stream interval self-join == batch join (view-purchase attribution)") {
+    val s = EventStreams.readEventsStream(spark, srcDir)
+    val streamed = runToMemory(
+      EventStreams.viewPurchaseJoin(s, s), "ss_join", "append")
+    val batch = EventStreams.viewPurchaseJoin(batchEvents, batchEvents)
+    assert(streamed.count() > 0)
+    assert(asSortedSeq(streamed) == asSortedSeq(batch))
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = batchEvents.groupBy("user_id").count()
       .withColumnRenamed("count", "user_total")
