@@ -63,6 +63,39 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("q6 pushes all predicates into the scan and reads only referenced columns") {
+    val q = graft.operators.Relational.q6ForecastRevenue(spark, TestSpark.Sf0001)
+    val scan = q.queryExecution.executedPlan.toString
+    val pushed = scan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"expected $c pushed:\n$scan")
+    val readSchema = scan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+           s"scan should prune unreferenced columns:\n$readSchema")
+  }
+
+  test("q3/q5 dimension joins broadcast; only the fact-fact join shuffles") {
+    for (q <- Seq(
+        graft.operators.Relational.q3ShippingPriority(spark, TestSpark.Sf0001),
+        graft.operators.Relational.q5LocalSupplier(spark, TestSpark.Sf0001))) {
+      q.collect() // materialize so AQE finalizes the physical plan
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("tf-idf derives document frequency without re-shuffling raw tokens") {
+    // the df branch must come from the tf aggregate, not a distinct over
+    // the exploded tokens — no HashAggregate(keys=[doc_id, tok], functions=[])
+    // (the fingerprint of a distinct) may appear
+    val q = graft.operators.TextAnalysis.textTfidf(spark, TestSpark.Sf0001)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("deduplicate"), plan)
+  }
+
   test("salted join returns exactly the plain join's multiset on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
