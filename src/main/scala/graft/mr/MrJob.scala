@@ -134,6 +134,51 @@ object MrJob {
     input.flatMap(r => app.map(r.key, r.value).map { case (k, v) => KV(k, v) })
   }
 
+  /**
+   * The RDD-primitive formulation of the same pipeline — MapReduce is
+   * directly translatable to Spark's original RDD transformations, and
+   * this is that translation, stage for stage:
+   * `flatMap` (E2) → `repartitionAndSortWithinPartitions` with a
+   * `HashPartitioner(nReduce)` (E3 hash shuffle + E5 sort, in ONE
+   * primitive — the shuffle writes sorted runs and the reducer merges
+   * them, which is the closest Spark gets to classic MapReduce's
+   * sort-based shuffle) → per-partition consecutive-run grouping (E6, the
+   * `itertools::group_by` twin — valid because the partitioner clusters
+   * each key into one partition and the sort makes runs contiguous) →
+   * `app.reduce` (E7). Output collected per partition ≙ `mr-out-<j>`.
+   *
+   * The Dataset path ([[run]]) is the production engine — Tungsten
+   * encoders, codegen, AQE; this twin exists because the mapping is the
+   * point: it proves the reference's exact execution strategy (partition,
+   * sort, run-group) expresses in Spark primitives with identical
+   * results (MrEngineSpec holds all three paths equal).
+   */
+  def runRdd(input: Dataset[KV], app: MrApp, nReduce: Int = DefaultNumReduce): Dataset[KV] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val sorted = input.rdd
+      .flatMap(r => app.map(r.key, r.value))                       // E2
+      .map(kv => (kv, ()))                                         // sort on (k, v): §1.4
+      .repartitionAndSortWithinPartitions(                         // E3 + E5
+        new org.apache.spark.HashPartitioner(nReduce) {
+          override def getPartition(key: Any): Int =
+            super.getPartition(key.asInstanceOf[(String, String)]._1)
+        })
+    val reduced = sorted.mapPartitions { it =>                     // E6 + E7
+      new Iterator[KV] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): KV = {
+          val k = buf.head._1._1
+          val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (buf.hasNext && buf.head._1._1 == k) { vs += buf.next()._1._2 }
+          KV(k, app.reduce(k, vs.toSeq))
+        }
+      }
+    }
+    spark.createDataset(reduced).orderBy($"key")                   // E9
+  }
+
   /** Convenience: load the app by name (E11) and run over whole files. */
   def runFiles(spark: SparkSession, appName: String, inputPaths: Seq[String],
                nReduce: Int = DefaultNumReduce): Dataset[KV] =

@@ -99,6 +99,20 @@ class MrEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("RDD-primitive pipeline (repartitionAndSortWithinPartitions) == Dataset engine == oracle") {
+    import spark.implicits._
+    for (appName <- Seq("wc", "indexer", "sorted_concat"); n <- Seq(1, 3)) {
+      val app = MrApps.load(appName)
+      val input = corpus(seed = 77, nDocs = 25)
+      val ds = spark.createDataset(input.map { case (k, v) => MrJob.KV(k, v) })
+      val viaRdd = MrJob.runRdd(ds, app, n).collect().toSeq
+      val viaDataset = MrJob.run(ds, app, n).collect().toSeq
+      assert(viaRdd == viaDataset, s"$appName nReduce=$n")
+      assert(viaRdd.map(kv => (kv.key, kv.value)).sorted ==
+             MrJob.runSequential(app, input).sorted, s"$appName nReduce=$n")
+    }
+  }
+
   test("native HolisticReduce aggregate == declarative collect_list twin == oracle") {
     // The engine hot path (TypedImperativeAggregate) and the builtins-only
     // formulation must be indistinguishable for every app and any nReduce.
