@@ -77,6 +77,7 @@ object SparkEntry {
     "media_frames"   -> (Multimodal.mediaFrames _),
     // -- extended joins (as-of, range) [EXT]
     "join_asof_clicks" -> (JoinsExt.joinAsofClicks _),
+    "join_asof_native" -> (JoinsExt.joinAsofNative _),
     "join_range_price" -> (JoinsExt.joinRangePrice _),
     // -- grouping sets, tf-idf, sketches [EXT]
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "media_features"        -> Multimodal.mediaFeaturesSql,
     "media_frames"          -> Multimodal.mediaFramesSql,
     "join_asof_clicks"      -> JoinsExt.joinAsofClicksSql,
+    "join_asof_native"      -> JoinsExt.joinAsofClicksSql, // same semantics, native exec
     "join_range_price"      -> JoinsExt.joinRangePriceSql,
     "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
     "agg_percentiles"       -> Relational.aggPercentilesSql,

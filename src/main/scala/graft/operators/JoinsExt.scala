@@ -79,6 +79,33 @@ object JoinsExt {
               (col("ts_us") - col("asof_click_ts_us")).as("gap_us"))
   }
 
+  /** [[joinAsofClicks]] through the native whole-operator path
+    * ([[graft.plans.AsofJoinPlan]] → AsofJoinExec): same result, but the
+    * physical plan is the single-pass sort-merge with O(1) state instead
+    * of the union+window composition. Shares the declarative query's
+    * DuckDB oracle — the two formulations must be indistinguishable.
+    * The strategy registration is additive and idempotent (it only
+    * teaches the planner graft's own logical node; no built-in planning
+    * changes), so the query installs it on whatever session runs it. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsofJoinStrategy +: spark.experimental.extraStrategies
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+    AsofJoinPlan.asofJoinNative(purchases, clicks, "user_id", "ts_us", "click_id")
+      .select(col("user_id"), col("purchase_id"), col("ts_us").as("purchase_ts_us"),
+              col("asof_click_id").as("click_id"),
+              (col("ts_us") - col("asof_click_ts_us")).as("gap_us"))
+  }
+
   val joinAsofClicksSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

@@ -15,6 +15,9 @@ import graft.functions.{DotProduct, HolisticReduce}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator lowering for the native as-of join (live sessions can
+    // use spark.experimental.extraStrategies instead)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -14,6 +14,12 @@ object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point for
+    * graft's custom logical operators (e.g. the native as-of join). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a native function into a LIVE session's registry (the
     * extensions path only applies at session construction). */
   def registerFunction(spark: SparkSession, name: String,
