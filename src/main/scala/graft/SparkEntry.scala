@@ -56,6 +56,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_components"    -> (Dedup.dedupComponents _),
+    "dedup_apply"         -> (Dedup.dedupApply _),
+    "embed_quantize"      -> (Similarity.embedQuantize _),
     // -- text analysis [EXT]
     "text_tokens"      -> (TextAnalysis.textTokens _),
     "text_quality"     -> (TextAnalysis.textQuality _),
@@ -130,6 +132,8 @@ object SparkEntry {
     "dedup_simhash_pairs"   -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard"   -> Dedup.dedupNgramJaccardSql,
     "dedup_components"      -> Dedup.dedupComponentsSql,
+    "dedup_apply"           -> Dedup.dedupApplySql,
+    "embed_quantize"        -> Similarity.embedQuantizeSql,
     "text_tokens"           -> TextAnalysis.textTokensSql,
     "text_quality"          -> TextAnalysis.textQualitySql,
     "text_langid"           -> TextAnalysis.textLangidSql,

@@ -194,9 +194,11 @@ object Dedup {
                     .as("component_size"))
   }
 
-  /** Oracle: reachability closure via recursive CTE, then min per node —
-    * the fixpoint label propagation converges to exactly this. */
-  val dedupComponentsSql: String =
+  /** Oracle CTE chain ending in `comp(doc_id, rep_doc_id,
+    * component_size)`: reachability closure via recursive CTE, then min
+    * per node — the fixpoint label propagation converges to exactly this.
+    * Shared by [[dedupComponentsSql]] and [[dedupApplySql]]. */
+  private val componentsCtes: String =
     s"""${bandedSignaturesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -209,10 +211,45 @@ object Dedup {
        |  SELECT doc_a AS doc_id, doc_a AS r FROM edges
        |  UNION
        |  SELECT e.doc_a AS doc_id, reach.r
-       |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b)
-       |SELECT doc_id, MIN(r) AS rep_doc_id,
-       |       COUNT(*) OVER (PARTITION BY MIN(r)) AS component_size
-       |FROM reach GROUP BY doc_id""".stripMargin
+       |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b),
+       |comp AS (
+       |  SELECT doc_id, MIN(r) AS rep_doc_id,
+       |         COUNT(*) OVER (PARTITION BY MIN(r)) AS component_size
+       |  FROM reach GROUP BY doc_id)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""$componentsCtes
+       |SELECT doc_id, rep_doc_id, component_size FROM comp""".stripMargin
+
+  /**
+   * The dedup pipeline APPLIED end-to-end: keep exactly one document per
+   * near-dup cluster (the minimum-id representative) and report per-lang
+   * corpus statistics — the shape a training-data run actually ships
+   * (candidate pairs → components → filtered corpus). The component table
+   * is O(duplicate docs), tiny next to the corpus, so the application
+   * join is broadcast-shaped at any scale.
+   */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir).select(col("doc_id"), col("rep_doc_id"))
+    t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("lang"),
+        (col("rep_doc_id").isNull || col("rep_doc_id") === col("doc_id")).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  val dedupApplySql: String =
+    s"""$componentsCtes
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NULL OR c.rep_doc_id = d.doc_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND c.rep_doc_id <> d.doc_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |GROUP BY lang""".stripMargin
 
   /** Per-document minhash signature table (the reusable artifact a corpus
     * pipeline would persist; also directly checks the minhash math).

@@ -371,6 +371,64 @@ object Similarity {
        |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
        |FROM b GROUP BY bucket""".stripMargin
 
+  // --------------------------------------------------------- quantization
+
+  /**
+   * Scalar int8 quantization of the embedding column [EXT] — the storage
+   * path at 100 TB (4 bytes/dim float → 1 byte/dim + one scale): per
+   * vector, scale = max |x|, q_i = floor(x_i/scale·127 + 0.5) ∈ [-127,127],
+   * with exact-integer checksums (Σq, Σq²) and the reconstruction MSE.
+   * Zero-shuffle single scan.
+   *
+   * Determinism: the quantizer uses floor(·+0.5), not round() — Spark
+   * and DuckDB round() disagree on doubles (HALF_UP vs half-even), floor
+   * is bit-identical; the MSE folds strictly left-to-right like every
+   * other vector reduction in this file. Zero vectors (none in this
+   * corpus, guarded anyway) quantize to all-zero with mse 0.
+   */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("scale") === 0,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"),
+          x => floor(x / col("scale") * lit(127.0) + lit(0.5)))))
+      .withColumn("dq", transform(col("q"),
+          y => y.cast("double") * col("scale") / lit(127.0)))
+      .select(col("vec_id"), col("label"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_norm2"),
+        (aggregate(zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
+                   lit(0.0), (a, x) => a + x) / size(col("v"))).as("mse"))
+
+  val embedQuantizeSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, label, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM c),
+      |q AS (
+      |  SELECT vec_id, label, v, scale,
+      |         CASE WHEN scale = 0
+      |              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))
+      |         END AS q
+      |  FROM s),
+      |d AS (
+      |  SELECT vec_id, label, v, scale, q,
+      |         list_transform(q, y -> CAST(y AS DOUBLE) * scale / 127.0) AS dq
+      |  FROM q)
+      |SELECT vec_id, label, scale,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(q, y -> y * y)) AS BIGINT) AS q_norm2,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(v, dq), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |    (acc, x) -> acc + x) / len(v) AS mse
+      |FROM d""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
 
   /** The synthetic embeddings have no true near-dups (max in-cluster
