@@ -33,6 +33,8 @@ object SparkEntry {
     "join_broadcast_part" -> (Relational.joinBroadcastPart _),
     "join_semi"           -> (Relational.joinSemi _),
     "join_anti"           -> (Relational.joinAnti _),
+    "join_full_outer"     -> (Relational.joinFullOuter _),
+    "join_theta"          -> (Relational.joinTheta _),
     "window_topk"         -> (Relational.windowTopkPerCustomer _),
     "window_analytics"    -> (Relational.windowAnalytics _),
     "agg_rollup"          -> (Relational.aggRollup _),
@@ -111,6 +113,8 @@ object SparkEntry {
     "join_broadcast_part"   -> Relational.joinBroadcastPartSql,
     "join_semi"             -> Relational.joinSemiSql,
     "join_anti"             -> Relational.joinAntiSql,
+    "join_full_outer"       -> Relational.joinFullOuterSql,
+    "join_theta"            -> Relational.joinThetaSql,
     "window_topk"           -> Relational.windowTopkSql,
     "window_analytics"      -> Relational.windowAnalyticsSql,
     "agg_rollup"            -> Relational.aggRollupSql,

@@ -113,6 +113,64 @@ object Relational {
   }
 
   /**
+   * Full outer join with nulls on BOTH sides: BUILDING-segment customers
+   * ⟗ per-customer 1997 order stats — BUILDING customers with no 1997
+   * orders null out the right, 1997 orders from other segments null out
+   * the left. The aggregate side reduces orders to O(customers) rows
+   * before the join, so the outer join shuffles key-count-sized inputs.
+   */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord97 = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    cust.join(ord97, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_nationkey"), col("o_custkey"),
+              col("n_orders"), col("sum_price"))
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT c_custkey, c_nationkey, o_custkey, n_orders, sum_price
+      |FROM (SELECT c_custkey, c_nationkey FROM customer
+      |      WHERE c_mktsegment = 'BUILDING') c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey""".stripMargin
+
+  /**
+   * Theta (inequality-only) join: every ordered nation pair — NO
+   * equi-conjunct at all, so Spark has no hash key and plans
+   * BroadcastNestedLoopJoin. Legitimate only on key-count-sized inputs
+   * (both sides are the 25-row nation dim, broadcast); at scale an
+   * inequality join over big tables must be rewritten to the bucketed
+   * range form ([[graft.operators.JoinsExt.rangeJoinPoints]]) —
+   * nested-loop over facts is the plan to design AWAY from.
+   */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("key_a"), col("n_regionkey").as("region_a"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("key_b"), col("n_regionkey").as("region_b"))
+    n1.join(broadcast(n2), col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+              (col("region_a") === col("region_b")).as("same_region"))
+  }
+
+  val joinThetaSql: String =
+    """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+      |       a.n_regionkey = b.n_regionkey AS same_region
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""".stripMargin
+
+  /**
    * TPC-H Q6-shaped forecast revenue: the pure filter-and-aggregate probe.
    * All three predicates and the two-column projection push into the
    * parquet scan (`PushedFilters` + pruned `ReadSchema` — only
