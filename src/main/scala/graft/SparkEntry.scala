@@ -50,6 +50,8 @@ object SparkEntry {
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_funnel"     -> (Events.eventsFunnel _),
     "events_cohorts"    -> (Events.eventsCohorts _),
+    "events_outliers"   -> (Events.eventsOutliers _),
+    "window_distribution" -> (Relational.windowDistribution _),
     // -- dedup [EXT]
     "dedup_exact"         -> (Dedup.dedupExact _),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
@@ -129,6 +131,8 @@ object SparkEntry {
     "events_sessionize"     -> Events.eventsSessionizeSql,
     "events_funnel"         -> Events.eventsFunnelSql,
     "events_cohorts"        -> Events.eventsCohortsSql,
+    "events_outliers"       -> Events.eventsOutliersSql,
+    "window_distribution"   -> Relational.windowDistributionSql,
     "dedup_exact"           -> Dedup.dedupExactSql,
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,

@@ -156,4 +156,50 @@ object Events {
       |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  /**
+   * Per-user value outliers by z-score, with every moment kept in exact
+   * integer cents until the final division: z = (x·n − Σx) / √(n·Σx² −
+   * (Σx)²) — numerator and radicand are exact longs (bounds here: cents ≤
+   * 6e4, n ≤ 100 per user, so n·Σx² ≤ ~4e13; a corpus with 1e6-row users
+   * would move the moments to decimal), sqrt and one division are
+   * deterministic IEEE, and z is rounded to 9 decimals before the output
+   * threshold. Degenerate groups (n ≤ 1 or zero variance) are excluded
+   * in both engines.
+   *
+   * Scale: one partial-aggregated moments pass (O(users) rows out) and a
+   * users-sized join back — the textbook two-pass standardization.
+   */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              (dec(col("value")) * 100).cast("long").as("cents"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+           sum(col("cents") * col("cents")).as("s2"))
+    val varN2 = col("n") * col("s2") - col("s") * col("s") // n²·σ², exact
+    ev.join(stats, "user_id")
+      .filter(col("n") > 1 && varN2 > 0)
+      .withColumn("z", round((col("cents") * col("n") - col("s")).cast("double")
+                               / sqrt(varN2.cast("double")), 9))
+      .filter(abs(col("z")) > 2)
+      .select(col("user_id"), col("event_id"), col("cents"), col("n"), col("z"))
+  }
+
+  val eventsOutliersSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+      |         CAST(SUM(cents * cents) AS BIGINT) AS s2
+      |  FROM c GROUP BY 1),
+      |z AS (
+      |  SELECT c.user_id, event_id, cents, n,
+      |         round(CAST(cents * n - s AS DOUBLE)
+      |                 / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 9) AS z
+      |  FROM c JOIN st ON c.user_id = st.user_id
+      |  WHERE n > 1 AND n * s2 - s * s > 0)
+      |SELECT user_id, event_id, cents, n, z FROM z WHERE abs(z) > 2""".stripMargin
 }

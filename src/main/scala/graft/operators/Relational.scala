@@ -340,6 +340,31 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist
+    * over the per-customer price ordering. All three are exact rationals
+    * of row counts (percent_rank = (rank-1)/(n-1) etc.), so the doubles
+    * are single divisions of identical integers in both engines. The
+    * ordering tie-breaks on the order key, making every rank
+    * deterministic under any physical plan. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  val windowDistributionSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** ROLLUP hierarchy totals (flag, status) → (flag) → (). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
