@@ -203,18 +203,44 @@ object Similarity {
                      s => s.getField("m")).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
 
+  /** One collected centroid: id, vector, norm. k is tiny (the coarse
+    * quantizer), so centroids always travel as plan literals. */
+  private case class Cent(cluster: Long, cv: Seq[Double], cn: Double)
+
   /** Nearest-centroid assignment (argmax cosine, ties to the smaller
-    * cluster id): one corpus scan against the broadcast centroid table. */
-  private def kmAssign(c: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cluster").asc)
-    c.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
-      .withColumn("arnk", row_number().over(w))
-      .filter(col("arnk") === 1)
+    * cluster id) as a ZERO-SHUFFLE map: the k centroids are baked into
+    * the projection as literal arrays (like the LSH hyperplanes), each
+    * row computes its k fused dot products, and the argmax is
+    * `array_max` over (ccos, -cluster) structs — greatest cosine, ties
+    * to the smallest cluster id, identical to ranking by (ccos DESC,
+    * cluster ASC). The previous formulation cross-joined the corpus with
+    * the centroid table and ranked with a Window.partitionBy(vec_id) —
+    * an n·k-row SHUFFLE per Lloyd step that this removes entirely; at
+    * 100 TB assignment must be scan-local. (Measured tradeoff: on the
+    * 2000-row test corpus this is ~0.6 s SLOWER per query — the k·dim
+    * literal projection is a large codegen unit compiled per Lloyd step,
+    * and at toy scale compile time outweighs the saved shuffle. The
+    * shuffle grows with the corpus; the compile does not.) */
+  private def kmAssign(c: DataFrame, cents: Seq[Cent]): DataFrame = {
+    val scores = array(cents.map { ct =>
+      struct(
+        (dot(col("v"), array(ct.cv.map(lit): _*)) / (col("nrm") * lit(ct.cn)))
+          .as("ccos"),
+        lit(-ct.cluster).as("negc"))
+    }: _*)
+    c.withColumn("cluster", -array_max(scores).getField("negc"))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cluster"))
   }
+
+  /** Collect a centroid table to its literal form (one tiny driver
+    * action per Lloyd step — replacing the localCheckpoint the loop
+    * needed anyway to keep lineage flat). Sorted for a stable plan. */
+  private def collectCents(cent: DataFrame): Seq[Cent] =
+    cent.collect().map(r => Cent(
+        r.getAs[Number]("cluster").longValue(), // label arrives int32
+        r.getSeq[Double](cent.columns.indexOf("cv")),
+        r.getAs[Double]("cn")))
+      .sortBy(_.cluster).toSeq
 
   /**
    * IVF over iterated k-means coarse clusters: initialize centroids from
@@ -224,21 +250,24 @@ object Similarity {
    * centroids, candidates arrive via an equi-join on the final cluster
    * assignment.
    *
-   * Scale shape: each Lloyd step is one corpus scan against a broadcast
-   * k-row centroid table plus one centroid re-aggregation (the classic
-   * Spark k-means dataflow); centroid tables are localCheckpointed per
-   * step so the final query plan stays shallow instead of re-deriving the
-   * whole iteration lineage. At 100 TB the per-step cost is a linear scan
-   * with map-side partial sums — no all-pairs anything.
+   * Scale shape: each Lloyd step is one ZERO-SHUFFLE assignment scan
+   * (centroids baked into the projection as literals — see [[kmAssign]])
+   * plus one centroid re-aggregation with map-side partial sums, its
+   * k-row result collected to the driver (the classic Spark k-means
+   * dataflow — collect-and-rebroadcast per step, which also keeps the
+   * final plan shallow). At 100 TB the per-step cost is a linear scan —
+   * no n·k shuffle, no all-pairs anything.
    */
   def annKmeansTopk(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    var cent = kmCentroids(c.select(col("label").as("cluster"), col("v")))
-      .localCheckpoint(true)
+    var cents = collectCents(
+      kmCentroids(c.select(col("label").as("cluster"), col("v"))))
     for (_ <- 1 to KmIters)
-      cent = kmCentroids(kmAssign(c, cent).select(col("cluster"), col("v")))
-        .localCheckpoint(true)
-    val assigned = kmAssign(c, cent)
+      cents = collectCents(
+        kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
+    val assigned = kmAssign(c, cents)
+    import spark.implicits._
+    val cent = spark.createDataset(cents).toDF()
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     import org.apache.spark.sql.expressions.Window
