@@ -63,6 +63,28 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan)
   }
 
+  test("randomized corpora: native == declarative across 10 seeds") {
+    // Dense random keys/times with heavy collisions — many same-(key,time)
+    // ties, empty keys, and left rows before/after all right rows.
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(80)((rnd.nextInt(8).toLong, rnd.nextInt(20).toLong))
+        .toDF("k", "t")
+      val right = Seq.tabulate(60)(i =>
+          (rnd.nextInt(10).toLong, rnd.nextInt(20).toLong, i.toLong,
+           s"v$i")).toDF("k", "t", "o", "tag")
+      val native = graft.plans.AsofJoinPlan
+        .asofJoinNative(left, right, "k", "t", "o")
+        .select(col("k"), col("t"), col("asof_tag"))
+      val declarative = graft.operators.JoinsExt.asofJoin(
+          left, right, "k", "t", payload = Seq("tag"), rightOrd = "o")
+        .select(col("k"), col("t"), col("asof_tag"))
+      val cols = Seq("k", "t", "asof_tag")
+      assert(canon(native, cols) == canon(declarative, cols), s"seed=$seed")
+    }
+  }
+
   test("crafted corpus: ties, no-match, key boundaries, nReduce invariance") {
     import spark.implicits._
     // left: (key, time); right: (key, time, ord, tag)
