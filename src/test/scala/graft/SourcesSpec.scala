@@ -51,4 +51,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = result.collect().map(kv => s"${kv.key} ${kv.value}").sorted.toSeq
     assert(back == direct)
   }
+
+  test("DSv2 kv source reads the engine sink as a (key, value) table, one partition per file") {
+    val result = graft.mr.MrJob.run(
+      graft.mr.MrJob.tableInput(docs, "doc_id", "text"),
+      graft.mr.MrApps.load("wc"), nReduce = 3)
+    val out = s"$dir/wc_kv_dsv2"
+    graft.mr.MrJob.writeText(result, out)
+    val table = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+    assert(table.schema.fieldNames.toSeq == Seq("key", "value"))
+    val got = table.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val want = result.collect().map(kv => (kv.key, kv.value)).sorted.toSeq
+    assert(got == want)
+    // reference granularity: one input partition per part file
+    val nFiles = new java.io.File(out).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(table.rdd.getNumPartitions == nFiles)
+  }
+
+  test("DSv2 kv source reproduces the reference's two-token truncation parse") {
+    val out = s"$dir/kv_trunc"
+    new java.io.File(out).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-0"),
+      "a 1\nb two words dropped\n\nc\n  d  4  \n")
+    val got = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // whitespace-split, first two tokens only (worker.rs:156-162); blank
+    // lines dropped; a key with no value reads as ""
+    assert(got == Seq(("a", "1"), ("b", "two"), ("c", ""), ("d", "4")))
+  }
 }
