@@ -56,6 +56,16 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+// NOTE on column pruning: no custom Rule[LogicalPlan] is needed for this
+// node. Catalyst's ColumnPruning handles UNKNOWN operators generically —
+// its prunedChild helper wraps any node's children in Projects keeping
+// (parent references ∪ the node's own expression references), and
+// AsofJoinPlan exposes its key/time/ord expressions through the default
+// case-class `expressions`, so the built-in rule pushes pruning through
+// to the scans' ReadSchema on its own. Verified by a negative-control
+// experiment (a hand-written pruning rule changed nothing) and pinned by
+// AsofJoinNativeSpec's plan-shape test.
+
 case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightOrd: Expression,

@@ -16,7 +16,8 @@ import graft.functions.{DotProduct, HolisticReduce}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator lowering for the native as-of join (live sessions can
-    // use spark.experimental.extraStrategies instead)
+    // use spark.experimental.extraStrategies instead); column pruning
+    // through the node comes free from Catalyst's generic ColumnPruning
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

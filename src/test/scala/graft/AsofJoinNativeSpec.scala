@@ -63,6 +63,29 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan)
   }
 
+  test("column pruning reaches the scans THROUGH the custom node (no custom rule needed)") {
+    // right side carries every events column; the query consumes ONE
+    // payload. Catalyst's ColumnPruning handles unknown operators
+    // generically as long as the node exposes its expressions (ours does,
+    // via the case-class product) — this pins that contract: if a
+    // refactor hid the key/time/ord expressions from `expressions`,
+    // pruning would break and this test would catch the regression.
+    val ev = graft.operators.Tables.events(spark, TestSpark.Sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              unix_micros(col("ts")).as("ts_us"))
+    val clicksWide = ev.filter(col("event_type") === "click")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val joined = graft.plans.AsofJoinPlan.asofJoinNative(
+        purchases, clicksWide, "user_id", "ts_us", "event_id")
+      .select(col("purchase_id"), col("asof_event_id"))
+    assert(joined.count() > 0)
+    val scans = joined.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(s => !s.contains("props")),
+           s"no scan should read the unused wide columns:\n${scans.mkString("\n")}")
+  }
+
   test("randomized corpora: native == declarative across 10 seeds") {
     // Dense random keys/times with heavy collisions — many same-(key,time)
     // ties, empty keys, and left rows before/after all right rows.
