@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -164,5 +164,54 @@ object EventStreams {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStep)
+  }
+
+  /**
+   * The same sessionizer on the `transformWithState` arbitrary-state API
+   * (the successor to flatMapGroupsWithState: named state variables via a
+   * [[StatefulProcessor]] handle instead of one opaque GroupState; adds
+   * composable value/list/map state, TTL, and timers). The state
+   * transition is the shared [[sessionStep]] logic re-expressed against a
+   * ValueState; StreamingSpec holds this path equal to the
+   * flatMapGroupsWithState one across the same micro-batches.
+   */
+  class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var open: ValueState[Open] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Open](
+        "open", org.apache.spark.sql.Encoders.product[Open], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      for (e <- sorted) {
+        cur = cur match {
+          case Some(o) if e.ts_us - o.last_us > GapUs =>
+            out += SessionOut(userId, o.start_us, o.last_us, o.n, o.sum_cents)
+            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
+          case Some(o) =>
+            Some(Open(o.start_us, e.ts_us, o.n + 1, o.sum_cents + cents(e.value)))
+          case None =>
+            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
+        }
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** [[sessionizeStateful]] on the transformWithState API. */
+  def sessionizeTws(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
   }
 }
