@@ -81,6 +81,7 @@ object SparkEntry {
     // -- multimodal binary columns [EXT]
     "media_features" -> (Multimodal.mediaFeatures _),
     "media_frames"   -> (Multimodal.mediaFrames _),
+    "media_resize"   -> (Multimodal.mediaResize _),
     // -- extended joins (as-of, range) [EXT]
     "join_asof_clicks" -> (JoinsExt.joinAsofClicks _),
     "join_asof_native" -> (JoinsExt.joinAsofNative _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "dedup_embedding"       -> Similarity.dedupEmbeddingSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
     "media_frames"          -> Multimodal.mediaFramesSql,
+    "media_resize"          -> Multimodal.mediaResizeSql,
     "join_asof_clicks"      -> JoinsExt.joinAsofClicksSql,
     "join_asof_native"      -> JoinsExt.joinAsofClicksSql, // same semantics, native exec
     "join_range_price"      -> JoinsExt.joinRangePriceSql,

@@ -131,6 +131,61 @@ object Multimodal {
        |  END AS frame_mean
        |FROM f""".stripMargin
 
+  /** Resized media object (stub resize: byte-stride subsampling). */
+  case class MediaResized(doc_id: Long, format: String, width: Int,
+                          target_width: Int, n_bytes: Int, out_bytes: Int,
+                          out_hash: Long, out_byte_sum: Long)
+
+  /** Resize target (the stub's "output width"). */
+  private val TargetWidth = 16
+
+  /** STUB resize: keep every (width/TargetWidth)-th payload byte — the
+    * stand-in for an image downscale / audio resample kernel. Like
+    * [[decodeFrames]], the codec body is fake but deterministic; the
+    * Spark-side shape (typed Dataset in, per-partition batched imperative
+    * kernel, metadata recomputed alongside the payload) is the real
+    * contract a JNI/FFI resizer plugs into. */
+  private def resizeBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val stride = math.max(1, width / TargetWidth)
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  /** Resize stage: one typed map over the media table, no shuffle; emits
+    * the resized object's metadata + exact content checksums so the
+    * oracle verifies every output byte. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val out = resizeBytes(r.payload, r.width)
+        MediaResized(r.doc_id, r.format, r.width, TargetWidth,
+          n_bytes = r.payload.length, out_bytes = out.length,
+          out_hash = md5LongOf(out),
+          out_byte_sum = out.iterator.map(_ & 0xffL).sum)
+      }
+    }.toDF()
+  }
+
+  val mediaResizeSql: String =
+    s"""WITH $mediaSql,
+       |o AS (
+       |  SELECT doc_id, format, width, n_bytes,
+       |         list_transform(
+       |           list_filter(generate_series(1, n_bytes),
+       |                       i -> (i - 1) % greatest(1, width // $TargetWidth) = 0),
+       |           i -> text[i]) AS kept
+       |  FROM media)
+       |SELECT doc_id, format, width,
+       |  CAST($TargetWidth AS INT) AS target_width,
+       |  CAST(n_bytes AS INT) AS n_bytes,
+       |  CAST(len(kept) AS INT) AS out_bytes,
+       |  CAST(('0x' || substring(md5(list_aggregate(kept, 'string_agg', '')), 1, 15)) AS BIGINT) AS out_hash,
+       |  CAST(list_sum(list_transform(kept, c -> ord(c))) AS BIGINT) AS out_byte_sum
+       |FROM o""".stripMargin
+
   /** Frame sampling as a UDTF-shaped flatMap: one output row per sampled
     * frame. This is the explode side of the decode — at 100 TB it fans out
     * inside the scan stage with no shuffle. */
