@@ -173,8 +173,10 @@ object Dedup {
     // decreases until fixpoint — comparing two scalar sums replaces the
     // join-per-round changed-row check (one cheap agg over the already-
     // checkpointed round result instead of an extra join + filter action).
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).first().getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("label"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0) // sum of empty table is null
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -61,17 +61,24 @@ object JoinsExt {
       .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
   }
 
-  /** As-of query: every purchase matched to the same user's most recent
-    * click at-or-before it; reports the match and the gap. */
-  def joinAsofClicks(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared input prep for the two as-of formulations — one definition so
+    * the declarative and native twins can never drift apart on what they
+    * join. */
+  private def purchasesAndClicks(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
               unix_micros(col("ts")).as("ts_us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"),
-              col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+    (ev.filter(col("event_type") === "purchase")
+       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us")),
+     ev.filter(col("event_type") === "click")
+       .select(col("user_id"), col("ts_us"),
+               col("event_id").as("click_id"), col("ts_us").as("click_ts_us")))
+  }
+
+  /** As-of query: every purchase matched to the same user's most recent
+    * click at-or-before it; reports the match and the gap. */
+  def joinAsofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
     asofJoin(purchases, clicks, "user_id", "ts_us",
              payload = Seq("click_id", "click_ts_us"), rightOrd = "click_id")
       .select(col("user_id"), col("purchase_id"), col("ts_us").as("purchase_ts_us"),
@@ -92,14 +99,7 @@ object JoinsExt {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         AsofJoinStrategy +: spark.experimental.extraStrategies
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-              unix_micros(col("ts")).as("ts_us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"),
-              col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
     AsofJoinPlan.asofJoinNative(purchases, clicks, "user_id", "ts_us", "click_id")
       .select(col("user_id"), col("purchase_id"), col("ts_us").as("purchase_ts_us"),
               col("asof_click_id").as("click_id"),

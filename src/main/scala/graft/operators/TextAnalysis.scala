@@ -273,8 +273,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("top_tok"),
         ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
-        ((col("n_2grams") - col("n_distinct_2grams")).cast("double")
-          / col("n_2grams")).as("dup_2gram_frac"),
+        // single-token doc → 0 2-grams; pin 0/0 to 0.0 (Spark NULLs a
+        // double division by zero where DuckDB yields NaN — engines
+        // disagree exactly where the data is degenerate)
+        when(col("n_2grams") === 0, lit(0.0))
+          .otherwise((col("n_2grams") - col("n_distinct_2grams")).cast("double")
+                       / col("n_2grams")).as("dup_2gram_frac"),
         (col("top_cnt").cast("double") / col("n_tokens")).as("top_tok_frac"),
         when((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens") > 0.9,
              "drop").otherwise("keep").as("rep_flag"))
@@ -303,7 +307,9 @@ object TextAnalysis {
       |  WHERE rnk = 1)
       |SELECT base.doc_id, CAST(n_tokens AS INT) AS n_tokens, top_tok,
       |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
-      |  CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams AS dup_2gram_frac,
+      |  CASE WHEN n_2grams = 0 THEN 0.0
+      |       ELSE CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams
+      |  END AS dup_2gram_frac,
       |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
       |  CASE WHEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens > 0.9
       |       THEN 'drop' ELSE 'keep' END AS rep_flag

@@ -155,10 +155,20 @@ object AsofJoinPlan {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lPlan, keyCol), attr(rPlan, s"asof_$keyCol"))
+    val (lt, rt) = (attr(lPlan, timeCol), attr(rPlan, s"asof_$timeCol"))
+    // Equal types are a CORRECTNESS requirement, not pedantry: the two
+    // sides co-partition by hashing their own key expression, and e.g.
+    // int 5 and long 5 hash differently — a type mismatch would silently
+    // route equal keys to different partitions. Same for the merge's
+    // time comparison ordering.
+    require(lk.dataType == rk.dataType,
+      s"as-of key types must match exactly: $keyCol is ${lk.dataType} on " +
+      s"the left but ${rk.dataType} on the right — cast one side first")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types must match exactly: $timeCol is ${lt.dataType} " +
+      s"on the left but ${rt.dataType} on the right — cast one side first")
     GraftShims.ofRows(left.sparkSession,
-      AsofJoinPlan(lPlan, rPlan,
-        attr(lPlan, keyCol), attr(rPlan, s"asof_$keyCol"),
-        attr(lPlan, timeCol), attr(rPlan, s"asof_$timeCol"),
-        attr(rPlan, s"asof_$ordCol")))
+      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, s"asof_$ordCol")))
   }
 }

@@ -63,10 +63,14 @@ class KvTextScan(path: String) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(path)
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-                                  && !x.getName.startsWith(".")).map(_.getPath)
-      else Array(path)
+      if (f.isDirectory) {
+        val listed = f.listFiles()
+        if (listed == null)
+          throw new java.io.IOException(s"cannot list kv source directory: $path")
+        listed.filter(x => x.isFile && !x.getName.startsWith("_")
+                           && !x.getName.startsWith(".")).map(_.getPath)
+      } else if (f.isFile) Array(path)
+      else throw new java.io.FileNotFoundException(s"kv source path not found: $path")
     files.sorted.map(KvFilePartition(_): InputPartition)
   }
 

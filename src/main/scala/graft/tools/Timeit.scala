@@ -18,7 +18,12 @@ object Timeit {
     for (n <- args.tail) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, dir).count()
+        // noop sink, NOT count(): count() lets Catalyst prune terminal
+        // projections, so pure-map queries (redaction, quantization, …)
+        // would time only their scan — the noop write forces every row
+        // and column to be produced.
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = times(times.size / 2)
