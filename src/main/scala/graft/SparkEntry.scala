@@ -97,7 +97,8 @@ object SparkEntry {
     "subquery_correlated" -> (Relational.subqueryCorrelated _),
     "text_tfidf"        -> (TextAnalysis.textTfidf _),
     "kmv_distinct"      -> (Sketches.kmvDistinct _),
-    "hll_distinct"      -> (Sketches.hllDistinct _)
+    "hll_distinct"      -> (Sketches.hllDistinct _),
+    "data_profile"      -> (Profiling.dataProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,6 +172,7 @@ object SparkEntry {
     "subquery_correlated"   -> Relational.subqueryCorrelatedSql,
     "text_tfidf"            -> TextAnalysis.textTfidfSql,
     "kmv_distinct"          -> Sketches.kmvDistinctSql,
-    "hll_distinct"          -> Sketches.hllDistinctSql
+    "hll_distinct"          -> Sketches.hllDistinctSql,
+    "data_profile"          -> Profiling.dataProfileSql
   )
 }
