@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_components"    -> (Dedup.dedupComponents _),
     "dedup_apply"         -> (Dedup.dedupApply _),
+    "dedup_edit_distance" -> (Dedup.dedupEditDistance _),
     "embed_quantize"      -> (Similarity.embedQuantize _),
     // -- text analysis [EXT]
     "text_tokens"      -> (TextAnalysis.textTokens _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> Dedup.dedupNgramJaccardSql,
     "dedup_components"      -> Dedup.dedupComponentsSql,
     "dedup_apply"           -> Dedup.dedupApplySql,
+    "dedup_edit_distance"   -> Dedup.dedupEditDistanceSql,
     "embed_quantize"        -> Similarity.embedQuantizeSql,
     "text_tokens"           -> TextAnalysis.textTokensSql,
     "text_quality"          -> TextAnalysis.textQualitySql,
