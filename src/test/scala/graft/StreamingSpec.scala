@@ -165,6 +165,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
            oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
   }
 
+  test("checkpoint restart resumes stateful sessionization exactly-once") {
+    // The reference's headline guarantee is fault tolerance: crash a
+    // worker mid-job and the merged output is still exactly the oracle's
+    // (test-mr.sh crash tests). Spark's twin guarantee is checkpoint
+    // recovery — prove it: run the stateful sessionizer over HALF the
+    // corpus, STOP the query (the crash), drop the remaining files in,
+    // and restart a new query instance from the same checkpoint. The
+    // open-session GroupState must survive the restart, no batch may
+    // replay, and run1 ∪ run2 must equal the full-corpus oracle.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val rows = rawEvents.orderBy("ts", "event_id").collect()
+      val schema = rawEvents.schema
+      val chunks = rows.grouped(math.max(1, (rows.length + 3) / 4)).toSeq
+      def dropBatch(i: Int): Unit = {
+        val stage = s"$ckptDir/src/_stage$i"
+        spark.createDataFrame(java.util.Arrays.asList(chunks(i): _*), schema)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$ckptDir/src", f"batch$i%02d.parquet").toPath)
+      }
+      new java.io.File(s"$ckptDir/src").mkdirs()
+      // the memory sink can't recover a checkpoint; the parquet file sink
+      // can — and its output dir accumulates BOTH runs' emissions, so
+      // exactly-once shows up as "one directory == the oracle"
+      def runOnce(): Unit = {
+        val q = EventStreams
+          .sessionizeStateful(EventStreams.readEventsStream(spark, s"$ckptDir/src"))
+          .toDF().writeStream.format("parquet")
+          .option("path", s"$ckptDir/out")
+          .outputMode("append")
+          .option("checkpointLocation", s"$ckptDir/ckpt") // SAME location
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def emitted(): Seq[SessionOut] = {
+        import spark.implicits._
+        spark.read.schema(implicitly[org.apache.spark.sql.Encoder[SessionOut]].schema)
+          .parquet(s"$ckptDir/out").as[SessionOut].collect().toSeq
+      }
+      dropBatch(0); dropBatch(1)
+      runOnce()                                  // ... crash here
+      val run1 = emitted()
+      dropBatch(2); dropBatch(3)
+      runOnce()                                  // restart from checkpoint
+      val all = emitted()
+      assert(run1.nonEmpty && all.size > run1.size)
+      assert(all.sortBy(s => (s.user_id, s.start_us)) ==
+             oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(ckptDir))
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     // build a second stream where each batch replays the previous batch's
     // last 5 rows (inside the watermark -> caught by dedup state, not by
