@@ -51,6 +51,7 @@ object SparkEntry {
     "events_funnel"     -> (Events.eventsFunnel _),
     "events_cohorts"    -> (Events.eventsCohorts _),
     "events_outliers"   -> (Events.eventsOutliers _),
+    "events_gapfill"    -> (Events.eventsGapfill _),
     "window_distribution" -> (Relational.windowDistribution _),
     // -- dedup [EXT]
     "dedup_exact"         -> (Dedup.dedupExact _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "events_funnel"         -> Events.eventsFunnelSql,
     "events_cohorts"        -> Events.eventsCohortsSql,
     "events_outliers"       -> Events.eventsOutliersSql,
+    "events_gapfill"        -> Events.eventsGapfillSql,
     "window_distribution"   -> Relational.windowDistributionSql,
     "dedup_exact"           -> Dedup.dedupExactSql,
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,

@@ -158,6 +158,43 @@ object Events {
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
   /**
+   * Time-series gap filling: the dense (event_type × hour) grid over the
+   * corpus' span, with missing buckets zero-filled — the regularization
+   * step before feeding counts to a sequence model. The grid is built
+   * with `sequence` + `explode` from ONE tiny bounds row crossed with the
+   * distinct types (grid size is span-dependent, not corpus-dependent),
+   * then a left join pulls in the sparse observed counts; at 100 TB the
+   * observed aggregate is the only large input and the grid side stays
+   * broadcast-sized.
+   */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+                               expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(events(spark, dir).select(col("event_type")).distinct())
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+              date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+              coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  val eventsGapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+      |grid AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, strftime(g.h, '%Y-%m-%d %H:%M') AS hour,
+      |       COALESCE(n, 0) AS n_events
+      |FROM grid g CROSS JOIN types t
+      |LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h""".stripMargin
+
+  /**
    * Per-user value outliers by z-score, with every moment kept in exact
    * integer cents until the final division: z = (x·n − Σx) / √(n·Σx² −
    * (Σx)²) — numerator and radicand are exact longs (bounds here: cents ≤
