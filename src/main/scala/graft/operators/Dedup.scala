@@ -292,8 +292,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("bucket"))
   }
 
-  val dedupSimhashSql: String =
-    """WITH tok AS (
+  /** Shared oracle CTE chain ending in `sb(doc_id, simhash, bucket)` —
+    * ONE definition of the simhash formula for all three simhash-derived
+    * oracles, so the twins cannot drift. */
+  private val simhashCtes: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
       |th AS (
       |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -304,8 +307,12 @@ object Dedup {
       |sim AS (
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id)
-      |SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim""".stripMargin
+      |  FROM bits GROUP BY doc_id),
+      |sb AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash, bucket FROM sb""".stripMargin
 
   /** SimHash candidate pairs: same 16-bit prefix bucket, Hamming distance
     * ≤ 10 over the 32-bit signatures (bit_count(xor) — codegen'd builtin
@@ -323,23 +330,11 @@ object Dedup {
   }
 
   val dedupSimhashPairsSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
-      |th AS (
-      |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
-      |bits AS (
-      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
-      |  GROUP BY doc_id, b),
-      |sim AS (
-      |  SELECT doc_id,
-      |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id),
-      |sb AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
 
   // ------------------------------------------------------- edit distance
 
@@ -359,13 +354,9 @@ object Dedup {
    * (identical integer results); edit_sim divides exact ints.
    */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dedupSimhash(spark, dir)
-    val cand = sh.as("a")
-      .join(sh.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= 1)
+    // the candidate block IS dedupSimhashPairs, just tighter: one shared
+    // implementation, narrowed from its ≤10 exploration threshold
+    val cand = dedupSimhashPairs(spark, dir).filter(col("hamming") <= 1)
     val prefixes = t(spark, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("prefix"))
     cand
@@ -378,19 +369,7 @@ object Dedup {
   }
 
   val dedupEditDistanceSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
-       |th AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
-       |bits AS (
-       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
-       |  GROUP BY doc_id, b),
-       |sim AS (
-       |  SELECT doc_id,
-       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id),
-       |sb AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim),
+    s"""WITH $simhashCtes,
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -174,7 +174,9 @@ object Events {
     val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"),
                                expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(events(spark, dir).select(col("event_type")).distinct())
+      // types come from the tiny hourly aggregate (a type appears there
+      // iff it has any event) — not from a second full-corpus scan
+      .crossJoin(hourly.select(col("event_type")).distinct())
     grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"),
               date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),

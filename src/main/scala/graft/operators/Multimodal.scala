@@ -182,8 +182,8 @@ object Multimodal {
        |  CAST($TargetWidth AS INT) AS target_width,
        |  CAST(n_bytes AS INT) AS n_bytes,
        |  CAST(len(kept) AS INT) AS out_bytes,
-       |  CAST(('0x' || substring(md5(list_aggregate(kept, 'string_agg', '')), 1, 15)) AS BIGINT) AS out_hash,
-       |  CAST(list_sum(list_transform(kept, c -> ord(c))) AS BIGINT) AS out_byte_sum
+       |  CAST(('0x' || substring(md5(COALESCE(list_aggregate(kept, 'string_agg', ''), '')), 1, 15)) AS BIGINT) AS out_hash,
+       |  CAST(COALESCE(list_sum(list_transform(kept, c -> ord(c))), 0) AS BIGINT) AS out_byte_sum
        |FROM o""".stripMargin
 
   /** Frame sampling as a UDTF-shaped flatMap: one output row per sampled

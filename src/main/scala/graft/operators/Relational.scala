@@ -477,7 +477,9 @@ object Relational {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivoted count columns: an unrestricted fill would
+      // also rewrite a null grouping key to 0, diverging from the oracle
+      .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
 
   val aggPivotSql: String =
     """SELECT user_id,

@@ -121,13 +121,14 @@ object EventStreams {
 
   private def cents(v: Double): Long = math.round(v * 100)
 
-  /** The state transition: fold this micro-batch's events (sorted by event
-    * time) into the open session; emit every session a >gap jump closes. */
-  private def sessionStep(userId: Long, evs: Iterator[Ev],
-                          state: GroupState[Open]): Iterator[SessionOut] = {
+  /** THE state transition, shared by both stateful APIs: fold a
+    * micro-batch's events (sorted by event time) into the open session,
+    * returning the sessions closed by >gap jumps and the new open tail. */
+  private def foldSessions(userId: Long, open0: Option[Open],
+                           evs: Iterator[Ev]): (Seq[SessionOut], Option[Open]) = {
     val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var open = state.getOption
+    var open = open0
     for (e <- sorted) {
       open = open match {
         case Some(o) if e.ts_us - o.last_us > GapUs =>
@@ -139,8 +140,15 @@ object EventStreams {
           Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
       }
     }
+    (out.toSeq, open)
+  }
+
+  /** [[foldSessions]] plumbed into the GroupState API. */
+  private def sessionStep(userId: Long, evs: Iterator[Ev],
+                          state: GroupState[Open]): Iterator[SessionOut] = {
+    val (closed, open) = foldSessions(userId, state.getOption, evs)
     open.foreach(state.update)
-    out.iterator
+    closed.iterator
   }
 
   /**
@@ -184,22 +192,10 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, evs: Iterator[Ev],
                                  timers: TimerValues): Iterator[SessionOut] = {
-      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var cur = if (open.exists()) Some(open.get()) else None
-      for (e <- sorted) {
-        cur = cur match {
-          case Some(o) if e.ts_us - o.last_us > GapUs =>
-            out += SessionOut(userId, o.start_us, o.last_us, o.n, o.sum_cents)
-            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
-          case Some(o) =>
-            Some(Open(o.start_us, e.ts_us, o.n + 1, o.sum_cents + cents(e.value)))
-          case None =>
-            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
-        }
-      }
-      cur.foreach(open.update)
-      out.iterator
+      val open0 = if (open.exists()) Some(open.get()) else None
+      val (closed, tail) = foldSessions(userId, open0, evs)
+      tail.foreach(open.update)
+      closed.iterator
     }
   }
 
