@@ -74,6 +74,7 @@ object SparkEntry {
     // -- deterministic sampling / dataset splitting [EXT]
     "sample_split"      -> (Sampling.sampleSplit _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "split_contamination" -> (Sampling.splitContamination _),
     // -- similarity search [EXT]
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
     "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "text_repetition"       -> TextAnalysis.textRepetitionSql,
     "sample_split"          -> Sampling.sampleSplitSql,
     "sample_stratified"     -> Sampling.sampleStratifiedSql,
+    "split_contamination"   -> Sampling.splitContaminationSql,
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
     "ann_kmeans_topk"       -> Similarity.annKmeansTopkSql,

@@ -105,7 +105,7 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private val bandedSignaturesSql: String =
+  private[operators] val bandedSignaturesSql: String =
     s"""WITH ts AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
        |sh AS (

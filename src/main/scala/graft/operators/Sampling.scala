@@ -39,13 +39,56 @@ object Sampling {
           .when(col("bucket") < ValidUpTo, "valid")
           .otherwise("test"))
 
+  /** The split-assignment SQL expressions, shared with every oracle that
+    * composes on the split (e.g. [[splitContamination]]). Defined BEFORE
+    * their uses — object vals initialize in declaration order. */
+  private[operators] val bucketSqlExpr: String =
+    s"CAST(('0x' || substring(md5('$Salt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+  private[operators] val splitSqlExpr: String =
+    s"""CASE WHEN $bucketSqlExpr < $TrainUpTo THEN 'train'
+       |     WHEN $bucketSqlExpr < $ValidUpTo THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
   val sampleSplitSql: String =
     s"""SELECT doc_id, lang,
-       |  CAST(('0x' || substring(md5('$Salt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
-       |  CASE WHEN CAST(('0x' || substring(md5('$Salt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainUpTo THEN 'train'
-       |       WHEN CAST(('0x' || substring(md5('$Salt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $ValidUpTo THEN 'valid'
-       |       ELSE 'test' END AS split
+       |  $bucketSqlExpr AS bucket,
+       |  $splitSqlExpr AS split
        |FROM documents""".stripMargin
+
+  /**
+   * Train/test leakage detection (benchmark decontamination): count the
+   * near-dup candidate pairs whose two documents landed in DIFFERENT
+   * splits — exactly the pairs that leak evaluation data into training.
+   * Composes the MinHash-LSH pair table with the hash split; the pair
+   * table is O(near-dups), so the contamination join is tiny next to the
+   * corpus at any scale. A production pipeline filters (or re-assigns by
+   * cluster representative) every pair where split_a ≠ split_b.
+   */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+    val split = sampleSplit(spark, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+             .as("n_leaky"))
+  }
+
+  val splitContaminationSql: String =
+    s"""${Dedup.bandedSignaturesSql},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sp AS (SELECT doc_id, $splitSqlExpr AS split FROM documents)
+       |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
+       |FROM pairs
+       |JOIN sp sa ON sa.doc_id = pairs.doc_a
+       |JOIN sp sb ON sb.doc_id = pairs.doc_b
+       |GROUP BY 1, 2""".stripMargin
 
   /** Per-stratum k. */
   private val PerStratum = 5
