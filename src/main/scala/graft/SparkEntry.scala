@@ -38,6 +38,7 @@ object SparkEntry {
     "window_topk"         -> (Relational.windowTopkPerCustomer _),
     "window_analytics"    -> (Relational.windowAnalytics _),
     "agg_rollup"          -> (Relational.aggRollup _),
+    "agg_histogram"       -> (Relational.aggHistogram _),
     "agg_cube"            -> (Relational.aggCube _),
     "agg_distinct"        -> (Relational.aggDistinct _),
     "topk_orders"         -> (Relational.topkOrders _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "window_topk"           -> Relational.windowTopkSql,
     "window_analytics"      -> Relational.windowAnalyticsSql,
     "agg_rollup"            -> Relational.aggRollupSql,
+    "agg_histogram"         -> Relational.aggHistogramSql,
     "agg_cube"              -> Relational.aggCubeSql,
     "agg_distinct"          -> Relational.aggDistinctSql,
     "topk_orders"           -> Relational.topkOrdersSql,

@@ -365,6 +365,24 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** Fixed-width histogram: order values binned by price band per order
+    * priority — the binning shape behind any distribution dashboard. The
+    * bin id is integer arithmetic on the decimal-bridged price (exact in
+    * both engines), and the whole histogram is one partial-aggregated
+    * groupBy — at scale the shuffle carries O(bins × groups) rows. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+              floor(dec(col("o_totalprice")) / 50000).cast("long").as("price_bin"))
+      .groupBy(col("o_orderpriority"), col("price_bin"))
+      .agg(count(lit(1)).as("n"))
+
+  val aggHistogramSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS price_bin,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   /** ROLLUP hierarchy totals (flag, status) → (flag) → (). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
