@@ -39,6 +39,7 @@ object SparkEntry {
     "window_analytics"    -> (Relational.windowAnalytics _),
     "agg_rollup"          -> (Relational.aggRollup _),
     "agg_histogram"       -> (Relational.aggHistogram _),
+    "agg_correlation"     -> (Relational.aggCorrelation _),
     "agg_cube"            -> (Relational.aggCube _),
     "agg_distinct"        -> (Relational.aggDistinct _),
     "topk_orders"         -> (Relational.topkOrders _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "window_analytics"      -> Relational.windowAnalyticsSql,
     "agg_rollup"            -> Relational.aggRollupSql,
     "agg_histogram"         -> Relational.aggHistogramSql,
+    "agg_correlation"       -> Relational.aggCorrelationSql,
     "agg_cube"              -> Relational.aggCubeSql,
     "agg_distinct"          -> Relational.aggDistinctSql,
     "topk_orders"           -> Relational.topkOrdersSql,

@@ -365,6 +365,66 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /**
+   * Pearson correlation and covariance per group — computed from EXACT
+   * integer moments, not the built-in `corr`/`covar_pop` (whose running
+   * co-moment accumulation is order-dependent and engine-specific, so it
+   * can never hash-match an oracle). Both columns are cents-quantized to
+   * longs; Σx, Σy, Σx², Σxy stay within long and Σy² (up to ~2e19 at
+   * sf0.1) sums as exact decimal; the closed forms
+   *   corr = (nΣxy − ΣxΣy) / (√(nΣx² − Σx²)·√(nΣy² − Σy²))
+   *   cov  = (nΣxy − ΣxΣy) / n²
+   * then run in doubles over identical exact inputs with identical op
+   * order in both engines — deterministic IEEE all the way, rounded to 9
+   * decimals. Same one-pass partial-aggregated moments shape as
+   * [[Events.eventsOutliers]].
+   */
+  def aggCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+              (dec(col("l_quantity")) * 100).cast("long").as("qx"),
+              (dec(col("l_extendedprice")) * 100).cast("long").as("qy"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+           sum(col("qx") * col("qx")).as("sxx"),
+           sum(col("qx") * col("qy")).as("sxy"),
+           sum((col("qy") * col("qy")).cast("decimal(22,0)")).as("syy"))
+    val (nD, sxD, syD) = (col("n").cast("double"), col("sx").cast("double"),
+                          col("sy").cast("double"))
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val denx = sqrt(nD * col("sxx").cast("double") - sxD * sxD)
+    val deny = sqrt(nD * col("syy").cast("double") - syD * syD)
+    m.select(col("l_returnflag"), col("n"),
+      when(denx * deny === 0, lit(null).cast("double"))
+        .otherwise(round(num / (denx * deny), 9)).as("corr_qty_price"),
+      round(num / (nD * nD), 9).as("cov_pop_cents2"))
+  }
+
+  val aggCorrelationSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qx,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS qy
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+      |         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+      |         CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+      |         SUM(qy * qy) AS syy
+      |  FROM q GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+      |  END AS corr_qty_price,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS cov_pop_cents2
+      |FROM mo""".stripMargin
+
   /** Fixed-width histogram: order values binned by price band per order
     * priority — the binning shape behind any distribution dashboard. The
     * bin id is integer arithmetic on the decimal-bridged price (exact in
