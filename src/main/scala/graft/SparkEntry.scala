@@ -35,6 +35,7 @@ object SparkEntry {
     "join_anti"           -> (Relational.joinAnti _),
     "join_full_outer"     -> (Relational.joinFullOuter _),
     "join_theta"          -> (Relational.joinTheta _),
+    "join_salted"         -> (Skew.joinSalted _),
     "window_topk"         -> (Relational.windowTopkPerCustomer _),
     "window_analytics"    -> (Relational.windowAnalytics _),
     "agg_rollup"          -> (Relational.aggRollup _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "join_anti"             -> Relational.joinAntiSql,
     "join_full_outer"       -> Relational.joinFullOuterSql,
     "join_theta"            -> Relational.joinThetaSql,
+    "join_salted"           -> Skew.joinSaltedSql,
     "window_topk"           -> Relational.windowTopkSql,
     "window_analytics"      -> Relational.windowAnalyticsSql,
     "agg_rollup"            -> Relational.aggRollupSql,

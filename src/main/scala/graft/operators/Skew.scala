@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Tables._
 
 /**
  * Skew-handling operators [EXT]. AQE's skew-join split handles most cases
@@ -27,4 +28,25 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Salted lineitem ⋈ part through the driver gate: the salt is internal
+    * plumbing (xxhash64 differs from anything DuckDB can compute), but the
+    * JOIN RESULT is salt-independent by construction, so the oracle is the
+    * plain join — the differential check proves the salting is invisible,
+    * which is the whole point. Aggregated per brand to keep output
+    * group-sized. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val part = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    saltedJoin(li, part, "p_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val joinSaltedSql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
 }
