@@ -121,29 +121,49 @@ object Dedup {
        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
        |  FROM mh GROUP BY doc_id, band)""".stripMargin
 
+  /** Pathological-bucket cap: a bucket with more occupants than this is
+    * dropped instead of exploded into O(c²) pairs. A degenerate signature
+    * (empty/templated documents all agreeing on a band) would otherwise
+    * turn one bucket into a quadratic blowup at corpus scale; the docs it
+    * contains are boilerplate near-dups of each other that exact dedup
+    * already collapses. Max observed occupancy on the testdata is 10, so
+    * the cap is provably inert here — it exists for the 100 TB case. */
+  private val MaxBucketDocs = 256
+
   /** MinHash+LSH candidate pairs: documents sharing any band signature.
     * Implemented as bucket-grouping (shuffle on (band, sig), collect the
     * bucket's doc list, explode its i<j pairs) rather than a self-join —
     * the signature pipeline runs ONCE instead of once per join side, and
-    * only multi-occupant buckets produce any downstream rows. Bucket lists
-    * are small by construction (a bucket = documents agreeing on 4 of 16
-    * minhashes); a production run would cap pathological buckets. */
+    * only multi-occupant buckets produce any downstream rows. Buckets
+    * beyond [[MaxBucketDocs]] are dropped (see its doc). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     bandedSignatures(spark, dir)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
                   y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** Oracle CTE chain ending in `pairs(doc_a, doc_b)` with the identical
+    * bucket cap — ONE definition shared by the LSH, components, apply,
+    * and contamination oracles. */
+  private[operators] val minhashPairsCtes: String =
+    s"""$bandedSignaturesSql,
+       |bsz AS (
+       |  SELECT band, sig FROM bands
+       |  GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDocs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig)""".stripMargin
+
   val dedupMinhashLshSql: String =
-    s"""$bandedSignaturesSql
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    s"""$minhashPairsCtes
+       |SELECT doc_a, doc_b FROM pairs""".stripMargin
 
   // --------------------------------------------------- connected components
 
@@ -201,11 +221,7 @@ object Dedup {
     * per node — the fixpoint label propagation converges to exactly this.
     * Shared by [[dedupComponentsSql]] and [[dedupApplySql]]. */
   private val componentsCtes: String =
-    s"""${bandedSignaturesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -77,11 +77,7 @@ object Sampling {
   }
 
   val splitContaminationSql: String =
-    s"""${Dedup.bandedSignaturesSql},
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    s"""${Dedup.minhashPairsCtes},
        |sp AS (SELECT doc_id, $splitSqlExpr AS split FROM documents)
        |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
        |  CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
