@@ -17,9 +17,10 @@ import Tables._
  *    band signatures → equi-join on (band, signature). At 100 TB the only
  *    big shuffles are the doc-keyed minhash aggregate and the band-keyed
  *    join, both linear in corpus size;
- *  - SimHash: linear scan + 16-bit-prefix bucketing;
+ *  - SimHash: linear scan + 16-bit-prefix bucketing, occupancy-capped like
+ *    the MinHash buckets;
  *  - Jaccard: inverted-index join on shingle (pairs sharing no shingle are
- *    never materialized);
+ *    never materialized), hot shingles df-capped out of the index;
  *  - embedding: blocked on the coarse label (IVF-style), cosine inside
  *    blocks only.
  *
@@ -126,8 +127,10 @@ object Dedup {
     * (empty/templated documents all agreeing on a band) would otherwise
     * turn one bucket into a quadratic blowup at corpus scale; the docs it
     * contains are boilerplate near-dups of each other that exact dedup
-    * already collapses. Max observed occupancy on the testdata is 10, so
-    * the cap is provably inert here — it exists for the 100 TB case. */
+    * already collapses. Shared by the MinHash band buckets and the SimHash
+    * prefix buckets; max observed occupancy on the testdata is 10 and 121
+    * respectively (sf0.1), so the cap is provably inert here — it exists
+    * for the 100 TB case. */
   private val MaxBucketDocs = 256
 
   /** MinHash+LSH candidate pairs: documents sharing any band signature.
@@ -334,22 +337,46 @@ object Dedup {
     * ≤ 10 over the 32-bit signatures (bit_count(xor) — codegen'd builtin
     * in both engines). The bucket equi-join is the blocking step; the
     * Hamming filter is the exact residual check, mirroring the
-    * range-join's bucket+residual pattern. */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dedupSimhash(spark, dir)
-    sh.as("a")
-      .join(sh.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    * range-join's bucket+residual pattern.
+    *
+    * Buckets beyond [[MaxBucketDocs]] are dropped, exactly like the
+    * MinHash band buckets: a degenerate corpus (one template dominating a
+    * 16-bit prefix) would otherwise make a single bucket quadratic. Same
+    * inertness argument — max observed occupancy on the testdata is 121
+    * (sf0.1), under half the cap, so the guard provably changes nothing
+    * here and exists for the 100 TB case. Implemented as bucket-grouping
+    * (collect the bucket's (doc, simhash) list, explode its i<j pairs)
+    * rather than a self-join, so the token-explode + 32-bit-sum signature
+    * pipeline runs ONCE instead of once per join side. */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhash(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucketDocs)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_a"),
+                 y.getField("doc_id").as("doc_b"),
+                 bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+                   .as("hamming")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+              col("p.hamming").as("hamming"))
       .filter(col("hamming") <= 10)
-  }
+
+  /** Shared bucket-cap CTE for the simhash oracles: buckets eligible for
+    * pair generation (2..[[MaxBucketDocs]] occupants). */
+  private val simhashBucketOkSql: String =
+    s"""bok AS (
+       |  SELECT bucket FROM sb
+       |  GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDocs)""".stripMargin
 
   val dedupSimhashPairsSql: String =
-    s"""WITH $simhashCtes
+    s"""WITH $simhashCtes,
+       |$simhashBucketOkSql
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |JOIN bok ON bok.bucket = a.bucket
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
 
   // ------------------------------------------------------- edit distance
@@ -386,10 +413,12 @@ object Dedup {
 
   val dedupEditDistanceSql: String =
     s"""WITH $simhashCtes,
+       |$simhashBucketOkSql,
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN bok ON bok.bucket = a.bucket
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
        |p AS (SELECT doc_id, substring(text, 1, $EditPrefix) AS prefix FROM documents)
        |SELECT doc_a, doc_b, hamming,
@@ -418,10 +447,28 @@ object Dedup {
     * count joins are doc-count-sized (broadcastable at any corpus size
     * where doc ids fit a dimension table) and the heavy base is shingle
     * rows, computed once per join side. */
+  /** Document-frequency cap on shingles: a shingle present in more than
+    * this many documents (per lang) is boilerplate — a license header, a
+    * scraped template — and joining through its posting list produces
+    * O(df²) intersection rows from ONE shingle. Standard fuzzy-dedup
+    * practice drops such shingles from the representation entirely (both
+    * intersection and set sizes), which also makes Jaccard *more*
+    * meaningful: two docs identical except for shared boilerplate no
+    * longer inflate each other's similarity. Max observed df on the
+    * testdata is 14 (sf0.1), 9× under the cap — provably inert here; at
+    * corpus scale the hot list is tiny, so the exclusion is a broadcast
+    * anti-join, not a second shuffle of the shingle rows. */
+  private val MaxShingleDf = 128
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = t(spark, dir, "documents")
+    val shAll = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
       .select(col("doc_id"), col("lang"), explode(shingles3(col("ts"))).as("shingle"))
+    val hot = shAll.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("lang"), col("shingle"))
+    val sh = shAll.join(hot, Seq("lang", "shingle"), "left_anti")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -440,8 +487,15 @@ object Dedup {
   val dedupNgramJaccardSql: String =
     s"""WITH ts AS (
        |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
-       |sh AS (
+       |sh_all AS (
        |  SELECT doc_id, lang, unnest($shingles3Sql) AS shingle FROM ts),
+       |hot AS (
+       |  SELECT lang, shingle FROM sh_all
+       |  GROUP BY lang, shingle HAVING COUNT(*) > $MaxShingleDf),
+       |sh AS (
+       |  SELECT s.* FROM sh_all s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.lang = s.lang AND h.shingle = s.shingle)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

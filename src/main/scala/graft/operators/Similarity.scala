@@ -466,16 +466,38 @@ object Similarity {
     * use ≈0.95. */
   private val DupThreshold = 0.3
 
+  /** A label block larger than this is subdivided by the 8-plane LSH sign
+    * bucket before pairing. Below the threshold, within-block all-pairs is
+    * the CHEAPEST correct plan (a few hundred comparisons); above it, the
+    * O(block²) term is what kills a 100 TB corpus — one hot label with 10⁸
+    * members is 10¹⁶ pairs — so oversized blocks switch to (label, bucket)
+    * blocking and each of the 256 sign buckets pairs only internally.
+    * Max observed label block on the testdata is 218 (sf0.1), 4.7× under
+    * the threshold, so the subdivision is provably inert here — same
+    * inertness design as the MinHash/SimHash bucket caps. The recall cost
+    * when it fires is the standard angular-LSH one (near-dups agreeing on
+    * all 8 sign bits; ≈0.9⁸≈43% per table at cos 0.95) — production would
+    * OR several plane bands, which is this same dataflow with a band
+    * column added to the block key. */
+  private val MaxEmbedBlockDocs = 1024
+
   /** Embedding-cosine near-dup: candidate pairs blocked on the coarse
     * cluster id (IVF-style blocking — cross-cluster pairs are never
-    * materialized), scored exactly, thresholded. */
+    * materialized), scored exactly, thresholded. Oversized label blocks
+    * are sub-blocked by LSH sign bucket (see [[MaxEmbedBlockDocs]]) so no
+    * block is ever all-pairs at corpus scale; the block-size table is
+    * label-count-sized, hence always the broadcast side. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val a = c.select(col("label"), col("vec_id").as("id_a"),
-                     col("v").as("va"), col("nrm").as("na"))
-    val b = c.select(col("label"), col("vec_id").as("id_b"),
-                     col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    val sizes = c.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    val keyed = c.join(broadcast(sizes), Seq("label"))
+      .withColumn("blk", when(col("bn") <= MaxEmbedBlockDocs, lit(-1L))
+                           .otherwise(lshBucket(col("v"))))
+    val a = keyed.select(col("label"), col("blk"), col("vec_id").as("id_a"),
+                         col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("label"), col("blk"), col("vec_id").as("id_b"),
+                         col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label", "blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
@@ -483,9 +505,15 @@ object Similarity {
   }
 
   val dedupEmbeddingSql: String =
-    s"""WITH $corpusSql
+    s"""WITH $corpusSql,
+       |sz AS (SELECT label, COUNT(*) AS bn FROM corpus GROUP BY label),
+       |keyed AS (
+       |  SELECT c.*, CASE WHEN sz.bn <= $MaxEmbedBlockDocs THEN -1
+       |                   ELSE ${lshBucketSql("c.v")} END AS blk
+       |  FROM corpus c JOIN sz ON sz.label = c.label)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-       |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM keyed a JOIN keyed b
+       |  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
 }
