@@ -30,6 +30,7 @@ object SparkEntry {
     "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q18_large_orders"    -> (Relational.q18LargeOrders _),
+    "q21_waiting_orders"  -> (Relational.q21WaitingOrders _),
     "join_broadcast_part" -> (Relational.joinBroadcastPart _),
     "join_semi"           -> (Relational.joinSemi _),
     "join_anti"           -> (Relational.joinAnti _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q5_local_supplier"     -> Relational.q5Sql,
     "q6_forecast_revenue"   -> Relational.q6Sql,
     "q18_large_orders"      -> Relational.q18Sql,
+    "q21_waiting_orders"    -> Relational.q21Sql,
     "join_broadcast_part"   -> Relational.joinBroadcastPartSql,
     "join_semi"             -> Relational.joinSemiSql,
     "join_anti"             -> Relational.joinAntiSql,
@@ -178,6 +180,7 @@ object SparkEntry {
     "agg_grouping_sets"     -> Relational.aggGroupingSetsSql,
     "agg_percentiles"       -> Relational.aggPercentilesSql,
     "agg_pivot"             -> Relational.aggPivotSql,
+    "agg_approx"            -> Relational.aggApproxSql,
     "agg_argmax"            -> Relational.aggArgmaxSql,
     "window_range_frame"    -> Relational.windowRangeFrameSql,
     "map_functions"         -> Relational.mapFunctionsSql,

@@ -232,6 +232,62 @@ object Relational {
       |  ON o_orderkey = q.l_orderkey
       |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
+  /**
+   * TPC-H Q21-shaped multi-semijoin: suppliers who were the SOLE late
+   * shipper on a finished multi-supplier order — EXISTS (another supplier
+   * on the order) + NOT EXISTS (another LATE supplier on the order)
+   * against the same fact table. "Late" is adapted to this testdata's
+   * columns (no receipt/commit dates): shipped >60 days after the order
+   * date.
+   *
+   * Plan shape at scale: `late` is a fact⋈fact join pre-filtered on both
+   * sides (status F orders, one shuffle on orderkey); the EXISTS becomes
+   * a LeftSemi and the NOT EXISTS a LeftAnti, both hash-partitioned on
+   * the SAME key (l_orderkey) so the exchanges line up back-to-back
+   * without re-shuffling; the supplier dimension broadcasts; the final
+   * top-100 is TakeOrderedAndProject, never a global sort.
+   */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val late = li
+      .join(t(spark, dir, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val otherLate = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late
+      .join(others, col("l_orderkey") === col("o2") &&
+                    col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(otherLate, col("l_orderkey") === col("o3") &&
+                       col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
+
   val q5Sql: String =
     """SELECT r_name, n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -536,16 +592,35 @@ object Relational {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   /** Approximate sketch surface: HLL++ distinct and quantile-sketch
-    * percentiles — Spark's own sketches, whose exact outputs no other
-    * engine reproduces, so this query has NO oracleSql twin (the driver
-    * records a rows-only check; the exact twins `agg_distinct` and
-    * `agg_percentiles` are the hash-checked counterparts). */
+    * percentiles — Spark's own sketches, whose exact raw outputs no other
+    * engine reproduces. Made oracle-checkable anyway by emitting the
+    * ε-BOUND VERDICTS instead of the sketch values: the query computes the
+    * exact answers alongside the sketches and outputs booleans asserting
+    * the sketch landed within tolerance (HLL++ at default rsd 0.05 within
+    * ±15% = 3σ; the rank-error-bounded p90 sketch between the exact p88
+    * and p92). The DuckDB twin emits literal TRUEs with the same exact
+    * aggregates — so a sketch drifting out of bound flips a boolean and
+    * fails the hash gate. Accuracy itself is now gated, not decorative. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"),
-           count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_partkey")).as("ad"),
+           percentile_approx(col("l_extendedprice").cast("double"),
+                             lit(0.9), lit(1000)).as("p90a"),
+           expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.88)").as("p88"),
+           expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.92)").as("p92"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("ad") - col("exact_parts"))
+           <= col("exact_parts") * lit(0.15)).as("distinct_ok"),
+        (col("p90a") >= col("p88") && col("p90a") <= col("p92")).as("p90_ok"))
+
+  val aggApproxSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS distinct_ok, TRUE AS p90_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Pivot: event counts per user wide by event type — Spark lowers the
     * explicit-values pivot to one hash aggregate with CASE projections
