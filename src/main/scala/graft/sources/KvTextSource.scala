@@ -2,6 +2,10 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -9,6 +13,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /**
  * DataSource V2 connector for the reference's on-disk format: `"{k} {v}"`
@@ -23,19 +28,29 @@ import org.apache.spark.unsafe.types.UTF8String
  * truncated to its first token, and blank lines are dropped (the tests'
  * `grep .` normalization, `test-mr.sh:51`).
  *
- * Partitioning mirrors the reference's granularity: one input partition
- * per file, exactly as the coordinator builds one map task per file
- * (`coordinator.rs:55-64`). Files are read directly from the filesystem —
- * the same shared-FS assumption the reference's data plane makes
- * (SURVEY.md §3.2). At scale, many files → many partitions; a single
- * giant file is the anti-pattern here just as it is in the reference.
+ * File access goes through the Hadoop `FileSystem` API, so the source
+ * reads any scheme the cluster's Hadoop conf resolves (`file:`, `hdfs:`,
+ * object stores), not just the driver's local disk — the scale-correct
+ * replacement for the reference's shared-local-FS assumption
+ * (SURVEY.md §3.2).
+ *
+ * Partitioning default mirrors the reference's granularity: one input
+ * partition per file, exactly as the coordinator builds one map task per
+ * file (`coordinator.rs:55-64`) — which makes a single giant file a
+ * one-task bottleneck there. This source fixes that with
+ * `.option("split_bytes", n)`: files larger than n split into
+ * line-aligned byte ranges using the classic TextInputFormat protocol
+ * (every split except the first discards its first — possibly partial —
+ * line; every split reads one line past its end), so a 1 TB file becomes
+ * thousands of parallel partitions with no record lost or duplicated.
  */
 class KvTextSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvTextSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new KvTextTable(properties.get("path"))
+    new KvTextTable(properties.get("path"),
+                    Option(properties.get(KvTextSource.SplitBytesOption)))
 }
 
 object KvTextSource {
@@ -43,66 +58,108 @@ object KvTextSource {
     StructField("key", StringType), StructField("value", StringType)))
   /** Format shorthand for `spark.read.format(...)`. */
   val Format: String = classOf[KvTextSource].getName
+  /** Max partition size in bytes; unset = one partition per whole file. */
+  val SplitBytesOption: String = "split_bytes"
 }
 
-class KvTextTable(path: String) extends Table with SupportsRead {
+class KvTextTable(path: String, splitBytes: Option[String])
+    extends Table with SupportsRead {
   require(path != null, "the graft kv source needs a path: .load(dir)")
   override def name(): String = s"graftkv:$path"
   override def schema(): StructType = KvTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new KvTextScan(path) }
+    new ScanBuilder {
+      override def build(): Scan =
+        new KvTextScan(path, splitBytes.map(_.toLong).getOrElse(Long.MaxValue))
+    }
 }
 
-class KvTextScan(path: String) extends Scan with Batch {
+class KvTextScan(path: String, splitBytes: Long) extends Scan with Batch {
+  require(splitBytes > 0, s"split_bytes must be positive: $splitBytes")
   override def readSchema(): StructType = KvTextSource.Schema
   override def toBatch: Batch = this
 
-  /** One partition per data file — the reference's task granularity. */
+  /** One partition per data file (the reference's task granularity), or
+    * per ≤split_bytes line-aligned range of each file when splitting is
+    * on. Listing and length metadata come from the Hadoop FileSystem of
+    * the path's scheme. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(s"kv source path not found: $path")
     val files =
-      if (f.isDirectory) {
-        val listed = f.listFiles()
-        if (listed == null)
-          throw new java.io.IOException(s"cannot list kv source directory: $path")
-        listed.filter(x => x.isFile && !x.getName.startsWith("_")
-                           && !x.getName.startsWith(".")).map(_.getPath)
-      } else if (f.isFile) Array(path)
-      else throw new java.io.FileNotFoundException(s"kv source path not found: $path")
-    files.sorted.map(KvFilePartition(_): InputPartition)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+                                     && !s.getPath.getName.startsWith("."))
+      else Array(fs.getFileStatus(p))
+    files.sortBy(_.getPath.toString).flatMap { s =>
+      val len = s.getLen
+      if (len <= splitBytes || splitBytes == Long.MaxValue)
+        Seq(KvFilePartition(s.getPath.toString, 0L, len))
+      else
+        (0L until len by splitBytes).map { start =>
+          KvFilePartition(s.getPath.toString, start, math.min(splitBytes, len - start))
+        }
+    }.map(x => x: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory
+    new KvReaderFactory(new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-case class KvFilePartition(file: String) extends InputPartition
+case class KvFilePartition(file: String, start: Long, length: Long)
+  extends InputPartition
 
-class KvReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvFileReader(partition.asInstanceOf[KvFilePartition].file)
+class KvReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvFilePartition]
+    new KvFileReader(p.file, p.start, p.length, conf)
+  }
 }
 
-/** Line reader with the reference's parse: whitespace-split, first two
-  * tokens, blank lines dropped. */
-class KvFileReader(file: String) extends PartitionReader[InternalRow] {
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
+/** Range reader with the reference's parse: whitespace-split, first two
+  * tokens, blank lines dropped (their bytes still advance the range
+  * position). Split protocol = Hadoop `LineRecordReader`'s: a non-first
+  * split discards everything up to its first newline (that record belongs
+  * to the previous split), and a record is read iff it STARTS at
+  * position ≤ end — so the record straddling the boundary is read exactly
+  * once, by the split it starts in. */
+class KvFileReader(file: String, start: Long, length: Long,
+                   conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val in = path.getFileSystem(conf.value).open(path)
+  private val end = start + length
+  private var pos = start
+  private val reader = {
+    if (start != 0) in.seek(start)
+    new LineReader(in)
+  }
+  if (start != 0) pos += reader.readLine(new Text()) // discard partial first line
+  private val line = new Text()
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     current = null
-    while (current == null && it.hasNext) {
-      val toks = it.next().split("\\s+").filter(_.nonEmpty)
+    while (current == null) {
+      if (pos > end) return false
+      val n = reader.readLine(line)
+      if (n == 0) return false // EOF
+      pos += n
+      val toks = line.toString.split("\\s+").filter(_.nonEmpty)
       if (toks.nonEmpty)
         current = InternalRow(
           UTF8String.fromString(toks(0)),
           UTF8String.fromString(if (toks.length > 1) toks(1) else ""))
     }
-    current != null
+    true
   }
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = reader.close()
 }

@@ -69,6 +69,39 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.rdd.getNumPartitions == nFiles)
   }
 
+  test("DSv2 kv source resolves Hadoop FileSystem URIs (file: scheme)") {
+    val out = s"$dir/kv_uri"
+    new java.io.File(out).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-0"), "x 1\ny 2\n")
+    val got = spark.read.format(graft.sources.KvTextSource.Format)
+      .load(s"file://$out") // explicit scheme → Hadoop FS resolution path
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(("x", "1"), ("y", "2")))
+  }
+
+  test("DSv2 kv source splits a large single file into line-aligned partitions") {
+    val out = s"$dir/kv_split"
+    new java.io.File(out).mkdirs()
+    // one file, deliberately "giant" relative to the split size; varied
+    // line lengths so split boundaries land mid-line
+    val lines = (0 until 5000).map(i => s"key$i ${"v" * (i % 37 + 1)}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/big-file"), lines.mkString("\n") + "\n")
+    val whole = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+    val split = spark.read.format(graft.sources.KvTextSource.Format)
+      .option(graft.sources.KvTextSource.SplitBytesOption, "4096")
+      .load(out)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 10,
+           s"expected many splits, got ${split.rdd.getNumPartitions}")
+    // no record lost or duplicated across split boundaries
+    def canonKv(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(canonKv(split) == canonKv(whole))
+    assert(canonKv(split).size == 5000)
+  }
+
   test("DSv2 kv source reproduces the reference's two-token truncation parse") {
     val out = s"$dir/kv_trunc"
     new java.io.File(out).mkdirs()
