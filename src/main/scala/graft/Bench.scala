@@ -16,16 +16,23 @@ object Bench {
     // first timed query doesn't absorb JVM/Spark initialization (~4 s)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // median of 3 runs per query: one-shot timings on a shared machine can
+    // fake multi-x regressions from co-tenant load spikes (a 0.9 s query
+    // has recorded 5.2 s); the median of three is stable to one bad run
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query must read as a failure, not a fast timing: report
       // -1 and say so on stderr instead of timing the throw
-      val elapsed =
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> elapsed
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
