@@ -6,9 +6,18 @@ import Tables._
 
 /**
  * Skew-handling operators [EXT]. AQE's skew-join split handles most cases
- * at runtime; explicit salting remains the tool when one join key is hot
- * enough that even a split partition bottlenecks a single task (the
- * power-law user in a 100 TB event join).
+ * at runtime (demonstrated in ScaleTechniquesSpec: `skew=true` in the
+ * final adaptive plan) — prefer it. Explicit salting remains the tool
+ * where AQE's `OptimizeSkewedJoin` cannot reach:
+ *  - the skewed shuffle feeds an AGGREGATION, not a join (AQE never
+ *    splits a skewed aggregate partition — correctness would need a
+ *    two-level agg, which is exactly what a salt + re-agg builds);
+ *  - Structured Streaming joins (no AQE re-planning mid-stream);
+ *  - the join's output partitioning is relied on downstream (AQE skew
+ *    split is skipped when it would break a required distribution,
+ *    e.g. under another join on the same key);
+ *  - deterministic task sizing is wanted up front (AQE only reacts
+ *    after the skewed map stage has already materialized).
  */
 object Skew {
 

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -106,6 +106,36 @@ object EventStreams {
       .select(col("user_id"), col("view_id"), col("purchase_id"),
               col("view_ts"), col("purchase_ts"))
   }
+
+  // --------------------------------------------- exactly-once file sink
+
+  /**
+   * Exactly-once parquet sink via idempotent `foreachBatch` — the
+   * streaming twin of the reference's atomic commit (E8: temp file,
+   * fsync, `rename` to `out/mr-out-j`, `worker.rs:185-189`). Structured
+   * Streaming's delivery to `foreachBatch` is at-least-once: a batch that
+   * crashed between the sink write and the checkpoint commit is REPLAYED
+   * with the SAME batch id on restart. Writing each micro-batch to its
+   * own `batch_id=<id>/` directory in overwrite mode makes the replay
+   * idempotent — the second attempt replaces the first's partial output
+   * instead of appending next to it, exactly as the reference's rename
+   * replaces rather than duplicates a re-executed reduce partition's
+   * file. Readers see `outDir` as one hive-partitioned table.
+   *
+   * `afterWrite` is the crash-injection hook for specs: it fires after
+   * the data is on disk but before Spark commits the batch — the window
+   * where a naive append sink would double-write.
+   */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+                             afterWrite: Long => Unit = _ => ()): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        afterWrite(batchId)
+      }
+      .start()
 
   // ------------------------------------------- custom stateful operator
 

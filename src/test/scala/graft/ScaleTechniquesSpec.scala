@@ -96,6 +96,47 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("deduplicate"), plan)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // thresholds scaled down to test size; the *mechanism* is what 100 TB
+    // uses — OptimizeSkewedJoin splits the oversized shuffle partition
+    // into advisory-sized sub-reads and replicates the matching partition
+    // of the other side
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0: 20k rows of ~256B payload (8 DISTINCT md5s per row —
+      // a repeated or constant payload compresses into not-skewed shuffle
+      // bytes) ≈ 5 MB in one shuffle partition; keys 1..40 ~100 rows each
+      val big = ((1 to 20000).map(_ => 0L) ++ (1 to 4000).map(i => (i % 40 + 1).toLong))
+        .toDF("k")
+        .withColumn("payload", expr(
+          "concat_ws('', transform(sequence(1, 8), " +
+          "i -> md5(cast(monotonically_increasing_id() * 8 + i as string))))"))
+      val dim = (0L to 40L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = big.join(dim, Seq("k"))
+      // collect() executes THIS queryExecution (a count() would plan its
+      // own), so the adaptive final plan below is the one that ran
+      assert(joined.collect().length == 24000)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join's multiset on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
