@@ -33,10 +33,19 @@ trait MrApp extends Serializable {
 }
 
 /**
- * App registry — the Spark-native stand-in for the reference's runtime
- * dylib loader (`common/src/lib.rs:22-39`, `declare_app!` macro `:12-20`).
- * On Spark, user code ships in the application jar, so dynamic symbol
- * resolution degenerates to a name -> instance map (SURVEY.md §2.1 E11).
+ * App registry — the Spark-native twin of the reference's runtime dylib
+ * loader (`common/src/lib.rs:22-39`, `declare_app!` macro `:12-20`).
+ * Three resolution tiers, first hit wins:
+ *
+ *  1. runtime registrations ([[MrApps.register]] — tests, embedding code);
+ *  2. classpath DISCOVERY via `java.util.ServiceLoader`: any jar carrying
+ *     a `META-INF/services/graft.mr.MrApp` entry contributes its apps by
+ *     name with no compile-time registration — the faithful analogue of
+ *     the reference's `load_app(name)` dlopen: on a cluster,
+ *     `spark-submit --jars app.jar` is `worker -a app_name`'s "drop a
+ *     dylib next to the binary" (the service file plays `declare_app!`,
+ *     exporting the well-known entry point);
+ *  3. the built-in apps compiled into the engine jar.
  */
 object MrApps {
   private val builtin: Map[String, MrApp] = Seq(
@@ -45,18 +54,28 @@ object MrApps {
     graft.mr.apps.SortedConcatApp
   ).map(a => a.name -> a).toMap
 
+  /** Classpath-provided apps, resolved once on first use (the reference
+    * dlopens lazily per run — `common/src/lib.rs:32` — but re-scanning
+    * the classpath per load would buy nothing: jars don't change inside
+    * a JVM). Context classloader first so `--jars` additions are seen. */
+  private lazy val discovered: Map[String, MrApp] = {
+    import scala.jdk.CollectionConverters._
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[MrApp].getClassLoader)
+    java.util.ServiceLoader.load(classOf[MrApp], cl)
+      .iterator().asScala.map(a => a.name -> a).toMap
+  }
+
   @volatile private var extra: Map[String, MrApp] = Map.empty
 
   /** Register an app at runtime (tests, user extensions). */
   def register(app: MrApp): Unit = synchronized { extra += app.name -> app }
 
   def load(name: String): MrApp =
-    extra.getOrElse(
-      name,
-      builtin.getOrElse(
-        name,
-        throw new NoSuchElementException(
-          s"unknown MR app '$name'; known: ${(builtin.keySet ++ extra.keySet).toSeq.sorted.mkString(", ")}")))
+    extra.getOrElse(name, discovered.getOrElse(name, builtin.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown MR app '$name'; known: ${names.mkString(", ")}"))))
 
-  def names: Seq[String] = (builtin.keySet ++ extra.keySet).toSeq.sorted
+  def names: Seq[String] =
+    (builtin.keySet ++ discovered.keySet ++ extra.keySet).toSeq.sorted
 }

@@ -172,4 +172,18 @@ class MrEngineSpec extends AnyFunSuite {
     val e = intercept[NoSuchElementException](MrApps.load("nope"))
     assert(e.getMessage.contains("wc"))
   }
+
+  test("ServiceLoader discovers a classpath app by name (E11 dylib-loading twin)") {
+    // svc_maxlen lives only on the test classpath and is published via
+    // META-INF/services/graft.mr.MrApp — never register()ed, never in the
+    // builtin map; resolving it exercises the dlopen-by-name analogue
+    // (common/src/lib.rs:22-39) end to end through the engine
+    val app = MrApps.load("svc_maxlen")
+    assert(app.getClass.getName == "graft.mr.ServiceLoadedApp")
+    assert(MrApps.names.contains("svc_maxlen"))
+    val input = corpus(seed = 13, nDocs = 10)
+    val expected = MrJob.runSequential(app, input).sorted
+    assert(expected.nonEmpty)
+    assert(runSpark(app, input).sorted == expected)
+  }
 }
