@@ -79,6 +79,7 @@ object SparkEntry {
     "sample_split"      -> (Sampling.sampleSplit _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "split_contamination" -> (Sampling.splitContamination _),
+    "corpus_prep"         -> (Pipeline.corpusPrep _),
     // -- similarity search [EXT]
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
     "ann_ivf_topk"        -> (Similarity.annIvfTopk _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "sample_split"          -> Sampling.sampleSplitSql,
     "sample_stratified"     -> Sampling.sampleStratifiedSql,
     "split_contamination"   -> Sampling.splitContaminationSql,
+    "corpus_prep"           -> Pipeline.corpusPrepSql,
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,
     "ann_kmeans_topk"       -> Similarity.annKmeansTopkSql,

@@ -80,16 +80,19 @@ object Dedup {
     * map-side partial mins), instead of exploding ×16 through the exchange.
     * At 100 TB this is the difference between shuffling the corpus'
     * shingles once vs sixteen times. */
-  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  private def signaturesWideOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"))
       .select(col("doc_id"), (md5Long(col("shingle")) % M).as("sh"))
     val mins = (0 until NumHashes).map { i =>
       min((col("sh") * (2 * i + 1) + (i + 1) * 7919L) % M).as(s"mh$i")
     }
-    docs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
+
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame =
+    signaturesWideOf(t(spark, dir, "documents"))
 
   /** Band signature strings derived row-wise from the wide minhashes (no
     * extra shuffle): band b = "mh(4b),..,mh(4b+3)". */
@@ -97,18 +100,26 @@ object Dedup {
     concat_ws(",", (0 until RowsPerBand).map(r =>
       col(s"mh${b * RowsPerBand + r}").cast("string")): _*)
 
-  /** One row per (doc, band) with the band's signature string. */
-  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** One row per (doc, band) with the band's signature string, for any
+    * corpus with (doc_id, text) — the pipeline entry point that lets
+    * downstream stages (e.g. [[Pipeline.corpusPrep]]) run the minhash
+    * chain on a filtered corpus rather than the raw table. */
+  private def bandedSignaturesOf(docs: DataFrame): DataFrame = {
     val bandArr = array((0 until NumHashes / RowsPerBand).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
-    signaturesWide(spark, dir)
+    signaturesWideOf(docs)
       .select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private[operators] val bandedSignaturesSql: String =
-    s"""WITH ts AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandedSignaturesOf(t(spark, dir, "documents"))
+
+  /** Oracle CTE body (no leading WITH) ending in `bands(doc_id, band,
+    * sig)`, over any source relation `src(doc_id, text)`. */
+  private def bandedSignaturesCtesFrom(src: String): String =
+    s"""ts AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $M AS sh
@@ -121,6 +132,9 @@ object Dedup {
        |  SELECT doc_id, CAST(i // $RowsPerBand AS INT) AS band,
        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
        |  FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  private[operators] val bandedSignaturesSql: String =
+    "WITH " + bandedSignaturesCtesFrom("documents")
 
   /** Pathological-bucket cap: a bucket with more occupants than this is
     * dropped instead of exploded into O(c²) pairs. A degenerate signature
@@ -139,8 +153,9 @@ object Dedup {
     * the signature pipeline runs ONCE instead of once per join side, and
     * only multi-occupant buckets produce any downstream rows. Buckets
     * beyond [[MaxBucketDocs]] are dropped (see its doc). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    bandedSignatures(spark, dir)
+  /** [[dedupMinhashLsh]] over any corpus with (doc_id, text). */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
+    bandedSignaturesOf(docs)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
@@ -150,11 +165,13 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-  /** Oracle CTE chain ending in `pairs(doc_a, doc_b)` with the identical
-    * bucket cap — ONE definition shared by the LSH, components, apply,
-    * and contamination oracles. */
-  private[operators] val minhashPairsCtes: String =
-    s"""$bandedSignaturesSql,
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(t(spark, dir, "documents"))
+
+  /** Oracle CTE body ending in `pairs(doc_a, doc_b)` with the identical
+    * bucket cap, over any source relation. */
+  private[operators] def minhashPairsCtesFrom(src: String): String =
+    s"""${bandedSignaturesCtesFrom(src)},
        |bsz AS (
        |  SELECT band, sig FROM bands
        |  GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDocs),
@@ -163,6 +180,11 @@ object Dedup {
        |  FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |  JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig)""".stripMargin
+
+  /** The documents-table chain (leading WITH) — ONE definition shared by
+    * the LSH, components, apply, and contamination oracles. */
+  private[operators] val minhashPairsCtes: String =
+    "WITH " + minhashPairsCtesFrom("documents")
 
   val dedupMinhashLshSql: String =
     s"""$minhashPairsCtes
@@ -184,8 +206,12 @@ object Dedup {
    * pipeline never re-runs, and each round's result is checkpointed to
    * keep lineage flat (a cluster deployment would use a checkpoint dir).
    */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir)
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(dedupMinhashLsh(spark, dir))
+
+  /** The CC loop over any candidate-pair table (doc_a, doc_b) — reused by
+    * [[Pipeline.corpusPrep]] on its filtered corpus. */
+  private[operators] def componentsOf(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
@@ -219,12 +245,12 @@ object Dedup {
                     .as("component_size"))
   }
 
-  /** Oracle CTE chain ending in `comp(doc_id, rep_doc_id,
+  /** Oracle CTE body ending in `comp(doc_id, rep_doc_id,
     * component_size)`: reachability closure via recursive CTE, then min
     * per node — the fixpoint label propagation converges to exactly this.
-    * Shared by [[dedupComponentsSql]] and [[dedupApplySql]]. */
-  private val componentsCtes: String =
-    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    * Over any source relation; the caller's WITH must say RECURSIVE. */
+  private[operators] def componentsCtesFrom(src: String): String =
+    s"""${minhashPairsCtesFrom(src)},
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -237,6 +263,9 @@ object Dedup {
        |  SELECT doc_id, MIN(r) AS rep_doc_id,
        |         COUNT(*) OVER (PARTITION BY MIN(r)) AS component_size
        |  FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val componentsCtes: String =
+    "WITH RECURSIVE " + componentsCtesFrom("documents")
 
   val dedupComponentsSql: String =
     s"""$componentsCtes
@@ -468,7 +497,12 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("lang"), col("shingle"))
-    val sh = shAll.join(hot, Seq("lang", "shingle"), "left_anti")
+    // materialize the filtered shingle rows ONCE: three consumers (set
+    // sizes + both join sides) would otherwise each re-run the scan +
+    // explode + anti-join (measured 15% slower at sf0.1). A cluster
+    // pipeline persists this table to storage for the same reason —
+    // it is also the reusable artifact incremental dedup reads back.
+    val sh = shAll.join(hot, Seq("lang", "shingle"), "left_anti").localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

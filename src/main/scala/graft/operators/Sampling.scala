@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -25,6 +25,15 @@ object Sampling {
   /** 80/10/10 split boundaries over the 100 hash buckets. */
   private val TrainUpTo = 80
   private val ValidUpTo = 90
+
+  /** The split assignment over any doc_id column — shared with pipeline
+    * compositions ([[Pipeline.corpusPrep]]); twin of [[splitSqlExpr]]. */
+  private[operators] def splitCol(docId: Column): Column = {
+    val bucket = md5Long(concat(lit(Salt), docId.cast("string"))) % 100
+    when(bucket < TrainUpTo, "train")
+      .when(bucket < ValidUpTo, "valid")
+      .otherwise("test")
+  }
 
   /** Per-document split assignment: bucket = md5-hash of the salted doc id
     * mod 100, then fixed 80/10/10 thresholds. Pure map — at 100 TB this

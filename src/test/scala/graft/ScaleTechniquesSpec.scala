@@ -96,6 +96,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("deduplicate"), plan)
   }
 
+  test("q21 lowers EXISTS/NOT EXISTS to semi/anti hash joins with a top-k, no global sort") {
+    val q = graft.operators.Relational.q21WaitingOrders(spark, TestSpark.Sf0001)
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // thresholds scaled down to test size; the *mechanism* is what 100 TB
