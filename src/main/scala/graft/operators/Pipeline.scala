@@ -34,7 +34,11 @@ object Pipeline {
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = quality.join(reps, Seq("doc_id"), "left_semi")
+    // materialize the exact-dedup survivors once: the minhash chain, the
+    // CC loop's edge base, and the final keep-join all consume this
+    // table, and it only shrinks from here (a cluster run would persist
+    // the stage boundary to storage for the same reason)
+    val exact = quality.join(reps, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val nonReps = Dedup.componentsOf(Dedup.minhashPairsOf(exact))
       .filter(col("rep_doc_id") =!= col("doc_id"))
       .select(col("doc_id"))
