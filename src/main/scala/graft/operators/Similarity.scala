@@ -357,33 +357,46 @@ object Similarity {
 
   // ------------------------------------------------------------------ LSH
 
-  /** Hyperplane count for sign-bucket LSH. */
+  /** Hyperplane count for sign-bucket LSH (one band). */
   private val NPlanes = 8
 
+  /** Bands for the multi-band OR blocking in [[dedupEmbedding]]: 4 bands
+    * of 8 planes each (32 planes total; band 0 = [[planes]], so
+    * [[annLshBuckets]]'s surface is unchanged). */
+  private[operators] val NumBands = 4
+
   /** Deterministic pseudo-random hyperplanes derived from md5 so both
-    * engines materialize the same matrix: h[j][i] ∈ [-1, 1). Baked into the
-    * plan as literals (the matrix is 8×64 doubles — broadcast-trivial). */
-  private[operators] val planes: Seq[Seq[Double]] =
-    (0 until NPlanes).map { j =>
+    * engines materialize the same matrix: h[j][i] ∈ [-1, 1). Baked into
+    * the plan as literals (32×64 doubles — broadcast-trivial). */
+  private[operators] val allPlanes: Seq[Seq[Double]] =
+    (0 until NumBands * NPlanes).map { j =>
       (0 until 64).map { i =>
         (md5LongOf(s"plane_${j}_$i".getBytes("UTF-8")) % 2000001L) / 1000000.0 - 1.0
       }
     }
 
-  /** Sign-bit bucket of a vector under the md5-derived hyperplanes:
-    * bit j = 1 iff dot(v, h_j) > 0. Angular LSH — near-parallel vectors
-    * agree on most sign bits, so near-dups land in the same bucket. */
-  private def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeLit = array(p.map(lit): _*)
+  /** Band 0 — the original single-table planes. */
+  private[operators] val planes: Seq[Seq[Double]] = allPlanes.take(NPlanes)
+
+  /** Sign-bit bucket of a vector under band `b`'s 8 hyperplanes:
+    * bit j = 1 iff dot(v, h_(8b+j)) > 0. Angular LSH — near-parallel
+    * vectors agree on most sign bits, so near-dups land in the same
+    * bucket. */
+  private def bandBucket(b: Int, v: Column): Column =
+    (0 until NPlanes).map { j =>
+      val planeLit = array(allPlanes(b * NPlanes + j).map(lit): _*)
       when(dot(v, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def lshBucketSql(v: String): String =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeLit = p.mkString("[", ", ", "]")
+  private def bandBucketSql(b: Int, v: String): String =
+    (0 until NPlanes).map { j =>
+      val planeLit = allPlanes(b * NPlanes + j).mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(v, planeLit)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Band-0 bucket — the original single-table LSH surface. */
+  private def lshBucket(v: Column): Column = bandBucket(0, v)
+  private def lshBucketSql(v: String): String = bandBucketSql(0, v)
 
   /** LSH bucket table: one scan, 8 fused dot products per row, no shuffle.
     * The bucket histogram is the output (grouped) so the oracle check
@@ -466,54 +479,79 @@ object Similarity {
     * use ≈0.95. */
   private val DupThreshold = 0.3
 
-  /** A label block larger than this is subdivided by the 8-plane LSH sign
-    * bucket before pairing. Below the threshold, within-block all-pairs is
-    * the CHEAPEST correct plan (a few hundred comparisons); above it, the
-    * O(block²) term is what kills a 100 TB corpus — one hot label with 10⁸
-    * members is 10¹⁶ pairs — so oversized blocks switch to (label, bucket)
-    * blocking and each of the 256 sign buckets pairs only internally.
-    * Max observed label block on the testdata is 218 (sf0.1), 4.7× under
-    * the threshold, so the subdivision is provably inert here — same
-    * inertness design as the MinHash/SimHash bucket caps. The recall cost
-    * when it fires is the standard angular-LSH one (near-dups agreeing on
-    * all 8 sign bits; ≈0.9⁸≈43% per table at cos 0.95) — production would
-    * OR several plane bands, which is this same dataflow with a band
-    * column added to the block key. */
+  /** A label block larger than this is subdivided by banded LSH sign
+    * buckets before pairing. Below the threshold, within-block all-pairs
+    * is the CHEAPEST correct plan (a few hundred comparisons); above it,
+    * the O(block²) term is what kills a 100 TB corpus — one hot label
+    * with 10⁸ members is 10¹⁶ pairs — so oversized blocks switch to
+    * (label, band, bucket) blocking: each vector hashes into ONE of 256
+    * sign buckets per band, and a pair is a candidate if it collides in
+    * ANY of the [[NumBands]] bands (the standard multi-table angular-LSH
+    * OR, the same shape as MinHash banding). At cos 0.95 a single 8-bit
+    * table catches ≈0.9⁸≈43% of true pairs; OR-ing 4 independent bands
+    * lifts recall to ≈1−(1−0.43)⁴≈90% while each band still cuts a
+    * block 256-way. Max observed label block on the testdata is 218
+    * (sf0.1), 4.7× under the threshold, so the subdivision is provably
+    * inert here — same inertness design as the MinHash/SimHash caps;
+    * CapActivationSpec pins the live behavior on a synthetic hot label. */
   private val MaxEmbedBlockDocs = 1024
 
   /** Embedding-cosine near-dup: candidate pairs blocked on the coarse
     * cluster id (IVF-style blocking — cross-cluster pairs are never
     * materialized), scored exactly, thresholded. Oversized label blocks
-    * are sub-blocked by LSH sign bucket (see [[MaxEmbedBlockDocs]]) so no
+    * are sub-blocked by banded LSH (see [[MaxEmbedBlockDocs]]) so no
     * block is ever all-pairs at corpus scale; the block-size table is
-    * label-count-sized, hence always the broadcast side. */
+    * label-count-sized, hence always the broadcast side. Small labels
+    * carry one sentinel (band, blk) = (-1, -1) key — no bucket math, no
+    * row multiplication; oversized labels carry one row per band, and
+    * the final DISTINCT collapses pairs colliding in several bands
+    * (identical expression on identical inputs → bit-identical cos, so
+    * the distinct is exact in both engines). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val sizes = c.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    val bigKeys = array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"), bandBucket(b, col("v")).as("blk"))): _*)
+    val smallKeys = array(struct(lit(-1).as("band"), lit(-1L).as("blk")))
     val keyed = c.join(broadcast(sizes), Seq("label"))
-      .withColumn("blk", when(col("bn") <= MaxEmbedBlockDocs, lit(-1L))
-                           .otherwise(lshBucket(col("v"))))
-    val a = keyed.select(col("label"), col("blk"), col("vec_id").as("id_a"),
-                         col("v").as("va"), col("nrm").as("na"))
-    val b = keyed.select(col("label"), col("blk"), col("vec_id").as("id_b"),
-                         col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label", "blk"))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+              explode(when(col("bn") <= MaxEmbedBlockDocs, smallKeys)
+                        .otherwise(bigKeys)).as("bk"))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+              col("bk.band").as("band"), col("bk.blk").as("blk"))
+    val a = keyed.select(col("label"), col("band"), col("blk"),
+                         col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("label"), col("band"), col("blk"),
+                         col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label", "band", "blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
       .filter(col("cos") >= DupThreshold)
+      .distinct()
   }
 
-  val dedupEmbeddingSql: String =
+  val dedupEmbeddingSql: String = {
+    val bandBlk = (1 until NumBands).foldLeft(
+      s"WHEN band.b = 0 THEN ${bandBucketSql(0, "c.v")}") { (acc, b) =>
+        acc + s"\n              WHEN band.b = $b THEN ${bandBucketSql(b, "c.v")}"
+      }
     s"""WITH $corpusSql,
        |sz AS (SELECT label, COUNT(*) AS bn FROM corpus GROUP BY label),
        |keyed AS (
-       |  SELECT c.*, CASE WHEN sz.bn <= $MaxEmbedBlockDocs THEN -1
-       |                   ELSE ${lshBucketSql("c.v")} END AS blk
-       |  FROM corpus c JOIN sz ON sz.label = c.label)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  SELECT c.*,
+       |         CASE WHEN sz.bn <= $MaxEmbedBlockDocs THEN -1 ELSE band.b END AS band,
+       |         CASE WHEN sz.bn <= $MaxEmbedBlockDocs THEN -1
+       |              $bandBlk
+       |         END AS blk
+       |  FROM corpus c JOIN sz ON sz.label = c.label
+       |  CROSS JOIN (SELECT unnest([${(0 until NumBands).mkString(", ")}]) AS b) band
+       |  WHERE sz.bn > $MaxEmbedBlockDocs OR band.b = 0)
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |       ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
        |FROM keyed a JOIN keyed b
-       |  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
+       |  ON a.label = b.label AND a.band = b.band AND a.blk = b.blk
+       |     AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
+  }
 }

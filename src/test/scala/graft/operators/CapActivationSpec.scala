@@ -131,34 +131,45 @@ class CapActivationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     // recompute the expected blocking in plain Scala from the published
-    // planes: label 0 pairs require SAME sign bucket; label 1 does not
-    def bucket(v: Seq[Float]): Long =
-      Similarity.planes.zipWithIndex.map { case (p, j) =>
+    // planes: label 0 pairs require a shared sign bucket in SOME band
+    // (multi-band OR); label 1 pairs need nothing
+    def bucket(band: Int, v: Seq[Float]): Long =
+      (0 until 8).map { j =>
+        val p = Similarity.allPlanes(band * 8 + j)
         val dot = v.zip(p).map { case (x, h) => x.toDouble * h }.sum
         if (dot > 0) 1L << j else 0L
       }.sum
+    def buckets(v: Seq[Float]): Seq[Long] =
+      (0 until Similarity.NumBands).map(bucket(_, v))
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       def d(x: Seq[Float], y: Seq[Float]) =
         x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
       d(a, b) / math.sqrt(d(a, a) * d(b, b))
     }
-    // the scenario is as designed: clusters at cos ≥ 0.3 but in
-    // different buckets (fixed seed makes this deterministic)
+    // the scenario is as designed: cluster centers at cos ≥ 0.3 yet in
+    // different buckets in EVERY band (fixed seed -> deterministic)
     assert(cos(label0(0)._2, label0(1)._2) >= 0.3, "cluster centers drifted below threshold")
-    assert(bucket(label0(0)._2) != bucket(label0(1)._2), "clusters landed in one bucket")
-    val all = (label0.map(t => (t._1, t._2, 0, bucket(t._2))) ++
-               label1.map(t => (t._1, t._2, 1, -1L))) // small label: one block
+    assert(buckets(label0(0)._2).zip(buckets(label0(1)._2)).forall { case (x, y) => x != y },
+      "cluster centers collided in some band")
+    val all = (label0.map(t => (t._1, t._2, 0, buckets(t._2))) ++
+               label1.map(t => (t._1, t._2, 1, Seq(-1L)))) // small label: one block
     val expected = (for {
       a <- all; b <- all
-      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+      if a._1 < b._1 && a._3 == b._3
+      if a._4.zip(b._4).exists { case (x, y) => x == y } // OR over bands
       if cos(a._2, b._2) >= 0.3
     } yield (a._1, b._1)).toSet
     assert(got == expected)
-    // within-cluster pairs survive; cross-cluster pairs (even vec with
-    // odd vec) are excluded by the bucket split despite cos ≥ threshold
-    assert(got.exists { case (a, b) => a < 1100L && a % 2 == 0 && b % 2 == 0 })
-    assert(!got.exists { case (a, b) => a < 1100L && (a + b) % 2 == 1 },
-      "sub-blocking failed to exclude cross-cluster candidates")
+    // within-cluster pairs survive (tight cluster -> every band agrees);
+    // cross-cluster pairs above the cosine threshold are mostly excluded
+    // (a pair escapes only if some band's 8 bits all agree across a 60°
+    // angle) — label-only blocking would keep ALL of them
+    val within = got.count { case (a, b) => a < 1100L && (a + b) % 2 == 0 }
+    val cross = got.count { case (a, b) => a < 1100L && (a + b) % 2 == 1 }
+    val totalCross = 550 * 550
+    assert(within > 0)
+    assert(cross < totalCross / 2,
+      s"banded blocking excluded too few cross-cluster candidates: $cross of $totalCross")
     // and the small label pairs are present regardless of buckets
     assert(got.count { case (a, _) => a >= 2000L } == 3)
   }
