@@ -510,25 +510,41 @@ object Similarity {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val sizes = c.groupBy(col("label")).agg(count(lit(1)).as("bn"))
-    val bigKeys = array((0 until NumBands).map(b =>
-      struct(lit(b).as("band"), bandBucket(b, col("v")).as("blk"))): _*)
-    val smallKeys = array(struct(lit(-1).as("band"), lit(-1L).as("blk")))
-    val keyed = c.join(broadcast(sizes), Seq("label"))
-      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
-              explode(when(col("bn") <= MaxEmbedBlockDocs, smallKeys)
-                        .otherwise(bigKeys)).as("bk"))
-      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
-              col("bk.band").as("band"), col("bk.blk").as("blk"))
+    // adaptive plan choice on one scalar (the k-means-style tiny driver
+    // action): the banded branch bakes 32×64 plane literals into the
+    // plan, a ~0.5 s codegen-compile constant that would tax EVERY run
+    // of the common no-hot-label case for a branch no row ever takes.
+    // One cheap max() over the label histogram picks the small plan
+    // when sub-blocking cannot fire; results are identical by the same
+    // argument that makes the guard inert (the oracle stays the general
+    // banded form and hash-matches either plan).
+    val anyBig = sizes.agg(max(col("bn"))).first().getLong(0) > MaxEmbedBlockDocs
+    val keyed =
+      if (!anyBig)
+        c.select(col("label"), col("vec_id"), col("v"), col("nrm"),
+                 lit(-1).as("band"), lit(-1L).as("blk"))
+      else {
+        val bigKeys = array((0 until NumBands).map(b =>
+          struct(lit(b).as("band"), bandBucket(b, col("v")).as("blk"))): _*)
+        val smallKeys = array(struct(lit(-1).as("band"), lit(-1L).as("blk")))
+        c.join(broadcast(sizes), Seq("label"))
+          .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+                  explode(when(col("bn") <= MaxEmbedBlockDocs, smallKeys)
+                            .otherwise(bigKeys)).as("bk"))
+          .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+                  col("bk.band").as("band"), col("bk.blk").as("blk"))
+      }
     val a = keyed.select(col("label"), col("band"), col("blk"),
                          col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = keyed.select(col("label"), col("band"), col("blk"),
                          col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label", "band", "blk"))
+    val pairs = a.join(b, Seq("label", "band", "blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
       .filter(col("cos") >= DupThreshold)
-      .distinct()
+    // only multi-band keying can emit a pair twice
+    if (anyBig) pairs.distinct() else pairs
   }
 
   val dedupEmbeddingSql: String = {
