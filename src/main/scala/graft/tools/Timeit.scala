@@ -1,10 +1,14 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** Median-of-N timing for named queries (Bench runs each once, so a single
-  * noisy run can mislead tuning). Usage: Timeit <reps> <query>... */
+/** Median-of-N timing for named queries. Usage: Timeit [--count] <reps>
+  * <query>... — default times a noop-sink write (the full computation);
+  * `--count` times `count()` instead, matching the Bench/driver protocol
+  * (which prunes terminal projections of pure-map queries). */
 object Timeit {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val useCount = args0.headOption.contains("--count")
+    val args = if (useCount) args0.tail else args0
     val reps = args.head.toInt
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -18,12 +22,13 @@ object Timeit {
     for (n <- args.tail) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // noop sink, NOT count(): count() lets Catalyst prune terminal
-        // projections, so pure-map queries (redaction, quantization, …)
-        // would time only their scan — the noop write forces every row
-        // and column to be produced.
-        graft.SparkEntry.queries(n)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        // noop sink by default, NOT count(): count() lets Catalyst prune
+        // terminal projections, so pure-map queries (redaction,
+        // quantization, …) would time only their scan — the noop write
+        // forces every row and column to be produced.
+        if (useCount) df.count()
+        else df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = times(times.size / 2)

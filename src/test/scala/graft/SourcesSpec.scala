@@ -102,6 +102,37 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonKv(split).size == 5000)
   }
 
+  test("DSv2 kv split protocol: no loss or dup over random corpora and split sizes") {
+    // property-style sweep of the TextInputFormat boundary protocol:
+    // random line lengths (including lines LONGER than the split, which
+    // span several splits and must be read by exactly the split they
+    // start in), blank lines, and a coin-flip trailing newline
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 8) {
+      val out = s"$dir/kv_prop_$trial"
+      new java.io.File(out).mkdirs()
+      val nLines = 1 + rnd.nextInt(120)
+      val lines = (0 until nLines).map { i =>
+        if (rnd.nextInt(10) == 0) "" // blank line (dropped by the parse)
+        else s"k${trial}_$i " + ("v" * (1 + rnd.nextInt(200)))
+      }
+      val body = lines.mkString("\n") + (if (rnd.nextBoolean()) "\n" else "")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/f"), body)
+      val whole = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      // 50 < the max line length (some lines span several splits and
+      // must be read by exactly the split they start in)
+      for (split <- Seq(50, 333, 4096)) {
+        val got = spark.read.format(graft.sources.KvTextSource.Format)
+          .option(graft.sources.KvTextSource.SplitBytesOption, split.toString)
+          .load(out)
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(got == whole,
+          s"trial $trial split=$split: ${got.size} records vs ${whole.size}")
+      }
+    }
+  }
+
   test("DSv2 kv source reproduces the reference's two-token truncation parse") {
     val out = s"$dir/kv_trunc"
     new java.io.File(out).mkdirs()
