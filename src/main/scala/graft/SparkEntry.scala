@@ -75,6 +75,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_pii_redact"  -> (TextAnalysis.textPiiRedact _),
     "text_repetition"  -> (TextAnalysis.textRepetition _),
+    "text_ngram_vocab" -> (TextAnalysis.textNgramVocab _),
     // -- deterministic sampling / dataset splitting [EXT]
     "sample_split"      -> (Sampling.sampleSplit _),
     "sample_stratified" -> (Sampling.sampleStratified _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "text_fingerprint"      -> TextAnalysis.textFingerprintSql,
     "text_pii_redact"       -> TextAnalysis.textPiiRedactSql,
     "text_repetition"       -> TextAnalysis.textRepetitionSql,
+    "text_ngram_vocab"      -> TextAnalysis.textNgramVocabSql,
     "sample_split"          -> Sampling.sampleSplitSql,
     "sample_stratified"     -> Sampling.sampleStratifiedSql,
     "split_contamination"   -> Sampling.splitContaminationSql,

@@ -339,4 +339,69 @@ object TextAnalysis {
       |    % 1000000007 AS BIGINT) AS fingerprint,
       |  CAST(len(ts) AS BIGINT) AS n_tokens
       |FROM d""".stripMargin
+
+  /** Top bigrams kept per lang. */
+  private val VocabTopK = 20
+
+  /**
+   * Corpus n-gram vocabulary statistics [EXT]: the per-lang frequency
+   * table a tokenizer-training run (BPE merge selection) reads — top
+   * [[VocabTopK]] token bigrams per lang by total count, with document
+   * frequency. Shape at 100 TB: explode bigrams → ONE count aggregate
+   * with map-side partial combine (the df comes from the same aggregate
+   * via a per-doc distinct inside the array, not a second shuffle of the
+   * corpus) → per-lang top-k as one window over lang partitions of the
+   * already-aggregated (lang, bigram) table, which is vocabulary-sized,
+   * not corpus-sized. Ties rank deterministically (count DESC, bigram
+   * ASC).
+   */
+  def textNgramVocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(doc, bigram) multiplicities first: SUM over them gives the
+    // corpus count and COUNT gives document frequency from the SAME
+    // aggregate — no second shuffle of the exploded corpus for df
+    val perDoc = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        explode(filter(
+          transform(col("ts"), (x, i) =>
+            when(i + 1 < size(col("ts")),
+              concat_ws(" ", x, element_at(col("ts"), i + 2)))),
+          s => s.isNotNull)).as("bigram"))
+      .groupBy(col("lang"), col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = perDoc
+      .groupBy(col("lang"), col("bigram"))
+      .agg(sum(col("n")).as("total_count"), count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("total_count").desc, col("bigram").asc)
+    vocab.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VocabTopK)
+      .select(col("lang"), col("rnk"), col("bigram"),
+              col("total_count"), col("doc_freq"))
+  }
+
+  val textNgramVocabSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_filter(
+       |    list_transform(ts, (x, i) -> CASE WHEN i + 1 <= len(ts)
+       |      THEN x || ' ' || ts[i+1] END),
+       |    s -> s IS NOT NULL)) AS bigram
+       |  FROM d),
+       |per_doc AS (
+       |  SELECT lang, doc_id, bigram, COUNT(*) AS n
+       |  FROM g GROUP BY 1, 2, 3),
+       |vocab AS (
+       |  SELECT lang, bigram, CAST(SUM(n) AS BIGINT) AS total_count,
+       |         COUNT(*) AS doc_freq
+       |  FROM per_doc GROUP BY 1, 2)
+       |SELECT lang, CAST(rnk AS INT) AS rnk, bigram, total_count, doc_freq
+       |FROM (
+       |  SELECT lang, bigram, total_count, doc_freq,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY total_count DESC, bigram ASC) AS rnk
+       |  FROM vocab)
+       |WHERE rnk <= $VocabTopK""".stripMargin
 }

@@ -96,6 +96,13 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("deduplicate"), plan)
   }
 
+  test("corpus_prep's quality gate pushes the n_chars predicate into the parquet scan") {
+    val q = graft.operators.Pipeline.corpusPrep(spark, TestSpark.Sf0001)
+    val scan = q.queryExecution.executedPlan.toString
+    val pushed = scan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("n_chars"), s"expected n_chars pushed:\n$scan")
+  }
+
   test("q21 lowers EXISTS/NOT EXISTS to semi/anti hash joins with a top-k, no global sort") {
     val q = graft.operators.Relational.q21WaitingOrders(spark, TestSpark.Sf0001)
     q.collect() // finalize the adaptive plan
