@@ -7,9 +7,10 @@ import org.apache.hadoop.io.Text
 import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,17 +64,98 @@ object KvTextSource {
 }
 
 class KvTextTable(path: String, splitBytes: Option[String])
-    extends Table with SupportsRead {
-  require(path != null, "the graft kv source needs a path: .load(dir)")
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "the graft kv source needs a path: .load(dir)/.save(dir)")
   override def name(): String = s"graftkv:$path"
   override def schema(): StructType = KvTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
         new KvTextScan(path, splitBytes.map(_.toLong).getOrElse(Long.MaxValue))
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new KvTextBatchWrite(path,
+          new SerializableConfiguration(
+            SparkSession.active.sessionState.newHadoopConf()))
+      }
+    }
+}
+
+/**
+ * The reference's E8 commit protocol, implemented rather than delegated:
+ * each task writes its partition's `"{k} {v}"` lines to an
+ * ATTEMPT-UNIQUE temp file (≙ the uuid-suffixed intermediate names,
+ * `worker.rs:121-123`), flushes/fsyncs, and only the driver-side
+ * `commit` renames the winners to their final `part-<j>` names
+ * (≙ temp + fsync + atomic `rename` to `out/mr-out-<j>`,
+ * `worker.rs:185-189`). A failed/speculative attempt's file is never
+ * renamed and is deleted by `abort` — exactly-once visible output with
+ * at-least-once task execution, the same argument the reference makes.
+ */
+class KvTextBatchWrite(path: String, conf: SerializableConfiguration)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val out = new Path(path)
+    val fs = out.getFileSystem(conf.value)
+    messages.foreach { case KvCommit(temp, partition) =>
+      val dst = new Path(out, f"part-$partition%05d")
+      if (fs.exists(dst)) fs.delete(dst, false) // idempotent re-commit
+      if (!fs.rename(new Path(temp), dst))
+        throw new java.io.IOException(s"commit rename failed: $temp -> $dst")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.filter(_ != null).foreach { case KvCommit(temp, _) =>
+      fs.delete(new Path(temp), false)
+    }
+  }
+}
+
+case class KvCommit(tempFile: String, partition: Int) extends WriterCommitMessage
+
+class KvWriterFactory(path: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvFileWriter(path, partitionId, taskId, conf)
+}
+
+/** Task-side writer: attempt-unique temp file, `"{k} {v}"` lines. */
+class KvFileWriter(path: String, partitionId: Int, taskId: Long,
+                   conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val temp =
+    new Path(path, f".part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.tmp")
+  private val fs = temp.getFileSystem(conf.value)
+  private val out = fs.create(temp, true)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).toString.getBytes("UTF-8"))
+    out.write(' ')
+    out.write(row.getUTF8String(1).toString.getBytes("UTF-8"))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.hsync() // the reference fsyncs before reporting (worker.rs:138,187)
+    out.close()
+    KvCommit(temp.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(temp, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class KvTextScan(path: String, splitBytes: Long) extends Scan with Batch {

@@ -133,6 +133,48 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DSv2 kv WRITE commits via temp + rename (E8 protocol), round-trips exactly") {
+    import org.apache.spark.sql.functions.col
+    val out = s"$dir/kv_write"
+    val kv = docs.selectExpr("cast(doc_id as string) as key", "lang as value")
+    kv.write.format(graft.sources.KvTextSource.Format).mode("append").save(out)
+    // all temp files renamed away; visible files are the finals (the
+    // local ChecksumFileSystem's .crc sidecars are dotfiles the reader
+    // skips — same class as _SUCCESS markers)
+    val leftover = new java.io.File(out).listFiles().map(_.getName)
+    assert(!leftover.exists(_.contains(".tmp")), leftover.toSeq)
+    val visible = leftover.filterNot(_.startsWith("."))
+    assert(visible.nonEmpty && visible.forall(_.startsWith("part-")), leftover.toSeq)
+    val back = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val want = kv.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(back == want)
+  }
+
+  test("DSv2 kv write: failed first attempts leave no dupes and no temp residue") {
+    import spark.implicits._
+    val out = s"$dir/kv_write_flaky"
+    val kv = spark.range(0, 200, 1, 6)
+      .selectExpr("cast(id as string) as key", "'v' as value")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() % 2 == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException(
+            s"injected write-task failure: partition ${tc.partitionId()}")
+        it
+      }.toDF("key", "value")
+    kv.write.format(graft.sources.KvTextSource.Format).mode("append").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(!files.exists(_.contains(".tmp")),
+      s"failed attempts must not leave temp files: ${files.toSeq}")
+    assert(files.filterNot(_.startsWith(".")).forall(_.startsWith("part-")),
+      s"only committed part files may be visible: ${files.toSeq}")
+    val back = spark.read.format(graft.sources.KvTextSource.Format).load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(back == (0L until 200L), "committed output must be exactly-once")
+  }
+
   test("DSv2 kv source reproduces the reference's two-token truncation parse") {
     val out = s"$dir/kv_trunc"
     new java.io.File(out).mkdirs()
