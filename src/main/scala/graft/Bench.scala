@@ -34,10 +34,26 @@ object Bench {
         if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of sbt output (the r03
+    // line at full double precision was ~2600 chars and came back
+    // "parsed": null). Emit the one contract line compacted to a precision
+    // that is guaranteed to fit the tail window, full precision first for
+    // human diagnosis (front-truncation of that earlier line is harmless).
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""#fullprec value=$total queries=$full""")
+    val compact = (3 to 1 by -1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    println(compact)
     spark.stop()
   }
 }
