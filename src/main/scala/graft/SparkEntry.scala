@@ -76,10 +76,13 @@ object SparkEntry {
     "text_pii_redact"  -> (TextAnalysis.textPiiRedact _),
     "text_repetition"  -> (TextAnalysis.textRepetition _),
     "text_ngram_vocab" -> (TextAnalysis.textNgramVocab _),
+    "text_boilerplate" -> (TextAnalysis.textBoilerplate _),
+    "text_unigram_lm"  -> (TextAnalysis.textUnigramLm _),
     // -- deterministic sampling / dataset splitting [EXT]
     "sample_split"      -> (Sampling.sampleSplit _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "split_contamination" -> (Sampling.splitContamination _),
+    "split_ngram_decontam" -> (Sampling.splitNgramDecontam _),
     "corpus_prep"         -> (Pipeline.corpusPrep _),
     // -- similarity search [EXT]
     "ann_bruteforce_topk" -> (Similarity.annBruteforceTopk _),
@@ -166,9 +169,12 @@ object SparkEntry {
     "text_pii_redact"       -> TextAnalysis.textPiiRedactSql,
     "text_repetition"       -> TextAnalysis.textRepetitionSql,
     "text_ngram_vocab"      -> TextAnalysis.textNgramVocabSql,
+    "text_boilerplate"      -> TextAnalysis.textBoilerplateSql,
+    "text_unigram_lm"       -> TextAnalysis.textUnigramLmSql,
     "sample_split"          -> Sampling.sampleSplitSql,
     "sample_stratified"     -> Sampling.sampleStratifiedSql,
     "split_contamination"   -> Sampling.splitContaminationSql,
+    "split_ngram_decontam"  -> Sampling.splitNgramDecontamSql,
     "corpus_prep"           -> Pipeline.corpusPrepSql,
     "ann_bruteforce_topk"   -> Similarity.annBruteforceTopkSql,
     "ann_ivf_topk"          -> Similarity.annIvfTopkSql,

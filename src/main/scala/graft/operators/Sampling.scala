@@ -95,6 +95,80 @@ object Sampling {
        |JOIN sp sb ON sb.doc_id = pairs.doc_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** Overlapping n-gram width for exact-match decontamination. */
+  private val DecontamN = 5
+
+  /** Shared-n-gram count at which a (train, test) pair is a leak. */
+  private val DecontamMinShared = 3
+
+  /** Document-frequency cap on decontamination n-grams: a gram shared by
+    * more docs than this is boilerplate, carries no contamination signal,
+    * and would contribute O(df_train · df_test) join rows — the same
+    * quadratic edge the jaccard shingle df-cap closes. Testdata max df is
+    * 3, so the gate proves the cap inert at sf0.01/sf0.1. */
+  private val DecontamDfCap = 64
+
+  /**
+   * Exact n-gram train/test decontamination [EXT] — the standard
+   * benchmark-leakage check (the "13-gram overlap" rule of web-scale LLM
+   * corpora, width [[DecontamN]] here to suit the synthetic corpus):
+   * for every (train doc, test doc) pair sharing ≥ 1 distinct
+   * [[DecontamN]]-gram, count the shared grams and flag pairs at
+   * ≥ [[DecontamMinShared]] as leaks. Complements [[splitContamination]]:
+   * that one scores MinHash near-dup pairs, this one is the exact-match
+   * path that catches verbatim quote-level leakage near-dup hashing
+   * misses.
+   *
+   * Scale shape at 100 TB: grams are hashed per row (md5-derived 60-bit),
+   * de-duplicated per doc by ONE aggregate, and df-capped before the
+   * train⨝test equi-join on the 8-byte hash — no gram text ever crosses a
+   * shuffle, and the hot-gram quadratic edge is closed by construction.
+   */
+  def splitNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import Tables.md5Long
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+              split(col("text"), "\\s+").as("ts"))
+    val grams = d.select(col("doc_id"), col("split"),
+        explode(expr(
+          s"""CASE WHEN size(ts) >= $DecontamN
+             |  THEN transform(sequence(1, size(ts) - ${DecontamN - 1}),
+             |         i -> array_join(slice(ts, i, $DecontamN), ' '))
+             |  ELSE array() END""".stripMargin)).as("gram"))
+      .select(col("split"), col("doc_id"), md5Long(col("gram")).as("h"))
+      .distinct()
+    val dfAll = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare = grams.join(dfAll.filter(col("df") <= DecontamDfCap), "h")
+    val train = rare.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val test = rare.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    train.join(test, "h")
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("flag",
+        when(col("n_shared") >= DecontamMinShared, "leak").otherwise("ok"))
+  }
+
+  val splitNgramDecontamSql: String =
+    s"""WITH d AS (SELECT doc_id, $splitSqlExpr AS split,
+       |                  string_split_regex(text, '\\s+') AS ts FROM documents),
+       |g0 AS (SELECT doc_id, split,
+       |        unnest(CASE WHEN len(ts) >= $DecontamN
+       |          THEN list_transform(range(1, len(ts) - ${DecontamN - 2}),
+       |                 i -> array_to_string(ts[i : i + ${DecontamN - 1}], ' '))
+       |          ELSE [] END) AS gram FROM d),
+       |h AS (SELECT DISTINCT split, doc_id,
+       |        CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h FROM g0),
+       |dfall AS (SELECT h, COUNT(*) AS df FROM h GROUP BY 1),
+       |tr AS (SELECT h.doc_id AS train_doc, h.h FROM h JOIN dfall USING (h)
+       |       WHERE split = 'train' AND df <= $DecontamDfCap),
+       |te AS (SELECT h.doc_id AS test_doc, h.h FROM h JOIN dfall USING (h)
+       |       WHERE split = 'test' AND df <= $DecontamDfCap)
+       |SELECT train_doc, test_doc, CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |  CASE WHEN COUNT(*) >= $DecontamMinShared THEN 'leak' ELSE 'ok' END AS flag
+       |FROM tr JOIN te USING (h) GROUP BY 1, 2""".stripMargin
+
   /** Per-stratum k. */
   private val PerStratum = 5
 

@@ -340,6 +340,159 @@ object TextAnalysis {
       |  CAST(len(ts) AS BIGINT) AS n_tokens
       |FROM d""".stripMargin
 
+  // -------------------------------------------------------- boilerplate
+
+  /** Segment width (words) for boilerplate hashing. CCNet hashes lines;
+    * the synthetic corpus has no newlines, so fixed 2-word segments stand
+    * in — measured df distribution (max 29 ≈ 5.8% of docs at sf0.01) makes
+    * the 5% threshold sparse-but-active on real testdata, not inert. */
+  private val ChunkWords = 2
+
+  /** A segment is boilerplate when it appears in ≥ max(2, 5%) of docs. */
+  private val BoilerDfPct = 5
+
+  /**
+   * Line-level boilerplate removal [EXT] (the CCNet dedup-by-line-hash
+   * family): segment every document into fixed-width word chunks, count
+   * each chunk's document frequency corpus-wide, and strip chunks that
+   * appear in ≥ max(2, [[BoilerDfPct]]%) of documents. Emits per-doc
+   * retention stats plus an md5 witness of the cleaned text (kept chunks
+   * re-joined in position order).
+   *
+   * Scale shape at 100 TB: chunking is a per-row array transform (no
+   * shuffle); df is ONE hash aggregate over (chunk-hash, doc) — the
+   * shuffle carries an 8-byte md5-derived hash, never chunk text — with
+   * df derived from the per-doc multiplicities exactly like
+   * [[textTfidf]]'s tf→df derivation; the flag join is an equi-join on
+   * that same hash. The df threshold is computed in pure integer
+   * arithmetic (`(n_docs·5+99) div 100`) — a fractional literal here
+   * would parse as DECIMAL in the oracle and double in Scala and the
+   * `df >= n_docs·0.05` comparison could disagree on exact boundaries.
+   */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    val chunks = d.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, (size(ts) + ${ChunkWords - 1}) div $ChunkWords - 1),
+             |  i -> struct(i as idx,
+             |              array_join(slice(ts, i * $ChunkWords + 1, $ChunkWords), ' ') as chunk,
+             |              size(slice(ts, i * $ChunkWords + 1, $ChunkWords)) as nw))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"), col("c.chunk").as("chunk"),
+              col("c.nw").as("n_words"), md5Long(col("c.chunk")).as("h"))
+    val perDoc = chunks.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))
+    val dfT = perDoc.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val kept = when(!col("is_boiler"), col("n_words")).otherwise(lit(0L))
+    chunks.join(dfT, "h").crossJoin(broadcast(n))
+      .withColumn("is_boiler",
+        col("df") >= greatest(lit(2L), expr(s"(n_docs * $BoilerDfPct + 99) div 100")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(kept).as("n_kept_tokens"),
+        (sum(when(col("is_boiler"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("boiler_frac"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("is_boiler"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")), " ")).as("cleaned_md5"))
+  }
+
+  val textBoilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |ch AS (
+       |  SELECT doc_id, u.idx AS chunk_idx, u.chunk AS chunk, u.nw AS n_words,
+       |         CAST(('0x' || substring(md5(u.chunk), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range((len(ts) + ${ChunkWords - 1}) // $ChunkWords),
+       |            i -> {'idx': i,
+       |                  'chunk': array_to_string(ts[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords], ' '),
+       |                  'nw': len(ts[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords])})) AS u
+       |        FROM d)),
+       |per_doc AS (SELECT h, doc_id, COUNT(*) AS m FROM ch GROUP BY 1, 2),
+       |dft AS (SELECT h, COUNT(*) AS df FROM per_doc GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |fl AS (
+       |  SELECT ch.*, dft.df,
+       |         dft.df >= GREATEST(2, (n.n_docs * $BoilerDfPct + 99) // 100) AS is_boiler
+       |  FROM ch JOIN dft USING (h) CROSS JOIN n)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN NOT is_boiler THEN n_words ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+       |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac,
+       |  md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' '
+       |                          ORDER BY chunk_idx), '')) AS cleaned_md5
+       |FROM fl GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- unigram LM
+
+  /** Band cutoffs sit inside the measured score distribution (quartiles
+    * ≈ 3.398 / 3.402 / 3.405, max 3.71 at sf0.01) so the bands are
+    * discriminative, not decorative. */
+  private val LmGoodUpTo = 3.4
+  private val LmMidUpTo = 3.41
+
+  /**
+   * Unigram language-model quality scoring [EXT] — the KenLM-perplexity
+   * stand-in every web-corpus pipeline runs: train add-one-smoothed
+   * unigram frequencies on the TRAIN split (assignment shared with
+   * [[Sampling.sampleSplit]]), then score every document by its mean
+   * negative log-likelihood, with OOV counts and a quality band.
+   *
+   * Scale shape: the vocabulary is a token-level aggregate (map-side
+   * partial combine) whose result is vocabulary-sized — broadcast to the
+   * scoring join, so scoring is a single pass over the exploded corpus
+   * with NO shuffle on the corpus side beyond the per-doc re-aggregate.
+   * Float playbook: ln-derived doubles are rounded to 6 decimals before
+   * banding/output; the band cutoffs compare the SAME rounded double in
+   * both engines.
+   */
+  def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+              explode(toks(col("text"))).as("tok"))
+    val vocab = d.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t_total"), count(lit(1)).as("v_size"))
+    val avg = round(sum(col("neglogp")) / count(lit(1)), 6)
+    d.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("neglogp",
+        -log((col("c0") + 1).cast("double") / (col("t_total") + col("v_size")).cast("double")))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c0") === 0, 1L).otherwise(0L)).as("n_oov"),
+        avg.as("avg_neg_logp"),
+        when(avg <= LmGoodUpTo, "good").when(avg <= LmMidUpTo, "mid")
+          .otherwise("poor").as("lm_band"))
+  }
+
+  val textUnigramLmSql: String =
+    s"""WITH d AS (SELECT doc_id, ${Sampling.splitSqlExpr} AS split,
+       |                  string_split_regex(text, '\\s+') AS ts FROM documents),
+       |tok AS (SELECT doc_id, split, unnest(ts) AS tok FROM d),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM tok WHERE split = 'train' GROUP BY 1),
+       |totals AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab),
+       |scored AS (
+       |  SELECT t.doc_id, t.split, coalesce(v.c, 0) AS c,
+       |         -ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE) / (tt.t_total + tt.v_size)) AS neglogp
+       |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt)
+       |SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(SUM(neglogp) / COUNT(*), 6) AS avg_neg_logp,
+       |  CASE WHEN round(SUM(neglogp) / COUNT(*), 6) <= $LmGoodUpTo THEN 'good'
+       |       WHEN round(SUM(neglogp) / COUNT(*), 6) <= $LmMidUpTo THEN 'mid'
+       |       ELSE 'poor' END AS lm_band
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
   /** Top bigrams kept per lang. */
   private val VocabTopK = 20
 
