@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout for forked runs: sbt's default LoggedOutput prefixes every
+// stdout line with "[info] ", which breaks line-oriented JSON parsing of
+// the Bench/Verify contract output (a parser looking for a line starting
+// with '{' never finds one).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

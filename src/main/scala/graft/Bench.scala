@@ -35,24 +35,30 @@ object Bench {
       name -> median
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // The driver captures only the last ~2000 chars of sbt output (the r03
-    // line at full double precision was ~2600 chars and came back
-    // "parsed": null). Emit the one contract line compacted to a precision
-    // that is guaranteed to fit the tail window, full precision first for
-    // human diagnosis (front-truncation of that earlier line is harmless).
+    // The driver captures only the last 2000 chars of sbt output and
+    // (empirically, r01-r03) parses the contract line from that tail: the
+    // line must be COMPLETE inside the window alongside sbt's trailing
+    // "[success] Total time..." (~75 chars). Emit the one contract line
+    // compacted to fit ≤1900 chars, full precision first for human
+    // diagnosis (front-truncation of that earlier line is harmless).
     def fmt(v: Double, dp: Int): String =
       if (v < 0) "-1"
       else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
+    // dp >= 1: uniform precision. dp = 0: keep one decimal below 1 s
+    // (where all the information is) but round whole seconds above it.
+    def fmtq(v: Double, dp: Int): String =
+      if (dp >= 1) fmt(v, dp) else fmt(v, if (v < 1) 1 else 0)
+    val sfName = new java.io.File(sfDir).getName // "sf0.1", not the path
     def line(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtq(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""#fullprec value=$total queries=$full""")
-    val compact = (3 to 1 by -1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    println(s"""#fullprec value=$total sf=$sfDir queries=$full""")
+    val compact = (3 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
     println(compact)
     spark.stop()
   }
