@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,9 +58,18 @@ object Bench {
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""#fullprec value=$total sf=$sfDir queries=$full""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+    // full precision lands in a file (the tail window can't hold it);
+    // best-effort — a read-only cwd must not fail the bench
+    try Files.writeString(Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     val compact = (3 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
-    println(compact)
+    // stop BEFORE printing the contract line: Spark shutdown may log a
+    // WARN to stderr, and anything interleaved after the line pushes it
+    // out of the driver's bounded capture window
     spark.stop()
+    println(s"#fullprec $fullLine")
+    println(compact)
   }
 }

@@ -542,4 +542,79 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5""".stripMargin
+
+  /** Duplicated-span window width in tokens. The exact-substring dedup
+    * literature uses 50-token windows over BPE ids; 10 suits the 10–99
+    * token synthetic docs with the same collision behavior (tiny vocab,
+    * so only genuine clone spans repeat at width 10). */
+  private val SubstrW = 10
+
+  /**
+   * Exact duplicated-substring detection [EXT] — the window-level twin of
+   * exact-substring training-data dedup (suffix-array dedup à la
+   * "Deduplicating Training Data Makes Language Models Better"): hash
+   * every [[SubstrW]]-token window (stride 1), find windows occurring
+   * more than once in the corpus, and score each document by how much of
+   * it is duplicated span. A pipeline would cut or down-weight documents
+   * with high `dup_pm`; unlike doc-level MinHash this catches a copied
+   * paragraph inside an otherwise-unique document.
+   *
+   * Scale shape: windows are hashed per row (no window text crosses a
+   * shuffle — only the 8-byte hash), duplicated hashes come from one
+   * count-aggregate, and the mark-back is an equi-join on the hash whose
+   * build side is only the duplicated-window set (near-dup mass, ≪
+   * corpus; AQE broadcasts it until it genuinely outgrows memory). The
+   * per-occurrence window table is 1:W with the token count — the same
+   * constant-factor blowup the suffix-array build pays on disk.
+   */
+  def dedupSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("n_windows",
+        greatest(lit(0L), size(col("ts")).cast("long") - (SubstrW - 1)))
+    val wins = d
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ts) >= $SubstrW
+           |  THEN transform(sequence(1, size(ts) - ${SubstrW - 1}),
+           |         i -> array_join(slice(ts, i, $SubstrW), ' '))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("win"))
+      .select(col("doc_id"), md5Long(col("win")).as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val perDoc = wins.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    d.select(col("doc_id"), col("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_pm",
+        when(col("n_windows") === 0, 0L)
+          .otherwise(expr("(n_dup * 1000000) div n_windows")))
+  }
+
+  val dedupSubstrSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |base AS (
+       |  SELECT doc_id, GREATEST(0, len(ts) - ${SubstrW - 1}) AS n_windows FROM d),
+       |wins AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(win), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(CASE WHEN len(ts) >= $SubstrW
+       |            THEN list_transform(range(1, len(ts) - ${SubstrW - 2}),
+       |                   i -> array_to_string(ts[i : i + ${SubstrW - 1}], ' '))
+       |            ELSE [] END) AS win
+       |        FROM d)),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup FROM wins JOIN dup USING (h)
+       |  GROUP BY 1)
+       |SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CASE WHEN b.n_windows = 0 THEN 0
+       |       ELSE (CAST(COALESCE(p.n_dup, 0) AS BIGINT) * 1000000) // b.n_windows
+       |  END AS dup_pm
+       |FROM base b LEFT JOIN perdoc p ON p.doc_id = b.doc_id""".stripMargin
 }

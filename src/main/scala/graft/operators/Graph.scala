@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Graph analytics over the near-dup similarity graph [EXT]: PageRank on
+ * the MinHash-LSH candidate-pair graph ([[Dedup.dedupMinhashLsh]]). In a
+ * training-data pipeline this is the standard centrality pass over a
+ * document-similarity (or citation/link) graph — rank mass concentrates
+ * on documents with many near-duplicates, which is a strong popularity /
+ * boilerplate signal for mixing and filtering decisions.
+ *
+ * Scale shape: each iteration is one equi-join of the edge list against
+ * the current rank vector plus one sum-aggregate — the classic
+ * Pregel/GraphX PageRank dataflow, shuffling only (node, contribution)
+ * pairs. Iteration count is fixed ([[PrIters]]), so the plan is a
+ * bounded chain; edges are checkpointed once so the LSH signature
+ * pipeline never re-runs across iterations.
+ *
+ * Determinism: double-precision PageRank sums contributions in
+ * accumulation order, which no distributed engine fixes. All arithmetic
+ * here is 64-bit integer in micro-units ([[PrOne]] = 1.0): contributions
+ * are `pr div deg`, the damped update is
+ * `0.15 + 0.85 · Σ contrib` in micros with integer div — associative,
+ * partitioning-independent, and bit-identical in the DuckDB oracle.
+ */
+object Graph {
+
+  /** Fixed iteration count (rank mass settles quickly on shallow
+    * near-dup clusters; a web-graph deployment would run ~20). */
+  private val PrIters = 5
+
+  /** 1.0 in integer micro-units. */
+  private val PrOne = 1000000L
+
+  /** Damping factor 0.85 in micro-units. */
+  private val Damp = 850000L
+
+  /** PageRank over the undirected LSH candidate graph: nodes are the
+    * documents appearing in any candidate pair, every edge runs both
+    * ways. Returns (doc_id, deg, pr) with pr in micro-units. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var pr = deg.withColumn("pr", lit(PrOne))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr, edges("doc_a") === pr("doc_id"))
+        .select(col("doc_b").as("doc_id"),
+                expr("pr div deg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("c"))
+      // symmetric graph: every node with an edge also receives one, so
+      // the inner join keeps exactly the node set
+      pr = deg.join(contrib, "doc_id")
+        .select(col("doc_id"), col("deg"),
+                (lit(PrOne - Damp) + expr(s"($Damp * c) div $PrOne")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Oracle: identical integer PageRank, iterations unrolled as chained
+    * CTEs over the shared LSH pair CTE chain. */
+  val graphPagerankSql: String = {
+    def iter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT d.doc_id, d.deg,
+         |         ${PrOne - Damp} + ($Damp * s.c) // $PrOne AS pr
+         |  FROM deg d JOIN (
+         |    SELECT e.doc_b AS doc_id, CAST(SUM(p.pr // p.deg) AS BIGINT) AS c
+         |    FROM edges e JOIN it${k - 1} p ON p.doc_id = e.doc_a
+         |    GROUP BY 1) s ON s.doc_id = d.doc_id)""".stripMargin
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (
+       |  SELECT doc_a AS doc_id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |it0 AS (SELECT doc_id, deg, CAST($PrOne AS BIGINT) AS pr FROM deg),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr
+       |FROM it$PrIters""".stripMargin
+  }
+}

@@ -184,6 +184,79 @@ object Sampling {
        |  CASE WHEN COUNT(*) >= $DecontamMinShared THEN 'leak' ELSE 'ok' END AS flag
        |FROM tr JOIN te USING (h) GROUP BY 1, 2""".stripMargin
 
+  /** Salt isolating the mixing sample from the split hash. */
+  private val MixSalt = "graft_mix_v1:"
+
+  /**
+   * Deterministic domain mixing [EXT] — resample the corpus to a target
+   * relative weight per `source` domain (the data-recipe step of every
+   * large pretraining corpus: N× up-weight curated domains, down-weight
+   * crawl). Down-sampling only: the scaling constant c is chosen as
+   * `min_s(n_s·10⁶ div w_s)` so the most under-represented domain keeps
+   * (up to floor rounding) all its documents and every other domain keeps
+   * `k_s = (c·w_s) div 10⁶ ≤ n_s` — the largest corpus achieving the
+   * target mix without repetition. Selection within a domain is the
+   * [[PerStratum]]-style smallest-salted-hash prefix, so membership is
+   * stable under corpus growth and engine-reproducible.
+   *
+   * Scale shape: one count per domain (tiny agg), the scalar c via a
+   * broadcast of that domain table, one window per domain partition for
+   * the rank. Integer arithmetic throughout — no float weight ever
+   * crosses an engine boundary.
+   */
+  def mixDomains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              md5Long(concat(lit(MixSalt), col("doc_id").cast("string"))).as("h"))
+    // target relative weight per domain, derived from the domain id so
+    // the demo needs no side-channel config: src0,src4,… → 1 … src3,src7,… → 4
+    val weighted = docs.withColumn("w",
+      expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"))
+    val byDomain = weighted.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_docs"))
+    val c = byDomain.agg(min(expr("(n_docs * 1000000) div w")).as("c"))
+    val quota = byDomain.crossJoin(broadcast(c))
+      .withColumn("k", expr("(c * w) div 1000000"))
+      .select(col("source"), col("w"), col("n_docs"), col("k"))
+    val rnk = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    weighted
+      .withColumn("rnk", row_number().over(rnk))
+      .join(broadcast(quota.select(col("source"), col("k"))), "source")
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(quota), "source")
+      .withColumn("kept_pm",
+        expr("(n_kept * 1000000) div CAST(SUM(n_kept) OVER () AS BIGINT)"))
+      .select(col("source"), col("w"), col("n_docs"), col("n_kept"),
+              col("kept_pm"))
+  }
+
+  val mixDomainsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |         CAST(('0x' || substring(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |         CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w
+       |  FROM documents),
+       |bydom AS (
+       |  SELECT source, w, COUNT(*) AS n_docs FROM docs GROUP BY 1, 2),
+       |c AS (SELECT MIN((n_docs * 1000000) // w) AS c FROM bydom),
+       |quota AS (
+       |  SELECT source, w, n_docs, (c.c * w) // 1000000 AS k FROM bydom, c),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rnk
+       |  FROM docs),
+       |kept AS (
+       |  SELECT r.source, COUNT(*) AS n_kept
+       |  FROM ranked r JOIN quota q ON q.source = r.source
+       |  WHERE r.rnk <= q.k GROUP BY 1)
+       |SELECT source, CAST(w AS BIGINT) AS w, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_kept AS BIGINT) AS n_kept,
+       |       (CAST(n_kept AS BIGINT) * 1000000) // CAST(SUM(n_kept) OVER () AS BIGINT) AS kept_pm
+       |FROM kept JOIN quota USING (source)""".stripMargin
+
   /** Per-stratum k. */
   private val PerStratum = 5
 

@@ -564,4 +564,60 @@ object TextAnalysis {
        |           ORDER BY total_count DESC, bigram ASC) AS rnk
        |  FROM vocab)
        |WHERE rnk <= $VocabTopK""".stripMargin
+
+  /** Chunk width / stride in whitespace tokens. A production pipeline
+    * chunks at 512–8192 BPE tokens; 32/24 suits the 10–99-token
+    * synthetic docs while exercising the identical dataflow. */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /**
+   * Sliding-window document chunking [EXT] — the context-window
+   * segmentation step of both pretraining tokenization and RAG indexing:
+   * split each document into [[ChunkLen]]-token windows advancing by
+   * [[ChunkStride]] (¼ overlap), with a short final window covering the
+   * tail and a content hash per chunk for downstream chunk-level dedup.
+   *
+   * Scale shape: pure per-row map + explode — zero shuffle; chunk count
+   * per doc is `1 + ceil((len−C)/S)`, so output size is a fixed ~4/3 of
+   * input tokens regardless of corpus size.
+   */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("len", size(col("ts")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"""1 + (CASE WHEN len > $ChunkLen
+           |     THEN (len - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride
+           |     ELSE 0 END)""".stripMargin))
+      .select(col("doc_id"), col("ts"), col("len"),
+              explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)"))
+                .as("chunk_id"))
+      .withColumn("start_tok", lit(1L) + col("chunk_id") * ChunkStride)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(ChunkLen.toLong),
+              col("len") - col("start_tok") + 1L).as("n_tokens"),
+        md5Long(array_join(
+          expr(s"slice(ts, CAST(start_tok AS INT), $ChunkLen)"), " "))
+          .as("h"))
+
+  val textChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, ts, len(ts) AS len,
+       |         1 + (CASE WHEN len(ts) > $ChunkLen
+       |              THEN (len(ts) - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+       |              ELSE 0 END) AS n_chunks
+       |  FROM d),
+       |e AS (
+       |  SELECT doc_id, ts, len, unnest(range(0, n_chunks)) AS chunk_id FROM l)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(1 + chunk_id * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(LEAST($ChunkLen, len - (1 + chunk_id * $ChunkStride) + 1) AS BIGINT) AS n_tokens,
+       |  CAST(('0x' || substring(md5(array_to_string(
+       |    ts[CAST(1 + chunk_id * $ChunkStride AS INT) :
+       |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+       |FROM e""".stripMargin
 }
