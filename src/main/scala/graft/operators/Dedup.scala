@@ -229,11 +229,15 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
+      // LAZY checkpoint: the labelSum action right below materializes it,
+      // so each round schedules one job instead of two (measured ~equal
+      // at sf0.1 — the round's join+agg dominates — but one fewer job
+      // per round is free scheduler headroom on a busy cluster)
       val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("label"))
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -490,24 +494,30 @@ object Dedup {
   private val MaxShingleDf = 128
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // the (lang, shingle) key collapses to one md5-derived 60-bit hash
+    // BEFORE anything shuffles: the self-join and the hot-list anti-join
+    // compare 8-byte longs instead of ~25-char strings, and no shingle
+    // text ever leaves the scan stage
     val shAll = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), col("lang"), explode(shingles3(col("ts"))).as("shingle"))
-    val hot = shAll.groupBy(col("lang"), col("shingle"))
+      .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
+              col("lang"))
+      .select(col("doc_id"),
+              md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h"))
+    val hot = shAll.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
-      .select(col("lang"), col("shingle"))
+      .select(col("h"))
     // materialize the filtered shingle rows ONCE: three consumers (set
     // sizes + both join sides) would otherwise each re-run the scan +
     // explode + anti-join (measured 15% slower at sf0.1). A cluster
     // pipeline persists this table to storage for the same reason —
     // it is also the reusable artifact incremental dedup reads back.
-    val sh = shAll.join(hot, Seq("lang", "shingle"), "left_anti").localCheckpoint(true)
+    val sh = shAll.join(hot, Seq("h"), "left_anti").localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -522,19 +532,19 @@ object Dedup {
     s"""WITH ts AS (
        |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
        |sh_all AS (
-       |  SELECT doc_id, lang, unnest($shingles3Sql) AS shingle FROM ts),
+       |  SELECT doc_id,
+       |         CAST(('0x' || substring(md5(lang || chr(1) || shingle), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, lang, unnest($shingles3Sql) AS shingle FROM ts)),
        |hot AS (
-       |  SELECT lang, shingle FROM sh_all
-       |  GROUP BY lang, shingle HAVING COUNT(*) > $MaxShingleDf),
+       |  SELECT h FROM sh_all GROUP BY h HAVING COUNT(*) > $MaxShingleDf),
        |sh AS (
        |  SELECT s.* FROM sh_all s
-       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
-       |                    WHERE h.lang = s.lang AND h.shingle = s.shingle)),
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot ho WHERE ho.h = s.h)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
        |  FROM sh a JOIN sh b
-       |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard

@@ -57,11 +57,14 @@ object Graph {
                 expr("pr div deg").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("c"))
       // symmetric graph: every node with an edge also receives one, so
-      // the inner join keeps exactly the node set
+      // the inner join keeps exactly the node set. No per-iteration
+      // checkpoint: unlike the run-to-fixpoint CC loop there is no
+      // per-round driver action here, and the unrolled chain is a
+      // bounded 5-deep linear plan that fuses into one job (measured
+      // 2.4 → 2.0 s at sf0.1; the rest is the LSH pair pipeline).
       pr = deg.join(contrib, "doc_id")
         .select(col("doc_id"), col("deg"),
                 (lit(PrOne - Damp) + expr(s"($Damp * c) div $PrOne")).as("pr"))
-        .localCheckpoint(true)
     }
     pr
   }
