@@ -51,10 +51,12 @@ object Bench {
     def fmtq(v: Double, dp: Int): String =
       if (dp >= 1) fmt(v, dp) else fmt(v, if (v < 1) 1 else 0)
     val sfName = new java.io.File(sfDir).getName // "sf0.1", not the path
-    def line(dp: Int): String = {
+    def line(dp: Int, sf: Boolean = true, unit: Boolean = true): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtq(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      val unitPart = if (unit) "\"unit\":\"sec\"," else ""
+      val sfPart = if (sf) s""","sf":"$sfName"""" else ""
+      s"""{"metric":"total","value":${fmt(total, 1)},$unitPart"queries":$qs$sfPart}"""
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -64,7 +66,23 @@ object Bench {
     // best-effort — a read-only cwd must not fail the bench
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () }
-    val compact = (3 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    // Fallback ladder. Preferred: the full per-query map at decreasing
+    // precision. Once the surface outgrows the window (~85 keys is the
+    // structural ceiling), keep the SLOWEST queries — the only ones
+    // whose timings carry signal above the ~0.1-0.3 s per-query floor —
+    // and say how many floor-bound entries were dropped
+    // ("queries_omitted"), so the line is never mistaken for complete.
+    // Every query at full precision is in BENCH_DETAIL.json + #fullprec.
+    def subsetLine(keep: Int): String = {
+      val slowest = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,""" +
+        s""""queries_omitted":${results.size - keep},"sf":"$sfName"}"""
+    }
+    val candidates = (3 to 0 by -1).map(line(_)).iterator ++
+      Iterator.range(results.size, 0, -5).map(subsetLine)
+    val compact = candidates.find(_.length <= 1880).getOrElse(subsetLine(20))
     // stop BEFORE printing the contract line: Spark shutdown may log a
     // WARN to stderr, and anything interleaved after the line pushes it
     // out of the driver's bounded capture window

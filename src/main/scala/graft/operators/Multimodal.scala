@@ -214,4 +214,31 @@ object Multimodal {
        |                    least(frame_idx * $FrameBytes + $FrameBytes, n_bytes)),
        |    i -> ord(text[i]))) AS BIGINT) AS frame_sum
        |FROM fr""".stripMargin
+
+  /**
+   * Content-addressed media dedup [EXT]: group identical payloads by
+   * their md5-derived content hash, blocked by format (an image and an
+   * audio clip with equal bytes are still different assets). This is the
+   * storage-dedup pass every multimodal corpus runs before any decode:
+   * at 100 TB the shuffle carries (hash, format, doc_id) — never the
+   * payload bytes — and the groups drive both dedup and CAS layout.
+   * The payload here is the document's UTF-8 bytes (see [[mediaTable]]),
+   * so the oracle reproduces the hash from `text` exactly.
+   */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("format"),
+              Tables.md5Long(col("payload")).as("content_hash"))
+      .groupBy(col("format"), col("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+           count(lit(1)).as("n_copies"))
+  }
+
+  val mediaDedupSql: String =
+    s"""WITH $mediaSql
+       |SELECT format,
+       |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+       |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+       |FROM media GROUP BY 1, 2""".stripMargin
 }

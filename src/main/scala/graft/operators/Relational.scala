@@ -288,6 +288,39 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
 
+  /**
+   * TPC-H Q13 shape (customer distribution): LEFT OUTER join customers to
+   * a filtered orders table, count orders per customer (null-safe — a
+   * customer with no qualifying orders counts 0), then histogram the
+   * counts. The aggregate-of-aggregate with an outer join is the one
+   * classic shape the surface lacked: the first agg shuffles on custkey
+   * (orders side pre-filtered at the scan), the second on the tiny count
+   * domain. The reference dataset has no o_comment, so the classic
+   * NOT-LIKE filter becomes an o_orderpriority exclusion — same plan.
+   * Ref: TPC-H spec §B.13; cf. /root/reference/README.md (query surface).
+   */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = t(spark, dir, "customer").select(col("c_custkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val q5Sql: String =
     """SELECT r_name, n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
