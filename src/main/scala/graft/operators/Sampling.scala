@@ -200,9 +200,17 @@ object Sampling {
    * stable under corpus growth and engine-reproducible.
    *
    * Scale shape: one count per domain (tiny agg), the scalar c via a
-   * broadcast of that domain table, one window per domain partition for
-   * the rank. Integer arithmetic throughout — no float weight ever
-   * crosses an engine boundary.
+   * broadcast of that domain table, then DISTRIBUTED SELECTION of each
+   * domain's k smallest hashes: a naive `row_number() over (partition by
+   * source)` would sort one whole domain per reducer — a single-machine
+   * sort of a billion-doc domain at corpus scale. Instead a 256-bucket
+   * histogram of the top hash bits (one tiny aggregate) locates the
+   * bucket containing each domain's k-th order statistic; everything in
+   * lower buckets is kept by a pure filter, and only the ~1/256-of-a-
+   * domain boundary bucket is ever ranked. Output is IDENTICAL to the
+   * naive rank (the k smallest by (h, doc_id)), so the oracle keeps the
+   * simple formulation — same pattern as the salted join gated against
+   * the plain-join oracle. Integer arithmetic throughout.
    */
   def mixDomains(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -213,18 +221,39 @@ object Sampling {
     // the demo needs no side-channel config: src0,src4,… → 1 … src3,src7,… → 4
     val weighted = docs.withColumn("w",
       expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"))
+      .withColumn("bkt", expr(s"h div ${1L << 52}")) // top 8 of 60 hash bits
     val byDomain = weighted.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("n_docs"))
     val c = byDomain.agg(min(expr("(n_docs * 1000000) div w")).as("c"))
     val quota = byDomain.crossJoin(broadcast(c))
       .withColumn("k", expr("(c * w) div 1000000"))
       .select(col("source"), col("w"), col("n_docs"), col("k"))
-    val rnk = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    weighted
-      .withColumn("rnk", row_number().over(rnk))
+    // per-(domain, bucket) occupancy + running count below each bucket:
+    // domains × 256 rows — broadcast-sized at any corpus size
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = weighted.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
       .join(broadcast(quota.select(col("source"), col("k"))), "source")
-      .filter(col("rnk") <= col("k"))
+    // bucket entirely under the k-th order statistic → keep by filter;
+    // the single bucket straddling it → rank just that 1/256 slice
+    val keepAll = hist.filter(col("below") + col("cnt") <= col("k"))
+      .select(col("source"), col("bkt"))
+    val boundary = hist
+      .filter(col("below") < col("k") && col("below") + col("cnt") > col("k"))
+      .select(col("source"), col("bkt"), (col("k") - col("below")).as("room"))
+    val wB = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val keptBoundary = weighted
+      .join(broadcast(boundary), Seq("source", "bkt"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= col("room"))
+      .select(col("source"), col("doc_id"))
+    val kept = weighted.join(broadcast(keepAll), Seq("source", "bkt"), "left_semi")
+      .select(col("source"), col("doc_id"))
+      .union(keptBoundary)
+    kept
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .join(broadcast(quota), "source")
       .withColumn("kept_pm",
