@@ -553,6 +553,64 @@ object Dedup {
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5""".stripMargin
 
+  /**
+   * Incremental dedup [EXT] — the production shape of near-dup detection
+   * once a corpus is live: an incoming batch (here the `src0` slice — a
+   * new crawl dump) is matched against the EXISTING corpus index, not
+   * all-pairs against itself. Candidates are (new, old) pairs sharing
+   * any MinHash band; per new document the match count and the earliest
+   * matching old document come back, 0/NULL for clean docs.
+   *
+   * Scale shape: at 100 TB the old side's banded signatures are a
+   * precomputed, persisted artifact (the same table the batch pipeline's
+   * [[bandedSignaturesOf]] emits) — the incremental run only signatures
+   * the new batch and equi-joins it against the index on (band, sig).
+   * Hot index buckets beyond [[MaxBucketDocs]] are dropped exactly like
+   * the batch path's (a templated signature would otherwise fan every
+   * matching new doc out ×bucket); the new side needs no cap — each new
+   * doc meets a bucket once per band.
+   */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val newDocs = docs.filter(col("source") === "src0")
+    val oldBuckets = bandedSignaturesOf(docs.filter(col("source") =!= "src0"))
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxBucketDocs)
+    val perNew = bandedSignaturesOf(newDocs)
+      .join(oldBuckets, Seq("band", "sig"))
+      .select(col("doc_id").as("new_doc"), explode(col("ids")).as("old_doc"))
+      .distinct()
+      .groupBy(col("new_doc"))
+      .agg(count(lit(1)).as("n_matches"), min(col("old_doc")).as("first_match"))
+    newDocs.select(col("doc_id").as("new_doc"))
+      .join(perNew, Seq("new_doc"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""$bandedSignaturesSql,
+       |sides AS (SELECT doc_id, source = 'src0' AS is_new FROM documents),
+       |oldsz AS (
+       |  SELECT band, sig FROM bands JOIN sides USING (doc_id)
+       |  WHERE NOT is_new
+       |  GROUP BY band, sig HAVING COUNT(*) <= $MaxBucketDocs),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_doc, ob.doc_id AS old_doc
+       |  FROM bands nb
+       |  JOIN sides sn ON sn.doc_id = nb.doc_id AND sn.is_new
+       |  JOIN bands ob ON ob.band = nb.band AND ob.sig = nb.sig
+       |  JOIN sides so ON so.doc_id = ob.doc_id AND NOT so.is_new
+       |  JOIN oldsz ON oldsz.band = ob.band AND oldsz.sig = ob.sig),
+       |pernew AS (
+       |  SELECT new_doc, COUNT(*) AS n_matches, MIN(old_doc) AS first_match
+       |  FROM cand GROUP BY 1)
+       |SELECT d.doc_id AS new_doc,
+       |  CAST(COALESCE(p.n_matches, 0) AS BIGINT) AS n_matches,
+       |  p.first_match
+       |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+       |LEFT JOIN pernew p ON p.new_doc = d.doc_id""".stripMargin
+
   /** Duplicated-span window width in tokens. The exact-substring dedup
     * literature uses 50-token windows over BPE ids; 10 suits the 10–99
     * token synthetic docs with the same collision behavior (tiny vocab,

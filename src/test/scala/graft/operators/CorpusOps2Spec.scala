@@ -125,6 +125,52 @@ class CorpusOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._2).sum <= deg.size * 1000000L)
   }
 
+  // ------------------------------------------------------------- dedup_incr
+
+  test("dedupIncremental matches new docs against the old index only") {
+    import spark.implicits._
+    val sub = s"$dir/incr"
+    // src0 = incoming batch; srcX = existing corpus. Doc 1 clones old doc
+    // 10; doc 2 is unique; old docs 11/12 clone each other (must NOT
+    // produce a match — old-old pairs are the batch pipeline's job).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val uniq = "one two three four five six seven eight nine ten " * 3
+    Seq((1L, base, "src0"), (2L, uniq, "src0"),
+        (10L, base, "srcA"), (11L, s"$base extra", "srcA"),
+        (12L, s"$base extra", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+              col("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    val out = Dedup.dedupIncremental(spark, sub)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))      // one row per NEW doc only
+    assert(out(1L)._1 >= 1)                // the clone is caught...
+    assert(out(1L)._2 == 10L)              // ...earliest old match
+    assert(out(2L) == (0L, -1L))           // clean doc: 0 matches, NULL
+  }
+
+  // ------------------------------------------------------------ ann_pq_topk
+
+  test("annPqTopk returns dense per-query top-5 with monotone ADC scores") {
+    val rows = Similarity.annPqTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 8 && rows.length == 40)
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))        // dense ranks
+      assert(sorted.forall(_._3 != q))                  // never itself
+      // scores non-increasing in rank (ties broken by neighbor id)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+  }
+
   // ------------------------------------------------------------- ann_rerank
 
   test("annRerank == bruteforce top-k on this corpus (coarse stage loses nothing)") {
