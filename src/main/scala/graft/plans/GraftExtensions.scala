@@ -17,8 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator lowering for the native as-of join (live sessions can
     // use spark.experimental.extraStrategies instead); column pruning
-    // through the node comes free from Catalyst's generic ColumnPruning
+    // through the node comes free from Catalyst's generic ColumnPruning,
+    // but FILTER pushdown needs the custom rule (stock PushDownPredicate
+    // does not know the node) — see AsofJoinFilterPushdown
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => AsofJoinFilterPushdown)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
