@@ -493,11 +493,16 @@ object Dedup {
     * anti-join, not a second shuffle of the shingle rows. */
   private val MaxShingleDf = 128
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // the (lang, shingle) key collapses to one md5-derived 60-bit hash
-    // BEFORE anything shuffles: the self-join and the hot-list anti-join
-    // compare 8-byte longs instead of ~25-char strings, and no shingle
-    // text ever leaves the scan stage
+  /**
+   * Shared candidate machinery for the shingle-set similarity family
+   * (Jaccard and containment): every pair of documents sharing at least
+   * one non-hot shingle, with the intersection size and both set sizes.
+   * The (lang, shingle) key collapses to one md5-derived 60-bit hash
+   * BEFORE anything shuffles: the self-join and the hot-list anti-join
+   * compare 8-byte longs instead of ~25-char strings, and no shingle
+   * text ever leaves the scan stage.
+   */
+  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
     val shAll = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
@@ -523,12 +528,11 @@ object Dedup {
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-              (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
   }
 
-  val dedupNgramJaccardSql: String =
+  /** DuckDB twin of [[shinglePairCounts]] — the shared CTE prefix ending
+    * in a `pairs(doc_a, doc_b, n_inter, na, nb)` relation. */
+  private val shinglePairCountsSql: String =
     s"""WITH ts AS (
        |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
        |sh_all AS (
@@ -545,13 +549,54 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
        |  FROM sh a JOIN sh b
        |    ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, n_inter, ca.n AS na, cb.n AS nb
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b)""".stripMargin
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+              (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+
+  val dedupNgramJaccardSql: String =
+    s"""$shinglePairCountsSql
        |SELECT doc_a, doc_b,
-       |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
-       |FROM inter
-       |JOIN cnt ca ON ca.doc_id = doc_a
-       |JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5""".stripMargin
+       |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5""".stripMargin
+
+  /** Containment pair threshold: |A∩B| / min(|A|, |B|). */
+  private val MinContainment = 0.8
+
+  /**
+   * Containment near-dup detection [EXT]: pairs where the SMALLER
+   * document's shingle set is ≥80% inside the larger one's —
+   * |A∩B| / min(|A|,|B|). Jaccard misses sub-document duplication (a
+   * chapter pasted into a book scores |chapter|/|book| ≈ 0); containment
+   * is the standard complement (the metric behind suffix-style "doc B
+   * contains doc A" filters). Identical candidate machinery and scale
+   * shape as [[dedupNgramJaccard]] — hashed shingles, df-capped hot
+   * list, one materialized shingle table — only the denominator differs,
+   * so the 100 TB analysis (no quadratic edge past the cap) carries over
+   * unchanged.
+   */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+              least(col("na"), col("nb")).as("n_min"),
+              (col("n_inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= MinContainment)
+
+  val dedupContainmentSql: String =
+    s"""$shinglePairCountsSql
+       |SELECT doc_a, doc_b, n_inter, LEAST(na, nb) AS n_min,
+       |  CAST(n_inter AS DOUBLE) / LEAST(na, nb) AS containment
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / LEAST(na, nb) >= $MinContainment""".stripMargin
 
   /**
    * Incremental dedup [EXT] — the production shape of near-dup detection

@@ -620,4 +620,101 @@ object TextAnalysis {
        |    ts[CAST(1 + chunk_id * $ChunkStride AS INT) :
        |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
        |FROM e""".stripMargin
+
+  // ----------------------------------------------------------------- BM25
+
+  /** BM25 query terms (frequent corpus tokens so every SF has matches)
+    * and the standard Okapi parameters. TfScale is (k1+1) written as ONE
+    * literal — computing 1.2+1.0 gives 2.2000000000000002, a different
+    * double than the literal 2.2 an oracle would parse. */
+  private val Bm25Terms = Seq("join", "vector", "stream", "filter")
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+  private val Bm25TfScale = 2.2 // k1 + 1, as a single round-trip literal
+  private val Bm25TopK = 20
+
+  /**
+   * BM25 retrieval [EXT]: score every document against a fixed term set
+   * and return the global top-20 — the lexical half of a retrieval
+   * pipeline (the dense half is ann_*). Shape per 100 TB:
+   *
+   *  - term frequencies only materialize for the query terms — the tf
+   *    aggregate's input is pre-filtered to |terms| tokens per doc, so
+   *    the shuffle carries O(docs × |terms|), not the whole token stream;
+   *  - document length comes from the same single token scan; corpus
+   *    stats (N, avg dl) are a one-row broadcast;
+   *  - per-term scores are pivoted into fixed columns and summed in
+   *    fixed syntactic order (sums of doubles are accumulation-order-
+   *    dependent; a groupBy-sum over term rows would be partitioning-
+   *    dependent and could never hash-match an oracle);
+   *  - the global top-k is TakeOrderedAndProject (per-partition top-20
+   *    merged on the driver), never a full sort.
+   *
+   * Every division keeps one DOUBLE operand so neither engine falls into
+   * decimal arithmetic; the ln-derived score is rounded to 6 before
+   * ranking per the cross-engine float playbook.
+   */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+                       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                       (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", round(
+        col("idf") * (col("tf").cast("double") * lit(Bm25TfScale)) /
+        (col("tf").cast("double") +
+         lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+                        lit(Bm25B) * col("dl").cast("double") / col("avgdl"))), 6))
+    val piv = Bm25Terms.map(term =>
+      coalesce(max(when(col("tok") === term, col("s"))), lit(0.0)).as(s"s_$term"))
+    val total = Bm25Terms.map(term => col(s"s_$term")).reduceLeft(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(piv.head, piv.tail: _*)
+      .withColumn("score", total)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  val textBm25Sql: String = {
+    val termList = Bm25Terms.map(term => s"'$term'").mkString(", ")
+    val pivots = Bm25Terms.map(term =>
+      s"coalesce(MAX(CASE WHEN tok = '$term' THEN s END), 0.0) AS s_$term").mkString(",\n      |    ")
+    val totalExpr = Bm25Terms.map(term => s"s_$term").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       |       WHERE tok IN ($termList) GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    round(
+       |      ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * $Bm25TfScale)
+       |      / (CAST(tf AS DOUBLE)
+       |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / avgdl)),
+       |      6) AS s
+       |  FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |piv AS (
+       |  SELECT doc_id,
+       |    $pivots
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, ${Bm25Terms.map(term => s"s_$term").mkString(", ")},
+       |       $totalExpr AS score
+       |FROM piv
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
 }

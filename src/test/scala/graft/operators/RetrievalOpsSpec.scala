@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+/**
+ * Semantics the DuckDB hash gate can't express for the lexical-retrieval
+ * additions: BM25's ranking laws on controlled corpora, and containment
+ * catching sub-document duplication that Jaccard structurally misses.
+ */
+class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = graft.TestSpark.spark
+
+  private var dir: String = _
+  override def beforeAll(): Unit =
+    dir = java.nio.file.Files.createTempDirectory("graft_retr").toString
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  private def writeDocs(name: String, docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val sub = s"$dir/$name"
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+              lit("synthetic").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    sub
+  }
+
+  // -------------------------------------------------------------- text_bm25
+
+  test("bm25: higher tf at equal length ranks higher; longer doc at equal tf ranks lower") {
+    // pad with tokens that are not query terms so dl is controlled
+    def doc(joins: Int, pad: Int) =
+      (Seq.fill(joins)("join") ++ Seq.fill(pad)("pad")).mkString(" ")
+    val d = writeDocs("bm25_laws", Seq(
+      1L -> doc(4, 16), // tf=4, dl=20
+      2L -> doc(2, 18), // tf=2, dl=20  -> must score below doc 1
+      3L -> doc(2, 38), // tf=2, dl=40  -> must score below doc 2
+      4L -> doc(0, 20)  // no query terms -> score 0, still a corpus member
+    ))
+    val out = TextAnalysis.textBm25(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(2L), s"tf law violated: $out")
+    assert(out(2L) > out(3L), s"dl law violated: $out")
+    assert(!out.contains(4L) || out(4L) == 0.0)
+  }
+
+  test("bm25: a rarer term outscores a common one at identical tf/dl") {
+    // 'vector' appears in 1 of 6 docs, 'join' in all 6 — idf(vector) > idf(join)
+    val d = writeDocs("bm25_idf", Seq(
+      1L -> "vector pad pad pad",
+      2L -> "join pad pad pad",
+      3L -> "join pad pad pad",
+      4L -> "join pad pad pad",
+      5L -> "join pad pad pad",
+      6L -> "join pad pad pad"
+    ))
+    val out = TextAnalysis.textBm25(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(2L), s"idf law violated: $out")
+  }
+
+  // ------------------------------------------------------ dedup_containment
+
+  test("containment flags a chapter pasted into a book; jaccard misses it") {
+    val chapter = (1 to 40).map(i => s"w$i").mkString(" ")
+    val filler = (1000 to 1400).map(i => s"f$i").mkString(" ")
+    val d = writeDocs("containment", Seq(
+      1L -> chapter,                  // the small doc
+      2L -> (filler + " " + chapter), // contains it verbatim, 10x larger
+      3L -> (1 to 40).map(i => s"z$i").mkString(" ") // unrelated control
+    ))
+    val cont = Dedup.dedupContainment(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)), s"expected exactly the contained pair, got $cont")
+    val jac = Dedup.dedupNgramJaccard(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "jaccard should miss sub-document duplication (that's why containment exists)")
+  }
+
+  test("containment is bounded by 1 and symmetric in pair orientation (doc_a < doc_b)") {
+    val out = Dedup.dedupContainment(spark, graft.TestSpark.Sf0001).collect()
+    for (r <- out) {
+      assert(r.getLong(0) < r.getLong(1))
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0, s"containment out of range: $c")
+    }
+  }
+}
