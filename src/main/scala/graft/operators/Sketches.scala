@@ -160,4 +160,74 @@ object Sketches {
        |            ELSE round(CAST(${(K - 1).toDouble} AS DOUBLE) * ${M.toDouble} / kth_min, 6)
        |       END AS est_distinct
        |FROM k""".stripMargin
+
+  // ------------------------------------------------------ count-min sketch
+
+  /** CMS geometry: 4 independent hash rows × 1024 columns = 4096 integer
+    * registers total, regardless of corpus size. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsTopK = 10
+
+  /**
+   * Count-Min heavy hitters [EXT]: per-user event counts estimated from a
+   * fixed 4×1024 integer sketch, reported for the true top-10 users next
+   * to their exact counts. The registers are plain integer sums, so the
+   * oracle reproduces the whole sketch bit-for-bit — the gate checks the
+   * sketch, not an error bound — and CMS's one-sided guarantee
+   * (estimate ≥ exact) is part of the output contract (`overcount ≥ 0`).
+   *
+   * Scale story: the exact top-k needs a full groupBy over every distinct
+   * user (fine here, the verification column); the sketch needs O(1)
+   * state — 4096 counters — merged by + across partitions. At 100 TB the
+   * sketch is what you keep: registers aggregate map-side to ≤4096 rows
+   * per partition before one tiny exchange; point queries then cost 4
+   * register lookups (the broadcast join below).
+   */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"))
+    // 4 (row, col) cells per event: row r uses md5(r \x01 user) % width
+    val cells = ev
+      .select(col("user_id"),
+              explode(array((0 until CmsDepth).map(lit): _*)).as("r"))
+      .select(col("user_id"), col("r"),
+              pmod(md5Long(concat_ws("\u0001", col("r"), col("user_id"))),
+                   lit(CmsWidth)).as("c"))
+    val regs = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val top = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+      .limit(CmsTopK)
+    // point query: est = min over the 4 rows of the addressed register
+    val probes = top
+      .select(col("user_id"), col("exact_cnt"),
+              explode(array((0 until CmsDepth).map(lit): _*)).as("r"))
+      .select(col("user_id"), col("exact_cnt"), col("r"),
+              pmod(md5Long(concat_ws("\u0001", col("r"), col("user_id"))),
+                   lit(CmsWidth)).as("c"))
+    probes.join(broadcast(regs), Seq("r", "c"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
+              (col("est_cnt") - col("exact_cnt")).as("overcount"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    s"""WITH rows AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+       |cells AS (
+       |  SELECT e.user_id, rows.r,
+       |         CAST(('0x' || substring(md5(CAST(rows.r AS VARCHAR) || chr(1) || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsWidth AS c
+       |  FROM events e CROSS JOIN rows),
+       |regs AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+       |  ORDER BY exact_cnt DESC, user_id ASC LIMIT $CmsTopK),
+       |probes AS (
+       |  SELECT t.user_id, t.exact_cnt, rows.r,
+       |         CAST(('0x' || substring(md5(CAST(rows.r AS VARCHAR) || chr(1) || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsWidth AS c
+       |  FROM top t CROSS JOIN rows)
+       |SELECT p.user_id, p.exact_cnt, MIN(g.cnt) AS est_cnt,
+       |       MIN(g.cnt) - p.exact_cnt AS overcount
+       |FROM probes p JOIN regs g ON g.r = p.r AND g.c = p.c
+       |GROUP BY 1, 2""".stripMargin
 }

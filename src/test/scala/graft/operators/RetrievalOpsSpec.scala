@@ -93,4 +93,37 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c >= 0.8 && c <= 1.0, s"containment out of range: $c")
     }
   }
+
+  // ------------------------------------------------------ cms_heavy_hitters
+
+  test("count-min: estimate >= exact for the reported users; overcount column agrees") {
+    val out = Sketches.cmsHeavyHitters(spark, graft.TestSpark.Sf0001).collect()
+    assert(out.length == 10)
+    for (r <- out) {
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS one-sided guarantee violated: est=$est < exact=$exact")
+      assert(over == est - exact)
+    }
+  }
+
+  test("count-min: the one-sided guarantee holds for EVERY user, not just the top-10") {
+    // rebuild the 4x1024 sketch with the query's own hash primitives and
+    // probe every distinct user — CMS must never undercount anyone
+    import graft.operators.Tables.md5Long
+    val ev = Tables.events(spark, graft.TestSpark.Sf0001).select(col("user_id"))
+    val cells = ev
+      .select(col("user_id"), explode(array((0 until 4).map(lit): _*)).as("r"))
+      .select(col("user_id"), col("r"),
+              pmod(md5Long(concat_ws("\u0001", col("r"), col("user_id"))), lit(1024)).as("c"))
+    val regs = cells.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    // register mass conservation: each of the 4 rows holds every event once
+    val total = ev.count()
+    val rowMass = regs.groupBy("r").agg(sum("cnt").as("m")).collect()
+    assert(rowMass.length == 4 && rowMass.forall(_.getLong(1) == total), rowMass.toSeq)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val est = cells.join(regs, Seq("r", "c"))
+      .groupBy("user_id").agg((min("cnt")).as("est"))
+    val viol = exact.join(est, "user_id").filter(col("est") < col("exact")).count()
+    assert(viol == 0, s"$viol users undercounted")
+  }
 }
