@@ -204,6 +204,47 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact side of a shuffle join") {
+    // The non-partitioned sibling of DPP: when the fact table is NOT
+    // partitioned by the join key, a selective creation-side filter can
+    // still prune the application side at runtime — Spark builds a bloom
+    // filter from the filtered dim keys and injects
+    // bloom_filter_might_contain(l_orderkey) above the fact scan, so most
+    // fact rows die before the shuffle instead of after it. Size
+    // thresholds are scaled to test data; the mechanism is what a 100 TB
+    // fact-fact join uses when bucketing/partitioning don't apply.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.operators.Tables.t(spark, TestSpark.Sf0001, "lineitem")
+      val ord = graft.operators.Tables.t(spark, TestSpark.Sf0001, "orders")
+        .filter(col("o_totalprice") > 400000) // selective, non-key column
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+             optimized.contains("bloom_filter_agg"),
+             s"runtime bloom filter was not injected:\n$optimized")
+      // correctness: identical to the un-filtered-plan computation
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join's multiset on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
