@@ -241,4 +241,51 @@ object Events {
       |  FROM c JOIN st ON c.user_id = st.user_id
       |  WHERE n > 1 AND n * s2 - s * s > 0)
       |SELECT user_id, event_id, cents, n, z FROM z WHERE abs(z) > 2""".stripMargin
+
+  /**
+   * Cohort retention triangle [EXT]: users grouped by first-active day;
+   * for each (cohort, days-since-cohort) cell, the distinct users active
+   * that day, the cohort size, and retention in integer per-mille
+   * (doubles never enter — the cell is pure integer arithmetic). Day
+   * granularity because the corpus spans one month; the week/month
+   * variants differ only in the date_trunc unit.
+   *
+   * Scale shape: the (user, day) activity grid is pre-deduped in one
+   * exchange (distinct carries 16 bytes/row); first-activity and the
+   * activity join both key on user_id — the same partitioning reused
+   * across the user-keyed steps — and the final cell aggregate is
+   * O(cohorts × horizon) rows with the size table broadcast back.
+   */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, "user_id")
+      .withColumn("days_since", expr("CAST(datediff(day, cohort_day) AS BIGINT)"))
+      .groupBy(col("cohort_day"), col("days_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+              col("days_since"), col("n_active"), col("cohort_size"),
+              expr("n_active * 1000 div cohort_size").as("retention_pm"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |fst AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM fst GROUP BY 1),
+      |act AS (
+      |  SELECT f.cohort_day,
+      |         date_diff('day', f.cohort_day, e.day) AS days_since,
+      |         COUNT(DISTINCT e.user_id) AS n_active
+      |  FROM ev e JOIN fst f USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |       CAST(days_since AS BIGINT) AS days_since,
+      |       n_active, cohort_size,
+      |       n_active * 1000 // cohort_size AS retention_pm
+      |FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day""".stripMargin
 }

@@ -895,4 +895,76 @@ object Similarity {
        |     AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
   }
+
+  // ----------------------------------------------------- hybrid retrieval
+
+  /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60) and the
+    * per-channel candidate depth / fused output size. */
+  private val RrfK = 60
+  private val RrfDepth = 20
+  private val RrfTopK = 10
+
+  /**
+   * Hybrid retrieval [EXT]: reciprocal-rank fusion of the lexical channel
+   * (BM25 top-20, [[TextAnalysis.textBm25]]) and the dense channel
+   * (exact-cosine top-20 for query vector 0; the synthetic corpus aligns
+   * doc_id with vec_id). RRF(d) = Σ_channels 1/(k + rank_channel(d)),
+   * with a missing channel contributing 0 — rank fusion needs no score
+   * calibration between channels, which is why it is the default fusion
+   * in production hybrid search.
+   *
+   * Scale shape: each channel reduces to its top-20 via
+   * TakeOrderedAndProject BEFORE any window — the rank row_number only
+   * ever sees ≤20 rows, so the unpartitioned window is a constant-size
+   * driver-side step, not a global sort. The fusion join is 20×20 rows.
+   * RRF scores are 1/(k+rank) on integer ranks summed in fixed channel
+   * order — no libm, bit-identical on any engine.
+   */
+  def annHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val denseTop = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(RrfDepth)
+    val dense = denseTop.withColumn("r_dense",
+      row_number().over(Window.orderBy(col("cos").desc, col("id").asc)))
+    val lex = TextAnalysis.textBm25(spark, dir)
+      .select(col("doc_id").as("id"), col("score"))
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+    dense.select(col("id"), col("r_dense"))
+      .join(lex.select(col("id"), col("r_lex")), Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("r_lex"), col("r_dense"),
+              (coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+               coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)))
+                .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(RrfTopK)
+  }
+
+  val annHybridRrfSql: String =
+    s"""WITH $corpusSql,
+       |dense_top AS (
+       |  SELECT c.vec_id AS id, ${dotSql("q.qv", "c.v")} / (q.qn * c.nrm) AS cos
+       |  FROM corpus c
+       |  CROSS JOIN (SELECT v AS qv, nrm AS qn FROM corpus WHERE vec_id = 0) q
+       |  WHERE c.vec_id <> 0
+       |  ORDER BY cos DESC, id ASC LIMIT $RrfDepth),
+       |dense AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS INT) AS r_dense
+       |  FROM dense_top),
+       |lex0 AS (${TextAnalysis.textBm25Sql}),
+       |lex AS (
+       |  SELECT doc_id AS id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r_lex
+       |  FROM lex0)
+       |SELECT coalesce(d.id, l.id) AS doc_id, r_lex, r_dense,
+       |       coalesce(CAST(1 AS DOUBLE) / ($RrfK + r_lex), 0.0)
+       |         + coalesce(CAST(1 AS DOUBLE) / ($RrfK + r_dense), 0.0) AS rrf_score
+       |FROM dense d FULL OUTER JOIN lex l ON d.id = l.id
+       |ORDER BY rrf_score DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin
 }

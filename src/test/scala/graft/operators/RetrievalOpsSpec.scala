@@ -94,6 +94,55 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------- ann_hybrid_rrf
+
+  test("rrf: fused output is consistent with its two channels' ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val sf = graft.TestSpark.Sf0001
+    val out = Similarity.annHybridRrf(spark, sf).collect()
+    assert(out.length == 10)
+    for (r <- out) {
+      val (rl, rd) = (Option(r.get(1)), Option(r.get(2)))
+      assert(rl.nonEmpty || rd.nonEmpty, "a fused doc must come from some channel")
+      val expected =
+        rl.map(x => 1.0 / (60 + x.asInstanceOf[Int])).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x.asInstanceOf[Int])).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"rrf score mismatch on $r")
+    }
+    // monotone: output is sorted by fused score desc
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // a doc present in BOTH channels at rank 1 would dominate any
+    // single-channel doc; more weakly: the top fused doc's score must be
+    // >= the best achievable single-channel score
+    assert(scores.head >= 1.0 / 61)
+  }
+
+  test("rrf: each channel is cut to its depth before any window (no global sort)") {
+    val q = Similarity.annHybridRrf(spark, graft.TestSpark.Sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  // --------------------------------------------------------- events_retention
+
+  test("retention triangle laws: day-0 is the full cohort; cells bounded by cohort size") {
+    val out = Events.eventsRetention(spark, graft.TestSpark.Sf0001).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (ds, active, size, pm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ds >= 0)
+      assert(active >= 1 && active <= size, s"cell exceeds cohort: $r")
+      assert(pm == active * 1000 / size)
+      if (ds == 0) assert(active == size, s"day-0 must be the whole cohort: $r")
+    }
+    // cohort sizes sum to the distinct-user universe
+    val universe = Tables.events(spark, graft.TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    val sums = out.filter(_.getLong(1) == 0).map(_.getLong(3)).sum
+    assert(sums == universe, s"cohorts must partition users: $sums != $universe")
+  }
+
   // ------------------------------------------------------ cms_heavy_hitters
 
   test("count-min: estimate >= exact for the reported users; overcount column agrees") {
