@@ -621,6 +621,62 @@ object TextAnalysis {
        |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
        |FROM e""".stripMargin
 
+  // ------------------------------------------------- linear quality filter
+
+  /** Classifier decision thresholds on the rounded sigmoid score. */
+  private val ClfKeepFrom = 0.52
+  private val ClfReviewFrom = 0.48
+
+  /**
+   * Linear quality-classifier inference [EXT]: the fastText/CCNet-style
+   * document filter — hash each token into a weight table, average the
+   * weights, squash through a sigmoid, band into keep/review/drop. This
+   * is the *inference dataflow* of the standard LLM-corpus quality
+   * classifier; the weight table here is a deterministic stand-in
+   * (w(tok) = md5(tok) mod 2001 − 1000 ∈ [−1000, 1000] — i.e. the hash
+   * IS the lookup), where production broadcasts a trained table keyed by
+   * the same bucket hash. Swapping real weights changes no plan shape.
+   *
+   * Determinism: weights are INTEGERS summed exactly (a double-weight
+   * sum would be accumulation-order-dependent and could never
+   * hash-match); the single division and the sigmoid's exp happen once
+   * per document on identical operands, rounded to 6 per the
+   * cross-engine float playbook. Zero shuffles beyond the per-doc
+   * aggregate — at 100 TB this is one scan + one doc-keyed combine.
+   */
+  def textClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = (md5Long(col("tok")) % 2001 - 1000)
+    val logit = col("s_int").cast("double") / (col("n_tokens") * 1000).cast("double")
+    val score = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("s_int"))
+      .select(col("doc_id"), col("n_tokens"), col("s_int"),
+              score.as("score"),
+              when(score >= ClfKeepFrom, "keep")
+                .when(score >= ClfReviewFrom, "review")
+                .otherwise("drop").as("band"))
+  }
+
+  val textClassifierSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         CAST(SUM(CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 2001 - 1000) AS BIGINT) AS s_int
+       |  FROM tok GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, n_tokens, s_int,
+       |         round(CAST(1 AS DOUBLE) / (1.0 + exp(-(CAST(s_int AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)))), 6) AS score
+       |  FROM agg)
+       |SELECT doc_id, n_tokens, s_int, score,
+       |       CASE WHEN score >= $ClfKeepFrom THEN 'keep'
+       |            WHEN score >= $ClfReviewFrom THEN 'review'
+       |            ELSE 'drop' END AS band
+       |FROM sc""".stripMargin
+
   // ----------------------------------------------------------------- BM25
 
   /** BM25 query terms (frequent corpus tokens so every SF has matches)

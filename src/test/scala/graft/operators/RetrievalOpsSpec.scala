@@ -94,6 +94,25 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------- text_classifier
+
+  test("classifier inference is one scan + one doc-keyed aggregate (single exchange)") {
+    val q = TextAnalysis.textClassifier(spark, graft.TestSpark.Sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    // score reconstructs from the emitted integers: sigmoid(s/(1000 n))
+    val rows = q.collect()
+    for (r <- rows.take(50)) {
+      val expected = BigDecimal(
+        1.0 / (1.0 + math.exp(-(r.getLong(2).toDouble / (r.getLong(1) * 1000).toDouble))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expected, s"score mismatch: $r")
+    }
+    val bands = rows.map(_.getString(4)).toSet
+    assert(bands.subsetOf(Set("keep", "review", "drop")))
+  }
+
   // --------------------------------------------------------- ann_hybrid_rrf
 
   test("rrf: fused output is consistent with its two channels' ranks") {
