@@ -174,4 +174,64 @@ object JoinsExt {
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM iv JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
       |GROUP BY 1""".stripMargin
+
+  /** 6-hour window width in microseconds, the overlap-join bin width. */
+  private val WinUs = 6L * 3600 * 1000000
+
+  /**
+   * Interval-overlap join [EXT] — the interval×interval sibling of
+   * [[rangeJoinPoints]]: per-user daily activity spans (first..last event
+   * of the day) joined against a fixed 6-hour window grid on STRICT
+   * overlap, reported per window (active spans + total overlap time).
+   *
+   * Scale technique: the naive formulation is a theta join
+   * (a_start < w_end AND w_start < a_end) — O(|A|·|W|) comparisons, a
+   * BroadcastNestedLoopJoin that dies at corpus scale. Binning
+   * re-expresses it as an EQUI-join: each activity span explodes into
+   * the 6-hour bins it touches (≤ 5 per day-long span), each window
+   * owns exactly one bin, and the exact predicate re-checks after the
+   * bin match — Spark shuffles on the bin key like any hash join. Each
+   * qualifying pair meets in exactly one bin (the window's own), so no
+   * dedup pass is needed. The oracle keeps the theta formulation: the
+   * gate is differential across FORMULATIONS, not just engines.
+   * All arithmetic is exact integer microseconds.
+   */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("a_start"),
+           max(unix_micros(col("ts"))).as("a_end"))
+    val wins = spark.range(1).select(explode(expr(
+        "sequence(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-31 18:00:00', INTERVAL 6 HOURS)"))
+        .as("w"))
+      .select(unix_micros(col("w")).as("w_start_us"))
+      .withColumn("w_end_us", col("w_start_us") + WinUs)
+      // integer div, not `/`: double division near a bin boundary can
+      // round across it and silently drop a candidate pair
+      .withColumn("bin", expr(s"w_start_us div $WinUs"))
+    val binned = act.withColumn("bin",
+      explode(expr(s"sequence(a_start div $WinUs, a_end div $WinUs)")))
+    binned.join(wins, Seq("bin"))
+      .filter(col("a_start") < col("w_end_us") && col("w_start_us") < col("a_end"))
+      .groupBy(col("w_start_us"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(least(col("a_end"), col("w_end_us")) -
+               greatest(col("a_start"), col("w_start_us"))).as("sum_overlap_us"))
+  }
+
+  val joinIntervalOverlapSql: String =
+    s"""WITH act AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |         MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+       |  FROM events GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT epoch_us(g) AS w_start_us, epoch_us(g) + $WinUs AS w_end_us
+       |  FROM (SELECT unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+       |                            TIMESTAMP '2024-02-01 00:00:00',
+       |                            INTERVAL 6 HOUR)) AS g))
+       |SELECT w_start_us, COUNT(*) AS n_spans,
+       |       CAST(SUM(LEAST(a_end, w_end_us) - GREATEST(a_start, w_start_us)) AS BIGINT) AS sum_overlap_us
+       |FROM act JOIN wins
+       |  ON a_start < w_end_us AND w_start_us < a_end
+       |GROUP BY 1""".stripMargin
 }

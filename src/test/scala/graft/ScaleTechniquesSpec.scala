@@ -245,6 +245,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap join runs as a hash join on bins, not a nested-loop theta join") {
+    val q = graft.operators.JoinsExt.joinIntervalOverlap(spark, TestSpark.Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+           s"binning must turn the theta join into an equi-join:\n$plan")
+    assert(plan.contains("HashJoin"), plan)
+    // differential vs the naive theta formulation IN SPARK (the DuckDB
+    // oracle re-checks the same thing cross-engine)
+    import org.apache.spark.sql.functions._
+    val act = graft.operators.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("a_start"),
+           max(unix_micros(col("ts"))).as("a_end"))
+    val wins = spark.range(1).select(explode(expr(
+        "sequence(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-31 18:00:00', INTERVAL 6 HOURS)")).as("w"))
+      .select(unix_micros(col("w")).as("w_start_us"))
+      .withColumn("w_end_us", col("w_start_us") + 6L * 3600 * 1000000)
+    val naive = act.join(wins,
+        col("a_start") < col("w_end_us") && col("w_start_us") < col("a_end"))
+      .groupBy(col("w_start_us"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(least(col("a_end"), col("w_end_us")) -
+               greatest(col("a_start"), col("w_start_us"))).as("sum_overlap_us"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive)
+  }
+
   test("salted join returns exactly the plain join's multiset on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
