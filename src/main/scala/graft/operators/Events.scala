@@ -243,6 +243,41 @@ object Events {
       |SELECT user_id, event_id, cents, n, z FROM z WHERE abs(z) > 2""".stripMargin
 
   /**
+   * Event-type transition matrix [EXT] — first-order Markov counts over
+   * each user's event stream: for every (from, to) event-type pair, the
+   * transition count and row-normalized probability in integer per-mille.
+   * The lag runs inside the per-user sort the sessionizer already uses
+   * (one hash exchange on user_id, one intra-partition sort); the
+   * transition aggregate is O(\|types\|²) rows, and the row normalizer
+   * joins back broadcast. Pure integer output — no float drift possible.
+   */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+              lag(col("event_type"), 1).over(byTs).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+              expr("n * 1000 div row_n").as("p_pm"))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS to_type,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM trans GROUP BY 1)
+      |SELECT t.from_type, t.to_type, n, n * 1000 // row_n AS p_pm
+      |FROM trans t JOIN tot USING (from_type)""".stripMargin
+
+  /**
    * Cohort retention triangle [EXT]: users grouped by first-active day;
    * for each (cohort, days-since-cohort) cell, the distinct users active
    * that day, the cohort size, and retention in integer per-mille
