@@ -621,6 +621,66 @@ object TextAnalysis {
        |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
        |FROM e""".stripMargin
 
+  // ------------------------------------------------------ sequence packing
+
+  /** Training-sequence capacity (tokens per packed sequence) and the
+    * shard width that bounds each packing stream. */
+  private val PackCap = 256L
+  private val PackShardDocs = 100L
+
+  /**
+   * Sequence packing [EXT]: lay document chunks head-to-tail into
+   * fixed-capacity training sequences — the GPT-style concat-and-cut
+   * packer: the token stream is concatenated in a deterministic order
+   * and cut every [[PackCap]] tokens, a chunk whose span crosses the
+   * boundary straddles two packs (`crosses` marks it), and packing
+   * restarts per (source, shard) so no single stream is unbounded.
+   * (First-fit padding packing is a sequential recurrence — each pad
+   * shifts every later boundary decision — which is exactly the kind of
+   * non-associative per-row loop that does NOT distribute; concat-and-
+   * cut is what large-scale pretraining actually ships for that reason.)
+   *
+   * Scale shape: a single GLOBAL packing order would be one reducer
+   * sorting the corpus — the canonical accidental bottleneck. Sharding
+   * by (source, doc_id div 100) bounds every window partition to ~100
+   * documents' chunks while keeping the assignment fully deterministic
+   * (each shard's packing depends only on its own chunks, so the job
+   * parallelizes to |shards| regardless of corpus size). One window
+   * pass, all-integer arithmetic.
+   */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    textChunks(spark, dir)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("shard"), col("doc_id"), col("chunk_id"),
+              col("n_tokens"),
+              expr(s"start div $PackCap").as("pack_id"),
+              (col("start") % PackCap).as("offset"),
+              ((col("start") % PackCap) + col("n_tokens") > PackCap).as("crosses"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH chunks AS ($textChunksSql),
+       |c AS (
+       |  SELECT d.source, ch.doc_id // $PackShardDocs AS shard,
+       |         ch.doc_id, ch.chunk_id, ch.n_tokens
+       |  FROM chunks ch JOIN documents d ON d.doc_id = ch.doc_id),
+       |cum AS (
+       |  SELECT *, CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY source, shard ORDER BY doc_id, chunk_id
+       |               ROWS UNBOUNDED PRECEDING))
+       |SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, chunk_id, n_tokens,
+       |       start // $PackCap AS pack_id,
+       |       start % $PackCap AS offset,
+       |       (start % $PackCap) + n_tokens > $PackCap AS crosses
+       |FROM cum""".stripMargin
+
   // ------------------------------------------------- linear quality filter
 
   /** Classifier decision thresholds on the rounded sigmoid score. */

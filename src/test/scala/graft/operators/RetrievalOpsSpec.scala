@@ -113,6 +113,30 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bands.subsetOf(Set("keep", "review", "drop")))
   }
 
+  // --------------------------------------------------------- pack_sequences
+
+  test("packing tiles each shard's token stream exactly: no gaps, no overlaps, correct cuts") {
+    val out = TextAnalysis.packSequences(spark, graft.TestSpark.Sf0001)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+                 (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+                  r.getBoolean(7))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
+    assert(out.nonEmpty)
+    for ((shard, chunks) <- out) {
+      // replay the concat in (doc_id, chunk_id) order: each chunk's
+      // global start must be the running total, and (pack_id, offset,
+      // crosses) must derive from it
+      var cum = 0L
+      for ((doc, cid, n, packId, offset, crosses) <- chunks) {
+        assert(packId == cum / 256, s"$shard doc=$doc chunk=$cid")
+        assert(offset == cum % 256, s"$shard doc=$doc chunk=$cid")
+        assert(crosses == (cum % 256 + n > 256), s"$shard doc=$doc chunk=$cid")
+        cum += n
+      }
+    }
+  }
+
   // --------------------------------------------------------- ann_hybrid_rrf
 
   test("rrf: fused output is consistent with its two channels' ranks") {
