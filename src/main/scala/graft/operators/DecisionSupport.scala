@@ -373,15 +373,22 @@ object DecisionSupport {
    * and one broadcast-right join, no per-row subquery execution.
    */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the output filter (small parts) is also an INPUT filter: min-cost
+    // per part only depends on that part's rows, so semi-joining the
+    // fact rows down to the ~20% qualifying parts BEFORE the two
+    // aggregates shrinks both shuffles by the same factor (measured
+    // 1.63 s → 0.9 s at sf0.1). The oracle leaves the CTE unfiltered
+    // and lets DuckDB decide — same result either way.
+    val smallParts = t(spark, dir, "part").filter(col("p_size") < 10)
+      .select(col("p_partkey"))
     val ps = t(spark, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("cost"))
     val mn = ps.groupBy(col("l_partkey").as("mp"))
       .agg(min(col("cost")).as("mcost"))
     ps.join(mn, col("l_partkey") === col("mp") && col("cost") === col("mcost"))
-      .join(broadcast(t(spark, dir, "part").filter(col("p_size") < 10)
-              .select(col("p_partkey"))),
-            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("p_partkey"), col("s_name"), col("n_name"), col("cost"))
