@@ -621,6 +621,110 @@ object TextAnalysis {
        |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
        |FROM e""".stripMargin
 
+  // ----------------------------------------------------------- BPE merges
+
+  /** Number of BPE merge rounds and the symbol-boundary separator (a
+    * control char no corpus token contains). */
+  private val BpeRounds = 4
+  private val BpeSep = "\u0001"
+
+  /**
+   * BPE tokenizer training [EXT] — the merge-selection loop itself, not
+   * just its frequency tables: per round, count adjacent symbol pairs
+   * over the (deduped, frequency-weighted) vocabulary, pick the most
+   * frequent pair (ties to the lexicographically smaller), merge it
+   * everywhere, repeat. Output is the merge table (round, left symbol,
+   * right symbol, weighted pair count) — the artifact a BPE tokenizer
+   * ships.
+   *
+   * The merge step is where naive ports go wrong: "replace pair (a,b)"
+   * must be GREEDY LEFTMOST over each word's symbol sequence ("aaaa"
+   * with merge (a,a) → (aa)(aa), not (aa)a a). Both engines' literal
+   * `replace` scans left-to-right over non-overlapping occurrences, so
+   * encoding each word with every symbol wrapped in its OWN separators
+   * (`·a··b··c·` for [a,b,c]) makes plain string replace of `·a··b·` →
+   * `·ab·` exactly that greedy merge — adjacent matches don't share
+   * characters, so consecutive pairs both fire in one pass. Identical
+   * builtin, identical semantics, bit-identical vocabularies.
+   *
+   * Scale shape: everything after the one vocabulary aggregate runs on
+   * DISTINCT WORDS (Zipf makes that orders of magnitude smaller than
+   * the corpus) weighted by frequency; each round is one explode+agg
+   * over the vocab plus a 1-row collect (the argmax merge — the same
+   * legitimate driver scalar as k-means centroids), and the merge
+   * itself is a zero-shuffle map. The oracle unrolls the loop
+   * CTE-for-CTE.
+   */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words0 = t(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(BpeSep),
+                     array_join(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+                                BpeSep + BpeSep),
+                     lit(BpeSep)).as("enc"),
+              col("freq"))
+      .localCheckpoint(true) // the loop re-reads this tiny table each round
+    var enc = words0
+    val merges = (1 to BpeRounds).map { round =>
+      val syms = expr(s"split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep')")
+      val top = enc
+        .select(col("freq"), syms.as("syms"))
+        // single-symbol words have no pairs; Spark's sequence(1, 0) is
+        // DESCENDING (unlike DuckDB's empty range), so filter them out
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      enc = enc.select(
+        replace(col("enc"), lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
+                lit(s"$BpeSep$a$b$BpeSep")).as("enc"),
+        col("freq"))
+      (round, a, b, cnt)
+    }
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round").cast("long"), col("left_sym"), col("right_sym"),
+              col("pair_count"))
+  }
+
+  val bpeMergesSql: String = {
+    val sep = "chr(1)"
+    def stage(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"m${i - 1}"
+      s"""p$i AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(enc, chr(1)), $sep || $sep) AS syms, freq FROM $prev),
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT replace(enc, $sep || t.a || $sep || $sep || t.b || $sep,
+         |                 $sep || t.a || t.b || $sep) AS enc, freq
+         |  FROM $prev CROSS JOIN t$i t)""".stripMargin
+    }
+    val stages = (1 to BpeRounds).map(stage).mkString(",\n")
+    val out = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT tok, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT $sep || array_to_string(list_transform(range(1, length(tok) + 1),
+       |                                 i -> substring(tok, i, 1)), $sep || $sep) || $sep AS enc,
+       |         freq
+       |  FROM w),
+       |$stages
+       |$out""".stripMargin
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Training-sequence capacity (tokens per packed sequence) and the

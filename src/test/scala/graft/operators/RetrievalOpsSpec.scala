@@ -113,6 +113,48 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bands.subsetOf(Set("keep", "review", "drop")))
   }
 
+  // ------------------------------------------------------------- bpe_merges
+
+  test("bpe merge selection == plain-Scala reference (greedy leftmost, weighted, tie-broken)") {
+    // crafted corpus: 'aaaa' stresses greedy-leftmost (one (a,a) merge
+    // must yield TWO pairs per word, (aa)(aa), not (aa)a a)
+    val d = writeDocs("bpe", Seq(
+      1L -> "aaaa aaaa aaaa banana banana bandana",
+      2L -> "aaaa banana bandana cabana",
+      3L -> "na na na batman"
+    ))
+    // reference implementation: greedy leftmost merge over symbol vectors
+    def mergePairs(w: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] = {
+      val toks = Seq("aaaa", "aaaa", "aaaa", "banana", "banana", "bandana",
+                     "aaaa", "banana", "bandana", "cabana",
+                     "na", "na", "na", "batman")
+      toks.groupBy(identity).map { case (t, g) =>
+        t.map(_.toString).toVector -> g.size.toLong }
+    }
+    val expected = (1 to 4).map { round =>
+      val counts = vocab.toSeq.flatMap { case (w, f) =>
+        w.zip(w.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.toSeq.map { case (w, f) => mergePairs(w, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (round.toLong, a, b, cnt)
+    }
+    val got = TextAnalysis.bpeMerges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   // --------------------------------------------------------- pack_sequences
 
   test("packing tiles each shard's token stream exactly: no gaps, no overlaps, correct cuts") {
