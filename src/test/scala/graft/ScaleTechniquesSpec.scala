@@ -245,6 +245,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces over-partitioned shuffles at runtime (why AQE stays ON)") {
+    // Bench measured AQE ON beating OFF even at sf0.1 (q21 1.21 vs 1.55 s)
+    // because tiny post-filter aggregates don't need 32 reducers. This
+    // pins the mechanism: a small aggregate under a large configured
+    // partition count must show a coalesced AQEShuffleRead in the final
+    // adaptive plan — the runtime stands in for hand-tuned
+    // spark.sql.shuffle.partitions per stage, which no one can do for
+    // every query at 100 TB.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val q = graft.operators.Tables.t(spark, TestSpark.Sf0001, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+             s"expected a coalesced AQEShuffleRead in the final plan:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("interval-overlap join runs as a hash join on bins, not a nested-loop theta join") {
     val q = graft.operators.JoinsExt.joinIntervalOverlap(spark, TestSpark.Sf0001)
     q.collect()
