@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -243,6 +243,50 @@ object Events {
       |SELECT user_id, event_id, cents, n, z FROM z WHERE abs(z) > 2""".stripMargin
 
   /**
+   * Robust outliers via median absolute deviation [EXT] — the
+   * heavy-tail-safe sibling of [[eventsOutliers]]' z-score: per user,
+   * events more than 3 MADs from the median. Mean/stddev break when the
+   * contamination itself inflates them; median/MAD don't. Two passes
+   * over the cents integers (median, then median of absolute
+   * deviations), both exact sort-based percentiles on integers whose
+   * interpolation lands on halves — bit-identical across engines (the
+   * agg_percentiles precedent). Both aggregates and the join key on
+   * user_id, so the same hash partitioning serves all three steps.
+   */
+  def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              (dec(col("value")) * 100).cast("long").as("cents"))
+    val med = c.groupBy(col("user_id"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = c.join(med, "user_id")
+      .withColumn("adev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, "user_id")
+      .filter(col("adev") > lit(3.0) * col("mad"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+              col("med"), col("mad"))
+  }
+
+  val eventsMadOutliersSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |med AS (
+      |  SELECT user_id, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1),
+      |dev AS (
+      |  SELECT c.user_id, event_id, cents, med,
+      |         abs(CAST(cents AS DOUBLE) - med) AS adev
+      |  FROM c JOIN med ON c.user_id = med.user_id),
+      |mad AS (
+      |  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.user_id, event_id, cents, med, mad.mad AS mad
+      |FROM dev JOIN mad ON dev.user_id = mad.user_id
+      |WHERE adev > 3.0 * mad.mad""".stripMargin
+
+  /**
    * Event-type transition matrix [EXT] — first-order Markov counts over
    * each user's event stream: for every (from, to) event-type pair, the
    * transition count and row-normalized probability in integer per-mille.
@@ -276,6 +320,84 @@ object Events {
       |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM trans GROUP BY 1)
       |SELECT t.from_type, t.to_type, n, n * 1000 // row_n AS p_pm
       |FROM trans t JOIN tot USING (from_type)""".stripMargin
+
+  /**
+   * RFM segmentation [EXT]: per-user recency / frequency / monetary
+   * metrics, each bucketed 1–4 against the user population's exact
+   * quartiles, concatenated into the classic segment code. Metrics are
+   * exact (day diff on date-cast timestamps, count, decimal money); the
+   * three quartile thresholds per metric are ONE one-row aggregate
+   * broadcast back — not an ntile window, which would globally sort
+   * every user through one reducer. (At 100 TB the thresholds would come
+   * from an approximate quantile sketch; the bucketing dataflow — scalar
+   * broadcast + CASE — is identical, and here exactness is what lets
+   * DuckDB reproduce the result bit-for-bit.) Boundary ties resolve by
+   * >= against the threshold in both engines.
+   */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ref = lit("2024-02-01").cast("date")
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(ref, max(col("ts")).cast("date")).cast("long").as("recency_days"),
+           count(lit(1)).as("frequency"),
+           dsum(col("value")).as("monetary"))
+    val qs = perUser.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r25"),
+      percentile(col("recency_days"), lit(0.5)).as("r50"),
+      percentile(col("recency_days"), lit(0.75)).as("r75"),
+      percentile(col("frequency"), lit(0.25)).as("f25"),
+      percentile(col("frequency"), lit(0.5)).as("f50"),
+      percentile(col("frequency"), lit(0.75)).as("f75"),
+      percentile(col("monetary"), lit(0.25)).as("m25"),
+      percentile(col("monetary"), lit(0.5)).as("m50"),
+      percentile(col("monetary"), lit(0.75)).as("m75"))
+    // recency: LOWER is better (score 4 = most recent quartile)
+    def bucketDesc(v: Column, q25: Column, q50: Column, q75: Column): Column =
+      when(v.cast("double") >= q75, 1).when(v.cast("double") >= q50, 2)
+        .when(v.cast("double") >= q25, 3).otherwise(4)
+    def bucketAsc(v: Column, q25: Column, q50: Column, q75: Column): Column =
+      when(v.cast("double") >= q75, 4).when(v.cast("double") >= q50, 3)
+        .when(v.cast("double") >= q25, 2).otherwise(1)
+    perUser.crossJoin(broadcast(qs))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+              bucketDesc(col("recency_days"), col("r25"), col("r50"), col("r75")).as("r_score"),
+              bucketAsc(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_score"),
+              bucketAsc(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_score"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_score"), lit("F"), col("f_score"), lit("M"), col("m_score")))
+  }
+
+  val eventsRfmSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+      |         COUNT(*) AS frequency,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY 1),
+      |qs AS (
+      |  SELECT quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+      |         quantile_cont(recency_days, 0.75) AS r75,
+      |         quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+      |         quantile_cont(frequency, 0.75) AS f75,
+      |         quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+      |         quantile_cont(monetary, 0.75) AS m75
+      |  FROM pu),
+      |sc AS (
+      |  SELECT user_id, recency_days, frequency, monetary,
+      |    CASE WHEN CAST(recency_days AS DOUBLE) >= r75 THEN 1
+      |         WHEN CAST(recency_days AS DOUBLE) >= r50 THEN 2
+      |         WHEN CAST(recency_days AS DOUBLE) >= r25 THEN 3 ELSE 4 END AS r_score,
+      |    CASE WHEN CAST(frequency AS DOUBLE) >= f75 THEN 4
+      |         WHEN CAST(frequency AS DOUBLE) >= f50 THEN 3
+      |         WHEN CAST(frequency AS DOUBLE) >= f25 THEN 2 ELSE 1 END AS f_score,
+      |    CASE WHEN monetary >= m75 THEN 4
+      |         WHEN monetary >= m50 THEN 3
+      |         WHEN monetary >= m25 THEN 2 ELSE 1 END AS m_score
+      |  FROM pu CROSS JOIN qs)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+      |       r_score, f_score, m_score,
+      |       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+      |FROM sc""".stripMargin
 
   /**
    * Cohort retention triangle [EXT]: users grouped by first-active day;
