@@ -157,8 +157,10 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --------------------------------------------------------- pack_sequences
 
-  test("packing tiles each shard's token stream exactly: no gaps, no overlaps, correct cuts") {
-    val out = TextAnalysis.packSequences(spark, graft.TestSpark.Sf0001)
+  /** Replay a packing result shard by shard: every chunk's (pack_id,
+    * offset, crosses) must equal the running concat total's derivation. */
+  private def checkPackingReplay(dir: String): Unit = {
+    val out = TextAnalysis.packSequences(spark, dir)
       .collect()
       .map(r => ((r.getString(0), r.getLong(1)),
                  (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
@@ -166,9 +168,6 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
     assert(out.nonEmpty)
     for ((shard, chunks) <- out) {
-      // replay the concat in (doc_id, chunk_id) order: each chunk's
-      // global start must be the running total, and (pack_id, offset,
-      // crosses) must derive from it
       var cum = 0L
       for ((doc, cid, n, packId, offset, crosses) <- chunks) {
         assert(packId == cum / 256, s"$shard doc=$doc chunk=$cid")
@@ -177,6 +176,22 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         cum += n
       }
     }
+  }
+
+  test("packing tiles each shard's token stream exactly: no gaps, no overlaps, correct cuts") {
+    checkPackingReplay(graft.TestSpark.Sf0001)
+  }
+
+  test("packing replay law holds on randomized corpora (doc lengths 1..600, shard boundaries)") {
+    val rnd = new scala.util.Random(7)
+    // lengths stress the edges: single-token docs, exactly one chunk (32),
+    // exactly the pack capacity (256), and long multi-chunk docs; doc_ids
+    // span multiple 100-doc shards
+    val lens = Seq(1, 31, 32, 33, 256, 600) ++ (1 to 44).map(_ => 1 + rnd.nextInt(600))
+    val docs = lens.zipWithIndex.map { case (len, i) =>
+      (i * 7L) -> (1 to len).map(k => s"t$k").mkString(" ") // ids cross shards
+    }
+    checkPackingReplay(writeDocs("pack_rand", docs))
   }
 
   // --------------------------------------------------------- ann_hybrid_rrf
