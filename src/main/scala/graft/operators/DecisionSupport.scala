@@ -7,12 +7,14 @@ import Tables._
 /**
  * Decision-support query shapes [EXT] — the remaining canonical TPC-H
  * patterns the surface lacked: EXISTS-then-aggregate (Q4), dual-role
- * dimension joins (Q7), conditional-share aggregates (Q8/Q14), max-of-
- * aggregate scalar join-back (Q15), correlated per-group average (Q17),
- * disjunctive multi-column join predicates (Q19), anti-join against a
- * global scalar (Q22), groupwise-min supplier selection (Q2 shape) and
- * HAVING-versus-global-total (Q11 shape; the testdata has no partsupp
- * table, so Q2/Q11 are re-expressed over lineitem with identical shape).
+ * dimension joins (Q7), conditional-share aggregates (Q8/Q14),
+ * returned-items top-k (Q10), max-of-aggregate scalar join-back (Q15),
+ * distinct-count with a NOT-IN blacklist (Q16), correlated per-group
+ * average (Q17), disjunctive multi-column join predicates (Q19),
+ * anti-join against a global scalar (Q22), plus the partsupp-dependent
+ * shapes re-expressed over lineitem (the testdata has no partsupp
+ * table): groupwise-min supplier selection (Q2), HAVING-versus-global-
+ * total (Q11), and nested-aggregate excess-supplier selection (Q20).
  *
  * Scale notes shared by the file:
  *  - every dimension join (nation/region/supplier/customer/part) is
@@ -406,6 +408,74 @@ object DecisionSupport {
       |WHERE p.p_size < 10
       |  AND ps.cost = (SELECT MIN(p2.cost) FROM ps p2
       |                 WHERE p2.l_partkey = ps.l_partkey)""".stripMargin
+
+  // ------------------------------------------------------------ Q16 shape
+  /**
+   * Parts-supplier stats: distinct suppliers per (brand, type, size),
+   * excluding a supplier blacklist (TPC-H Q16's NOT IN subquery —
+   * lowered to a broadcast anti-join, never a per-row probe). The
+   * distinct-count shuffles (group, suppkey) pairs once; the blacklist
+   * (negative-balance suppliers) is dimension-sized.
+   */
+  def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val bad = t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_brand") =!= "Brand#1")
+              .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------ Q20 shape
+  /**
+   * Excess suppliers: suppliers who shipped more than 3× their fair
+   * share of some multi-supplier part's total quantity (TPC-H Q20's
+   * nested-aggregate + semi-join chain, re-expressed over lineitem —
+   * no partsupp table; the threshold is fair-share-relative because a
+   * fixed percentage goes empty as parts accumulate lineitems with
+   * scale). Two stacked aggregates on the part key (the second reuses
+   * the first's partitioning) and a final per-supplier rollup of
+   * dimension size. Quantities are integer-valued doubles, so the sums
+   * and the share ratio compare identically everywhere.
+   */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pq = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val pt = pq.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tot"), count(lit(1)).as("ns"))
+    pq.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("ns") > 1 && col("q") > lit(3.0) * col("tot") / col("ns"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"), max(col("q")).as("max_qty"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"), col("max_qty"))
+  }
+
+  val q20Sql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS ns FROM pq GROUP BY 1),
+      |ex AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_parts, MAX(q) AS max_qty
+      |  FROM pq JOIN pt USING (l_partkey)
+      |  WHERE ns > 1 AND q > 3.0 * tot / ns
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_parts, max_qty
+      |FROM ex JOIN supplier ON s_suppkey = l_suppkey""".stripMargin
 
   // ------------------------------------------------------------ Q11 shape
   /**
