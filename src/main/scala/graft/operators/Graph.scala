@@ -91,4 +91,49 @@ object Graph {
        |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr
        |FROM it$PrIters""".stripMargin
   }
+
+  /**
+   * Triangle counting over the same similarity graph [EXT]: per-document
+   * triangle membership — in a near-dup graph a triangle is a mutually-
+   * similar triple, and high triangle counts mark dense clone clusters
+   * (where pairwise transitivity holds) versus chains (where it
+   * doesn't — a classic dedup-quality diagnostic).
+   *
+   * Shape: the canonical two-join node-iterator on the a<b<c ordered
+   * edge list — each triangle materializes exactly ONCE (ordering is
+   * the standard 6× dedup trick), then each corner credits its three
+   * nodes via one explode. Both joins are equi-joins on document ids;
+   * the heavy intermediate is the wedge set, which the a<b<c constraint
+   * already halves. (At web scale you'd orient edges by degree instead
+   * of id — same plan shape, smaller wedge set.)
+   */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+              col("e2.doc_b").as("c"))
+    val tris = wedges
+      .join(e.as("e3"), col("a") === col("e3.doc_a") && col("c") === col("e3.doc_b"))
+      .select(col("a"), col("b"), col("c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val graphTrianglesSql: String =
+    s"""${Dedup.minhashPairsCtes},
+       |w AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a),
+       |tri AS (
+       |  SELECT a, b, c FROM w JOIN pairs e3 ON w.a = e3.doc_a AND w.c = e3.doc_b),
+       |corners AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM corners GROUP BY 1""".stripMargin
 }

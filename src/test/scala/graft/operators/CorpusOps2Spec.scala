@@ -125,6 +125,29 @@ class CorpusOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._2).sum <= deg.size * 1000000L)
   }
 
+  // -------------------------------------------------------- graph_triangles
+
+  test("graphTriangles == brute-force triple enumeration on the same graph") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    def adj(x: Long, y: Long) = pairs((math.min(x, y), math.max(x, y)))
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if adj(nodes(i), nodes(j))
+      k <- (j + 1) until nodes.length
+      if adj(nodes(j), nodes(k)) && adj(nodes(i), nodes(k))
+    } {
+      expected(nodes(i)) += 1; expected(nodes(j)) += 1; expected(nodes(k)) += 1
+    }
+    val got = Graph.graphTriangles(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap, s"\ngot:      $got\nexpected: ${expected.toMap}")
+    // corner credits are triple-counted: the sum is divisible by 3
+    assert(got.values.sum % 3 == 0)
+  }
+
   // ------------------------------------------------------------- dedup_incr
 
   test("dedupIncremental matches new docs against the old index only") {
