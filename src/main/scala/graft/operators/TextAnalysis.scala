@@ -621,6 +621,90 @@ object TextAnalysis {
        |       CAST(chunk_id * $ChunkStride + $ChunkLen AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
        |FROM e""".stripMargin
 
+  // ------------------------------------------------------------ bigram LM
+
+  /** Interpolation weight λ on the bigram maximum-likelihood term; the
+    * unigram add-one term gets (1−λ). */
+  private val BiLambda = 0.7
+
+  /**
+   * Interpolated bigram LM scoring [EXT] — the KenLM-shaped upgrade of
+   * [[textUnigramLm]]: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+1)/(T+V),
+   * trained on the train split, scored over every document as mean
+   * negative log-probability plus an unseen-bigram count. The
+   * interpolation term keeps p > 0 for unseen bigrams, so ln is always
+   * defined.
+   *
+   * Scale shape: unlike the unigram vocab (broadcastable at any corpus
+   * size), the BIGRAM table grows with the corpus — so the bigram join
+   * is a plain equi-join on the bigram key (AQE will still broadcast it
+   * while it's small); only the unigram table and the one-row totals
+   * broadcast. Per-doc float summation follows the unigram precedent
+   * (doc rows stay contiguous in their split; proven partition-
+   * invariant at cpus 7/32), with the mean rounded to 6 per the float
+   * playbook.
+   */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+              toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2) // no bigrams in a 1-token doc
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("split"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainBi = d.filter(col("split") === "train")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val trainUni = d.filter(col("split") === "train")
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val totals = trainUni.agg(sum(col("c1")).as("t_total"), count(lit(1)).as("v_size"))
+    val p =
+      when(col("c1").isNotNull && col("c12").isNotNull,
+           lit(BiLambda) * (col("c12").cast("double") / col("c1"))).otherwise(lit(0.0)) +
+      lit(1.0 - BiLambda) *
+        ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+         (col("t_total") + col("v_size")).cast("double"))
+    d.join(trainBi, Seq("w1", "w2"), "left")
+      .join(broadcast(trainUni), Seq("w1"), "left")
+      .join(broadcast(trainUni.select(col("w1").as("w2"), col("c1").as("c2"))),
+            Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("neglogp", -log(p))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+           round(sum(col("neglogp")) / count(lit(1)), 6).as("avg_neg_logp"))
+  }
+
+  val textBigramLmSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, ${Sampling.splitSqlExpr} AS split,
+       |         string_split_regex(text, '\\s+') AS ts
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, split, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d0, UNNEST(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM d WHERE split = 'train' GROUP BY 1, 2),
+       |uni AS (SELECT w1, COUNT(*) AS c1 FROM d WHERE split = 'train' GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM uni),
+       |scored AS (
+       |  SELECT d.doc_id, d.split, bi.c12,
+       |    -ln(
+       |      CASE WHEN u1.c1 IS NOT NULL AND bi.c12 IS NOT NULL
+       |           THEN $BiLambda * (CAST(bi.c12 AS DOUBLE) / u1.c1) ELSE 0.0 END
+       |      + ${1.0 - BiLambda} * (CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+       |                             / CAST(tot.t_total + tot.v_size AS DOUBLE))) AS neglogp
+       |  FROM d
+       |  LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+       |  LEFT JOIN uni u1 ON u1.w1 = d.w1
+       |  LEFT JOIN uni u2 ON u2.w1 = d.w2
+       |  CROSS JOIN tot)
+       |SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       |  round(SUM(neglogp) / COUNT(*), 6) AS avg_neg_logp
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- BPE merges
 
   /** Number of BPE merge rounds and the symbol-boundary separator (a
