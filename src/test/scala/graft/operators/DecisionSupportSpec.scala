@@ -106,12 +106,16 @@ class DecisionSupportSpec extends AnyFunSuite {
              s"part ${r.getLong(0)}: ${r.getDouble(3)} != min ${mins(r.getLong(0))}")
   }
 
-  test("q11's grand total derives from the per-part aggregate (no second fact scan)") {
-    val q = DecisionSupport.q11ImportantParts(spark, Sf)
-    val optimized = q.queryExecution.optimizedPlan.toString
-    // exactly one scan of lineitem in the optimized plan: the total reuses
-    // the aggregated rows — count occurrences of the lineitem relation
-    val scans = "lineitem".r.findAllIn(optimized).length
-    assert(scans <= 2, s"expected the total from the per-part agg, got $scans lineitem refs:\n$optimized")
+  test("q11's grand total derives from the per-part aggregate (ReusedExchange, ONE fact scan)") {
+    // the logical plan names lineitem twice (the total is an aggregate
+    // over the per-part aggregate, whose subtree appears under both the
+    // scalar branch and the output branch) — but the PHYSICAL plan must
+    // reuse the per-part aggregate's exchange, leaving exactly one
+    // FileScan: at 100 TB the difference is a second full pass over the
+    // fact table
+    val plan = finalPlan(DecisionSupport.q11ImportantParts(spark, Sf))
+    assert(plan.contains("ReusedExchange"), plan)
+    assert("FileScan".r.findAllIn(plan).length == 1,
+           s"expected ONE fact scan, the total must reuse the aggregate:\n$plan")
   }
 }
