@@ -241,4 +241,50 @@ object Multimodal {
        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS content_hash,
        |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
        |FROM media GROUP BY 1, 2""".stripMargin
+
+  /**
+   * Frame-level dedup [EXT]: duplicated frames ACROSS assets — the
+   * finer-grained sibling of [[mediaDedup]] (whole-payload dedup misses
+   * a shared intro/outro segment inside otherwise-distinct videos).
+   * Every sampled frame hashes to a 60-bit content id; hashes with more
+   * than one occurrence come back with their occurrence/asset counts
+   * and a representative (the CAS dedup decision per frame). At 100 TB
+   * the shuffle carries (hash, doc_id) — 16 bytes per sampled frame,
+   * never frame bytes — and the aggregate output is only the
+   * duplicated tail. The codec is the same documented stub; the
+   * dataflow (decode → per-frame hash → hash-group) is the real one.
+   */
+  def mediaFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    mediaTable(spark, dir).flatMap { r =>
+      decodeFrames(r.payload).map { case (idx, frame) =>
+        (r.doc_id, idx, md5LongOf(frame))
+      }
+    }.toDF("doc_id", "frame_idx", "frame_hash")
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_frames"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_frames") > 1)
+  }
+
+  val mediaFrameDedupSql: String =
+    s"""WITH $mediaSql,
+       |fr AS (
+       |  SELECT doc_id, n_bytes, text,
+       |    unnest(list_filter(
+       |      generate_series(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes - 1),
+       |      f -> f % $FrameStride = 0)) AS frame_idx
+       |  FROM media),
+       |h AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(('0x' || substring(md5(
+       |      text[frame_idx * $FrameBytes + 1 :
+       |           least(frame_idx * $FrameBytes + $FrameBytes, n_bytes)]), 1, 15)) AS BIGINT)
+       |      AS frame_hash
+       |  FROM fr)
+       |SELECT frame_hash, COUNT(*) AS n_frames,
+       |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS rep_doc_id
+       |FROM h GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 }
