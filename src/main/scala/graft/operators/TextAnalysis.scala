@@ -1021,4 +1021,167 @@ object TextAnalysis {
        |FROM piv
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
   }
+
+  // ------------------------------------------------ C4-style line filtering
+
+  /** Pseudo-line width (tokens) for corpora without newlines, and the
+    * distinct-fraction floor (n_distinct/n_words ≥ 0.7) below which a
+    * line counts as repetitive. */
+  private val LineWords = 12
+
+  /**
+   * C4/Gopher-style LINE-level rule filtering [EXT] — the cleaning stage
+   * that precedes document-level quality scoring in web-corpus pipelines
+   * (C4 drops lines without terminal punctuation; Gopher drops repetitive
+   * and too-short lines; CCNet drops boilerplate): explode each document
+   * into lines, evaluate every rule per line, reassemble the surviving
+   * lines IN ORDER, and emit per-rule hit counts plus the document
+   * verdict.
+   *
+   * The testdata corpus has no newlines and no punctuation, so "lines"
+   * are fixed 12-token windows and the terminal-punctuation rule is
+   * REPORT-ONLY here (counted, not enforced — enforcing it on a
+   * punctuation-free corpus would degenerately drop everything);
+   * [[qualityLineVerdicts]] takes `requirePunct` so the spec proves the
+   * rule enforces correctly on a crafted punctuated corpus. The short-line
+   * and repetitive-line rules ARE active on this corpus (tail windows and
+   * small-vocabulary repetition).
+   *
+   * Scale shape: one explode + one doc-keyed aggregate — line rules are
+   * pure per-line expressions (no joins, no global state), so the whole
+   * stage is a single map+combine pass at any corpus size. Reassembly
+   * sorts each doc's kept lines by index INSIDE the aggregate
+   * (sort_array over collect_list), never a global sort.
+   */
+  def qualityLineVerdicts(spark: SparkSession, dir: String, requirePunct: Boolean): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), toks(col("text")).as("ts"))
+    val lines = d.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(ts) + ${LineWords - 1}) div $LineWords - 1),
+           |  i -> struct(i AS idx, slice(ts, i * $LineWords + 1, $LineWords) AS ws))""".stripMargin)).as("l"))
+      .select(col("doc_id"), col("l.idx").as("line_idx"),
+              array_join(col("l.ws"), " ").as("line"),
+              size(col("l.ws")).as("n_words"),
+              size(array_distinct(col("l.ws"))).as("n_distinct"))
+    val noPunct    = !col("line").rlike("[.!?]$")
+    val short      = col("n_words") < 3
+    val repetitive = col("n_distinct") * 10 < col("n_words") * 7
+    val junk       = col("line").contains("{") || lower(col("line")).contains("lorem ipsum")
+    val keepLine   = !short && !repetitive && !junk &&
+      (if (requirePunct) !noPunct else lit(true))
+    lines
+      .withColumn("keep_line", keepLine)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(keepLine.cast("long")).as("n_kept"),
+        sum(noPunct.cast("long")).as("n_no_punct"),
+        sum(short.cast("long")).as("n_short"),
+        sum(repetitive.cast("long")).as("n_repetitive"),
+        sum(junk.cast("long")).as("n_junk"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep_line"),
+              struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")), " ")).as("cleaned_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_no_punct"),
+              col("n_short"), col("n_repetitive"), col("n_junk"),
+              (col("n_kept").cast("double") / col("n_lines")).as("kept_frac"),
+              (col("n_kept") >= 2).as("doc_keep"),
+              col("cleaned_md5"))
+  }
+
+  def qualityC4Rules(spark: SparkSession, dir: String): DataFrame =
+    qualityLineVerdicts(spark, dir, requirePunct = false)
+
+  val qualityC4RulesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |ln0 AS (
+       |  SELECT doc_id, i AS line_idx,
+       |         array_to_string(ts[i * $LineWords + 1 : (i + 1) * $LineWords], ' ') AS line,
+       |         len(ts[i * $LineWords + 1 : (i + 1) * $LineWords]) AS n_words,
+       |         len(list_distinct(ts[i * $LineWords + 1 : (i + 1) * $LineWords])) AS n_distinct
+       |  FROM d, UNNEST(range(0, (len(ts) + ${LineWords - 1}) // $LineWords)) AS u(i)),
+       |r AS (
+       |  SELECT doc_id, line_idx, line,
+       |         NOT regexp_matches(line, '[.!?]$$') AS no_punct,
+       |         n_words < 3 AS short,
+       |         n_distinct * 10 < n_words * 7 AS repetitive,
+       |         (contains(line, '{') OR contains(lower(line), 'lorem ipsum')) AS junk
+       |  FROM ln0),
+       |k AS (
+       |  SELECT *, (NOT short AND NOT repetitive AND NOT junk) AS keep_line FROM r)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(keep_line::INT) AS BIGINT) AS n_kept,
+       |  CAST(SUM(no_punct::INT) AS BIGINT) AS n_no_punct,
+       |  CAST(SUM(short::INT) AS BIGINT) AS n_short,
+       |  CAST(SUM(repetitive::INT) AS BIGINT) AS n_repetitive,
+       |  CAST(SUM(junk::INT) AS BIGINT) AS n_junk,
+       |  CAST(SUM(keep_line::INT) AS DOUBLE) / COUNT(*) AS kept_frac,
+       |  SUM(keep_line::INT) >= 2 AS doc_keep,
+       |  md5(coalesce(string_agg(CASE WHEN keep_line THEN line END, ' '
+       |                          ORDER BY line_idx), '')) AS cleaned_md5
+       |FROM k GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------------- character entropy
+
+  /** Fixed-point scale for per-character-class entropy terms (0.1
+    * milli-nat units): c·ln(c) is quantized to an integer BEFORE summing
+    * so the cross-doc aggregate is order-independent in both engines;
+    * the coarser-than-micro scale keeps libm's last-ulp ln differences
+    * ~2 orders of magnitude away from any rounding boundary. */
+  private val EntScale = 10000L
+
+  /**
+   * Character-entropy quality signal [EXT] (Dolma/Gopher-family filter:
+   * near-zero entropy = degenerate repetition, unusually high = random
+   * noise or binary junk): Shannon entropy of each document's character
+   * distribution, H = ln N − (Σ c·ln c)/N over per-character counts.
+   *
+   * Zero-shuffle by construction: instead of exploding N characters per
+   * document through a (doc, char) aggregate, each doc's DISTINCT
+   * characters (≤ alphabet size) are enumerated with a higher-order
+   * function and each count is recovered as length(text) −
+   * length(replace(text, ch)) — an O(alphabet × N) single-pass map with
+   * NO exchange at any corpus size (the explode formulation shuffles
+   * every character of 100 TB; this shuffles nothing).
+   *
+   * Determinism: per-character terms are quantized to integers
+   * ([[EntScale]]) before the HOF fold, so the sum is exact; the final H
+   * combines that integer with ln(N) once per doc, rounded to 6 per the
+   * cross-engine float playbook. The ~1e-4-nat quantization error is
+   * irrelevant for a quality signal.
+   */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        expr("size(array_distinct(regexp_extract_all(text, '.', 0)))").as("n_distinct_chars"),
+        expr(
+          s"""aggregate(
+             |  array_distinct(regexp_extract_all(text, '.', 0)), 0L,
+             |  (acc, c) -> acc + CAST(round(
+             |    (length(text) - length(replace(text, c)))
+             |    * ln(length(text) - length(replace(text, c))) * $EntScale) AS LONG))""".stripMargin)
+          .as("ent_sum_fp"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_distinct_chars"),
+        col("ent_sum_fp"),
+        round(expr(s"ln(n_chars) - ent_sum_fp / ${EntScale}.0 / n_chars"), 6)
+          .as("entropy_nats"))
+
+  val textEntropySql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars,
+       |    CAST(len(list_distinct(regexp_extract_all(text, '.'))) AS INT) AS n_distinct_chars,
+       |    CAST(list_aggregate(list_transform(
+       |      list_distinct(regexp_extract_all(text, '.')),
+       |      c -> CAST(round(
+       |        (length(text) - length(replace(text, c, '')))
+       |        * ln(length(text) - length(replace(text, c, ''))) * $EntScale) AS BIGINT)),
+       |      'sum') AS BIGINT) AS ent_sum_fp
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, n_distinct_chars, ent_sum_fp,
+       |  round(ln(n_chars) - ent_sum_fp / $EntScale.0 / n_chars, 6) AS entropy_nats
+       |FROM e""".stripMargin
 }
