@@ -94,4 +94,107 @@ object Profiling {
        |  FROM orders)
        |$unions""".stripMargin
   }
+
+  // ---------------------------------------------- distribution drift (KS)
+
+  /** Salt for the drift check's two-sample split over event ids (mirrors
+    * [[Sampling]]'s 80/10/10 scheme on its own key space). */
+  private val KsSalt = "graft_ks_v1:"
+  private val KsTrainUpTo = 80
+  private val KsValidUpTo = 90
+
+  /** α=0.05 two-sample KS critical coefficient c(α)² = 1.358², scaled by
+    * 10⁴ so the drift test is pure integer arithmetic. */
+  private val KsCrit2E4 = 18442L
+
+  /**
+   * Two-sample Kolmogorov–Smirnov drift check [EXT] — the data-validation
+   * gate a pipeline runs between any two slices (train vs valid split
+   * here, yesterday-vs-today in production): per event_type, the KS
+   * statistic D = max_v |F_train(v) − F_valid(v)| over the `value`
+   * distribution, plus the α=0.05 significance verdict.
+   *
+   * EVERYTHING is integer-exact cross-engine: D is computed as
+   * max |c_tr·n_va − c_va·n_tr| over per-value cumulative counts
+   * (never a double ECDF — those subtract order-dependently), the final
+   * KS is one exact integer ratio, and the significance test
+   * D > 1.358·√((n1+n2)/(n1·n2)) is squared into
+   * d² ·10⁴ > 1.358²·10⁴ ·(n1+n2)·n1·n2 — decimal(38) on the Spark side,
+   * HUGEINT in DuckDB, so no sqrt and no float comparison anywhere.
+   *
+   * Scale shape: one (type, value)-keyed aggregate collapses the corpus
+   * to its distinct-value histogram, one window cumsum per event_type
+   * over that (already-reduced) table, one final max — the shuffles
+   * carry counts, never rows. A 100 TB stream would pre-bin values to
+   * bounded resolution first; the dataflow is unchanged.
+   */
+  def statsKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = md5Long(concat(lit(KsSalt), col("event_id").cast("string"))) % 100
+    val split = when(bucket < KsTrainUpTo, "train")
+      .when(bucket < KsValidUpTo, "valid").otherwise("test")
+    val h = events(spark, dir)
+      .select(col("event_type"), col("value"), split.as("split"))
+      .filter(col("split") =!= "test")
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("a_tr"),
+           sum(when(col("split") === "valid", 1L).otherwise(0L)).as("a_va"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = h.select(col("event_type"),
+        sum(col("a_tr")).over(w).as("c_tr"),
+        sum(col("a_va")).over(w).as("c_va"))
+      .withColumn("n_tr", max(col("c_tr")).over(wAll))
+      .withColumn("n_va", max(col("c_va")).over(wAll))
+      .withColumn("diff", abs(col("c_tr") * col("n_va") - col("c_va") * col("n_tr")))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val out = cum.groupBy(col("event_type"))
+      .agg(max(col("n_tr")).as("n_train"), max(col("n_va")).as("n_valid"),
+           max(col("diff")).as("d_scaled"))
+    out.select(col("event_type"), col("n_train"), col("n_valid"), col("d_scaled"),
+      (col("d_scaled").cast("double")
+        / (col("n_train") * col("n_valid")).cast("double")).as("ks"),
+      (d38(col("d_scaled")) * d38(col("d_scaled")) * d38(lit(10000L))
+        > d38(lit(KsCrit2E4)) * d38(col("n_train") + col("n_valid"))
+          * d38(col("n_train")) * d38(col("n_valid"))).as("drifted"))
+  }
+
+  val statsKsDriftSql: String = {
+    val bucket =
+      s"CAST(('0x' || substring(md5('$KsSalt' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    s"""WITH s AS (
+       |  SELECT event_type, value,
+       |    CASE WHEN $bucket < $KsTrainUpTo THEN 'train'
+       |         WHEN $bucket < $KsValidUpTo THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, value,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a_tr,
+       |    SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS a_va
+       |  FROM s WHERE split <> 'test' GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type,
+       |    SUM(a_tr) OVER w AS c_tr, SUM(a_va) OVER w AS c_va
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+       |               ROWS UNBOUNDED PRECEDING)),
+       |tot AS (
+       |  SELECT event_type, SUM(a_tr) AS n_tr, SUM(a_va) AS n_va
+       |  FROM h GROUP BY 1),
+       |d AS (
+       |  SELECT c.event_type,
+       |    MAX(t.n_tr) AS n_train, MAX(t.n_va) AS n_valid,
+       |    MAX(abs(c.c_tr * t.n_va - c.c_va * t.n_tr)) AS d_scaled
+       |  FROM cum c JOIN tot t USING (event_type) GROUP BY 1)
+       |SELECT event_type,
+       |  CAST(n_train AS BIGINT) AS n_train,
+       |  CAST(n_valid AS BIGINT) AS n_valid,
+       |  CAST(d_scaled AS BIGINT) AS d_scaled,
+       |  CAST(d_scaled AS DOUBLE) / (CAST(n_train AS DOUBLE) * n_valid) AS ks,
+       |  d_scaled::HUGEINT * d_scaled * 10000
+       |    > $KsCrit2E4::HUGEINT * (n_train + n_valid) * n_train * n_valid AS drifted
+       |FROM d""".stripMargin
+  }
 }
