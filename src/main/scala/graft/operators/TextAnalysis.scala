@@ -739,8 +739,10 @@ object TextAnalysis {
    * itself is a zero-shuffle map. The oracle unrolls the loop
    * CTE-for-CTE.
    */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The trained merge table as driver-side scalars (4 rows — the same
+    * legitimate driver collect as the k-means centroid loop); shared by
+    * [[bpeMerges]] (the artifact) and [[bpeEncode]] (its application). */
+  private def bpeTrain(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val words0 = t(spark, dir, "documents")
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -772,7 +774,12 @@ object TextAnalysis {
         col("freq"))
       (round, a, b, cnt)
     }
-    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+    merges
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir).toDF("round", "left_sym", "right_sym", "pair_count")
       .select(col("round").cast("long"), col("left_sym"), col("right_sym"),
               col("pair_count"))
   }
@@ -807,6 +814,79 @@ object TextAnalysis {
        |  FROM w),
        |$stages
        |$out""".stripMargin
+  }
+
+  /**
+   * BPE tokenizer APPLICATION [EXT] — encode the corpus with the merge
+   * table [[bpeTrain]] learns: every token is symbol-encoded with the
+   * same double-separator scheme and the trained merges are replayed in
+   * training order (greedy-leftmost via literal `replace`, exactly the
+   * training semantics), then per-document symbol counts are emitted —
+   * the token-budget accounting a pretraining pipeline runs corpus-wide.
+   *
+   * Zero-shuffle by construction: the merge table is 4 driver scalars
+   * baked into the projection as literals (production broadcasts a
+   * ~50k-row merge table; same plan shape), so encoding is a pure
+   * per-row map over `documents` — nothing crosses the network at any
+   * corpus size. The vocabulary-invariant (Σ_vocab freq·n_syms ==
+   * Σ_corpus n_syms) is spec'd in CorpusOps2Spec's sibling suite.
+   */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir)
+    val e0 = "concat(chr(1), array_join(transform(sequence(1, length(tok)), " +
+      "i -> substring(tok, i, 1)), chr(1) || chr(1)), chr(1))"
+    val chain = merges.foldLeft(e0) { case (acc, (_, a, b, _)) =>
+      s"replace($acc, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), " +
+        s"chr(1) || '$a$b' || chr(1))"
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("encs", expr(s"transform(ts, tok -> $chain)"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        expr("aggregate(ts, 0L, (acc, tok) -> acc + length(tok))").as("n_chars_sym"),
+        expr("aggregate(encs, 0L, (acc, e) -> acc + (length(e) - length(replace(e, chr(1)))) div 2)")
+          .as("n_syms"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_sym"), col("n_syms"),
+        (col("n_chars_sym") - col("n_syms")).as("n_merged"),
+        (col("n_syms").cast("double") / col("n_chars_sym")).as("compression"))
+  }
+
+  val bpeEncodeSql: String = {
+    val mergePattern = (i: Int) =>
+      (s"chr(1) || t$i.a || chr(1) || chr(1) || t$i.b || chr(1)",
+       s"chr(1) || t$i.a || t$i.b || chr(1)")
+    val chain = (1 to BpeRounds).foldLeft("e") { (acc, i) =>
+      val (pat, rep) = mergePattern(i)
+      s"replace($acc, $pat, $rep)"
+    }
+    // reuse the training CTE prefix verbatim (w, w0, p_i/t_i/m_i) so the
+    // oracle's merge table is the same artifact bpe_merges gates
+    val trainPrefix = bpeMergesSql.substring(0, bpeMergesSql.lastIndexOf("SELECT CAST(1"))
+      .stripSuffix("\n ").trim.stripSuffix(",")
+    s"""$trainPrefix,
+       |enc0 AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, '\\s+'),
+       |      tok -> chr(1) || array_to_string(list_transform(range(1, length(tok) + 1),
+       |               i -> substring(tok, i, 1)), chr(1) || chr(1)) || chr(1)) AS encs,
+       |    string_split_regex(text, '\\s+') AS ts
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, ts,
+       |    list_transform(encs, e -> $chain) AS encs2
+       |  FROM enc0 CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS INT) AS n_tokens,
+       |    CAST(list_aggregate(list_transform(ts, tok -> CAST(length(tok) AS BIGINT)), 'sum') AS BIGINT) AS n_chars_sym,
+       |    CAST(list_aggregate(list_transform(encs2,
+       |      e -> CAST((length(e) - length(replace(e, chr(1), ''))) // 2 AS BIGINT)), 'sum') AS BIGINT) AS n_syms
+       |  FROM enc)
+       |SELECT doc_id, n_tokens, n_chars_sym, n_syms,
+       |  n_chars_sym - n_syms AS n_merged,
+       |  CAST(n_syms AS DOUBLE) / n_chars_sym AS compression
+       |FROM agg""".stripMargin
   }
 
   // ------------------------------------------------------ sequence packing
