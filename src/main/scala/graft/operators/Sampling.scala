@@ -315,4 +315,91 @@ object Sampling {
        |         row_number() OVER (PARTITION BY lang, source ORDER BY h ASC, doc_id ASC) AS rnk
        |  FROM h)
        |WHERE rnk <= $PerStratum""".stripMargin
+
+  // ------------------------------------------- DSIR importance weighting
+
+  /** Hashed-feature space size, the target slice, and the fixed-point
+    * scale (micro-nats) for per-bucket log-ratios. */
+  private val DsirBuckets = 512L
+  private val DsirTargetLang = "en"
+  private val DsirScale = 1000000L
+
+  /**
+   * DSIR-style importance weights [EXT] (Data Selection via Importance
+   * Resampling, Xie et al. 2023 — the standard recipe for skewing a raw
+   * crawl toward a target distribution): featurize every document into
+   * hashed word-bigram buckets, fit add-one-smoothed bucket unigram
+   * models for the TARGET slice (lang = 'en' here; any quality slice in
+   * production) and the RAW corpus, and score each document with its
+   * importance log-ratio Σ_features [ln p̂_target(b) − ln p̂_raw(b)].
+   * Documents with positive log-weight look more like the target than
+   * the background and survive the resample.
+   *
+   * Determinism: the two distributions are exact integer counts; each
+   * bucket's log-ratio is computed ONCE (512 rows) and quantized to
+   * integer micro-nats, so every per-document score is an exact integer
+   * dot product count·λ — never a float sum over features. (On this
+   * synthetic corpus the langs share a vocabulary, so weights cluster
+   * near zero — the discrimination behavior is spec'd on a crafted
+   * skewed corpus; the gate pins the machinery.)
+   *
+   * Scale shape: one explode → (doc, bucket) count aggregate (doc-keyed,
+   * map-side combinable), one 512-row λ table broadcast back, one
+   * doc-keyed sum. The λ fit itself reduces the corpus to 512 rows in a
+   * single aggregate. No join ever carries text.
+   */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val feats = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b"))
+    val bucketCounts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_tgt"))
+    val totals = bucketCounts.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
+    val lam = bucketCounts.crossJoin(broadcast(totals)).select(col("b"), expr(
+      s"""CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + $DsirBuckets AS DOUBLE))
+         |           - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + $DsirBuckets AS DOUBLE)))
+         |          * $DsirScale) AS LONG)""".stripMargin).as("lam_fp"))
+    feats.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lam_fp")).as("logw_fp"))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("logw_fp"),
+        round(col("logw_fp").cast("double") / DsirScale.toDouble, 6).as("logw"),
+        (col("logw_fp") > 0L).as("keep"))
+  }
+
+  val dsirImportanceSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(bg), 1, 15)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(ts)),
+       |            i -> ts[i] || ' ' || ts[i + 1])) AS bg
+       |        FROM d WHERE len(ts) >= 2)),
+       |bc AS (
+       |  SELECT b, COUNT(*) AS c_raw,
+       |    SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS c_tgt
+       |  FROM feats GROUP BY 1),
+       |tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM bc),
+       |lam AS (
+       |  SELECT b, CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + $DsirBuckets AS DOUBLE))
+       |                        - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + $DsirBuckets AS DOUBLE)))
+       |                       * $DsirScale) AS BIGINT) AS lam_fp
+       |  FROM bc CROSS JOIN tot),
+       |db AS (
+       |  SELECT doc_id, lang, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3)
+       |SELECT db.doc_id, db.lang,
+       |  CAST(SUM(db.c) AS BIGINT) AS n_feats,
+       |  CAST(SUM(db.c * lam.lam_fp) AS BIGINT) AS logw_fp,
+       |  round(CAST(SUM(db.c * lam.lam_fp) AS DOUBLE) / $DsirScale, 6) AS logw,
+       |  SUM(db.c * lam.lam_fp) > 0 AS keep
+       |FROM db JOIN lam USING (b)
+       |GROUP BY 1, 2""".stripMargin
 }
