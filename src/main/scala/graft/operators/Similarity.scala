@@ -295,36 +295,42 @@ object Similarity {
     * the chain is mechanical; all arithmetic mirrors the Spark side
     * bit-for-bit (quantized integer sums, double division, identical
     * tie-breaks). */
-  val annKmeansTopkSql: String = {
-    def centSql(name: String, src: String): String =
-      s"""$name AS (
-         |  SELECT cluster, list(m ORDER BY dim) AS cv
-         |  FROM (
-         |    SELECT cluster, dim,
-         |           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
-         |             / (COUNT(*) * 1000000.0) AS m
-         |    FROM (SELECT cluster, unnest(v) AS x,
-         |                 unnest(generate_series(1, len(v))) AS dim
-         |          FROM $src)
-         |    GROUP BY cluster, dim)
-         |  GROUP BY cluster),
-         |${name}n AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $name)""".stripMargin
-    def asgSql(name: String, centN: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT c.vec_id, ct.cluster,
-         |           row_number() OVER (PARTITION BY c.vec_id
-         |             ORDER BY ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) DESC,
-         |                      ct.cluster ASC) AS arnk
-         |    FROM corpus c CROSS JOIN $centN ct)
-         |  WHERE arnk = 1)""".stripMargin
+  private def kmCentSql(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT cluster, list(m ORDER BY dim) AS cv
+       |  FROM (
+       |    SELECT cluster, dim,
+       |           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1000000.0) AS m
+       |    FROM (SELECT cluster, unnest(v) AS x,
+       |                 unnest(generate_series(1, len(v))) AS dim
+       |          FROM $src)
+       |    GROUP BY cluster, dim)
+       |  GROUP BY cluster),
+       |${name}n AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $name)""".stripMargin
+
+  private def kmAsgSql(name: String, centN: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT c.vec_id, ct.cluster,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) DESC,
+       |                      ct.cluster ASC) AS arnk
+       |    FROM corpus c CROSS JOIN $centN ct)
+       |  WHERE arnk = 1)""".stripMargin
+
+  /** The last-iteration centroid CTE name of [[kmChainSql]]. */
+  private val kmLastCent = s"cent${KmIters}n"
+
+  /** The full Lloyd-unroll CTE chain (cent0 → asg/cent iterations →
+    * final_asg), shared verbatim by [[annKmeansTopkSql]] and
+    * [[dedupSemanticSql]]. Expects `corpus` to be in scope. */
+  private def kmChainSql: String = {
     val iters = (1 to KmIters).map { i =>
-      asgSql(s"asg$i", s"cent${i - 1}n") + ",\n" +
-        centSql(s"cent$i", s"corpus c JOIN asg$i USING (vec_id)")
+      kmAsgSql(s"asg$i", s"cent${i - 1}n") + ",\n" +
+        kmCentSql(s"cent$i", s"corpus c JOIN asg$i USING (vec_id)")
     }.mkString(",\n")
-    val last = s"cent${KmIters}n"
-    s"""WITH $corpusSql, $queriesSqlCte,
-       |${centSql("cent0", "(SELECT label AS cluster, v FROM corpus) c")},
+    s"""${kmCentSql("cent0", "(SELECT label AS cluster, v FROM corpus) c")},
        |$iters,
        |final_asg AS (
        |  SELECT vec_id, cluster FROM (
@@ -332,8 +338,14 @@ object Similarity {
        |           row_number() OVER (PARTITION BY c.vec_id
        |             ORDER BY ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) DESC,
        |                      ct.cluster ASC) AS arnk
-       |    FROM corpus c CROSS JOIN $last ct)
-       |  WHERE arnk = 1),
+       |    FROM corpus c CROSS JOIN $kmLastCent ct)
+       |  WHERE arnk = 1)""".stripMargin
+  }
+
+  val annKmeansTopkSql: String = {
+    val last = kmLastCent
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |$kmChainSql,
        |probes AS (
        |  SELECT q_id, qv, qn, cluster FROM (
        |    SELECT q_id, qv, qn, cluster,
@@ -967,4 +979,105 @@ object Similarity {
        |         + coalesce(CAST(1 AS DOUBLE) / ($RrfK + r_dense), 0.0) AS rrf_score
        |FROM dense d FULL OUTER JOIN lex l ON d.id = l.id
        |ORDER BY rrf_score DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin
+
+  // -------------------------------------------------- semantic dedup
+
+  /** Near-dup cosine threshold for the semantic dedup pass (picked so the
+    * pass is ACTIVE on the isotropic synthetic corpus — max pairwise
+    * cosine there is ~0.51; production text embeddings use ~0.95+), and
+    * the cluster occupancy cap guarding the within-cluster pair join. */
+  private val SemTau = 0.4
+  private val SemMaxCluster = 1024L
+
+  /**
+   * SemDeDup [EXT] (Abbas et al. 2023 — semantic deduplication, the
+   * embedding-space complement of MinHash): k-means-cluster the corpus
+   * embeddings (the [[annKmeansTopk]] Lloyd unroll, reused verbatim),
+   * then within each cluster mark as duplicates the pairs with cosine ≥
+   * [[SemTau]] and REMOVE the more-central member of each pair —
+   * SemDeDup's keep-the-outlier rule (low centroid-similarity examples
+   * carry more diversity per token).
+   *
+   * The paper's greedy sweep (keep in decreasing-distance order, drop
+   * anything near an already-KEPT item) is a sequential recurrence that
+   * does not distribute; this is its standard one-round relaxation —
+   * drop every vector with a more-central near-duplicate neighbor,
+   * kept or not — which equals the greedy result on cliques (the shape
+   * real near-dup clusters take) and never drops a cluster's most
+   * outlying member. Deterministic: centrality compares bit-identical
+   * doubles, ties to the smaller vec_id.
+   *
+   * Scale shape: clustering is the zero-shuffle literal-centroid scan;
+   * the pair join is an equi-join ON CLUSTER (never all-pairs across the
+   * corpus), quadratic only within a cluster — bounded by
+   * [[SemMaxCluster]] (inert here, max cluster ~70; an over-full cluster
+   * would be LSH-sub-blocked exactly like [[dedupEmbedding]]'s label
+   * blocks). Output rows carry ids and rounded scores, never vectors.
+   */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    var cents = collectCents(
+      kmCentroids(c.select(col("label").as("cluster"), col("v"))))
+    for (_ <- 1 to KmIters)
+      cents = collectCents(
+        kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
+    import spark.implicits._
+    val cent = spark.createDataset(cents).toDF()
+    val m = kmAssign(c, cents)
+      .join(broadcast(cent), "cluster")
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+              cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("c_cos"))
+    val sized = m.join(
+      m.groupBy(col("cluster")).agg(count(lit(1)).as("csz")), "cluster")
+      .filter(col("csz") <= SemMaxCluster)
+    val pairs = sized.as("a").join(sized.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")) >= SemTau)
+      .select(col("a.cluster").as("cluster"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"),
+        when(col("a.c_cos") > col("b.c_cos")
+             || (col("a.c_cos") === col("b.c_cos") && col("a.vec_id") > col("b.vec_id")),
+             struct(col("a.vec_id").as("id"), col("a.c_cos").as("cc")))
+          .otherwise(struct(col("b.vec_id").as("id"), col("b.c_cos").as("cc")))
+          .as("loser"))
+    pairs.groupBy(col("loser.id").as("vec_id"))
+      .agg(max(col("cluster")).as("cluster"), // constant within the group
+           count(lit(1)).as("n_dup_pairs"),
+           round(max(col("cos")), 6).as("max_cos"),
+           round(max(col("loser.cc")), 6).as("c_cos"))
+      .select(col("vec_id"), col("cluster"), col("n_dup_pairs"),
+              col("max_cos"), col("c_cos"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $corpusSql,
+       |$kmChainSql,
+       |m AS (
+       |  SELECT fa.cluster, c.vec_id, c.v, c.nrm,
+       |         ${dotSql("c.v", "ct.cv")} / (c.nrm * ct.cn) AS c_cos
+       |  FROM corpus c
+       |  JOIN final_asg fa ON fa.vec_id = c.vec_id
+       |  JOIN $kmLastCent ct ON ct.cluster = fa.cluster),
+       |sized AS (
+       |  SELECT m.* FROM m
+       |  JOIN (SELECT cluster, COUNT(*) AS csz FROM m GROUP BY 1) s USING (cluster)
+       |  WHERE s.csz <= $SemMaxCluster),
+       |pairs AS (
+       |  SELECT a.cluster,
+       |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos,
+       |         CASE WHEN a.c_cos > b.c_cos
+       |                   OR (a.c_cos = b.c_cos AND a.vec_id > b.vec_id)
+       |              THEN a.vec_id ELSE b.vec_id END AS loser_id,
+       |         CASE WHEN a.c_cos > b.c_cos
+       |                   OR (a.c_cos = b.c_cos AND a.vec_id > b.vec_id)
+       |              THEN a.c_cos ELSE b.c_cos END AS loser_cc
+       |  FROM sized a JOIN sized b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemTau)
+       |SELECT loser_id AS vec_id,
+       |  CAST(MAX(cluster) AS BIGINT) AS cluster,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       |  round(MAX(cos), 6) AS max_cos,
+       |  round(MAX(loser_cc), 6) AS c_cos
+       |FROM pairs GROUP BY 1""".stripMargin
 }
