@@ -1080,4 +1080,110 @@ object Similarity {
        |  round(MAX(cos), 6) AS max_cos,
        |  round(MAX(loser_cc), 6) AS c_cos
        |FROM pairs GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- NN-Descent
+
+  /** Neighbors kept per vector in the kNN graph. */
+  private val NnK = 6
+
+  /**
+   * One NN-Descent refinement round [EXT] (Dong et al. 2011 — the
+   * standard constructor for the kNN graphs under HNSW/graph-ANN
+   * indexes): seed an approximate kNN graph from multi-band LSH bucket
+   * collisions (the [[dedupEmbedding]] blocking, reused), then improve
+   * it with the NN-Descent step — a neighbor's neighbor is probably a
+   * neighbor: candidates = the seed edges plus every two-hop pair in the
+   * UNDIRECTED seed graph, rescored exactly, top-[[NnK]] kept per
+   * vector.
+   *
+   * Scale shape: the whole round is equi-joins with k-BOUNDED fan-out —
+   * the two-hop join emits ≤ (2k)² candidates per vector regardless of
+   * corpus size, and the rescore joins carry ids until the final
+   * vector lookup. Nothing is ever all-pairs; the LSH seed is
+   * bucket-bounded the same way [[dedupEmbedding]] is. Production runs
+   * this round to convergence (2-4 iterations); one round is the
+   * per-iteration dataflow, and RetrievalOpsSpec measures the recall
+   * it adds over the raw LSH seed.
+   */
+  def annNndescent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val keyed = c.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until NumBands).map(b =>
+          struct(lit(b).as("band"), bandBucket(b, col("v")).as("blk"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+              col("bk.band").as("band"), col("bk.blk").as("blk"))
+    val a = keyed.select(col("band"), col("blk"), col("vec_id").as("id_a"),
+                         col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("band"), col("blk"), col("vec_id").as("id_b"),
+                         col("v").as("vb"), col("nrm").as("nb"))
+    val seedPairs = a.join(b, Seq("band", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .distinct() // multi-band keying can emit a pair once per band
+    val seedEdges = seedPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .union(seedPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    val g = seedEdges.withColumn("rnk", row_number().over(wSrc))
+      .filter(col("rnk") <= NnK).select(col("src"), col("dst"))
+    val u = g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val cand = u.as("e1").join(u.as("e2"), col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") =!= col("e2.dst"))
+      .select(col("e1.src").as("qa"), col("e2.dst").as("qb"))
+      .union(u.select(col("src").as("qa"), col("dst").as("qb")))
+      .distinct()
+    val ca = c.select(col("vec_id").as("qa"), col("v").as("va"), col("nrm").as("na"))
+    val cb = c.select(col("vec_id").as("qb"), col("v").as("vb"), col("nrm").as("nb"))
+    val scored = cand.join(ca, "qa").join(cb, "qb")
+      .select(col("qa"), col("qb"),
+              cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+    val wq = Window.partitionBy(col("qa")).orderBy(col("cos").desc, col("qb").asc)
+    scored.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= NnK)
+      .select(col("qa").as("vec_id"), col("rnk"), col("qb").as("neighbor_id"), col("cos"))
+  }
+
+  val annNndescentSql: String = {
+    val bandUnion = (0 until NumBands).map(bnd =>
+      s"SELECT vec_id, v, nrm, $bnd AS band, ${bandBucketSql(bnd, "v")} AS blk FROM corpus")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusSql,
+       |keyed AS (
+       |  $bandUnion),
+       |seedp AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.blk = b.blk AND a.vec_id < b.vec_id),
+       |seede AS (
+       |  SELECT id_a AS src, id_b AS dst, cos FROM seedp
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst, cos FROM seedp),
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+       |    FROM seede)
+       |  WHERE rnk <= $NnK),
+       |u AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g)),
+       |cand AS (
+       |  SELECT DISTINCT qa, qb FROM (
+       |    SELECT e1.src AS qa, e2.dst AS qb
+       |    FROM u e1 JOIN u e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+       |    UNION ALL
+       |    SELECT src AS qa, dst AS qb FROM u)),
+       |scored AS (
+       |  SELECT qa, qb, ${dotSql("ca.v", "cb.v")} / (ca.nrm * cb.nrm) AS cos
+       |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = qa
+       |  JOIN corpus cb ON cb.vec_id = qb)
+       |SELECT qa AS vec_id, CAST(rnk AS INT) AS rnk, qb AS neighbor_id, cos FROM (
+       |  SELECT qa, qb, cos,
+       |         row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $NnK""".stripMargin
+  }
 }
