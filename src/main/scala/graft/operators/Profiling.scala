@@ -99,7 +99,7 @@ object Profiling {
 
   /** Salt for the drift check's two-sample split over event ids (mirrors
     * [[Sampling]]'s 80/10/10 scheme on its own key space). */
-  private val KsSalt = "graft_ks_v1:"
+  private[operators] val KsSalt = "graft_ks_v1:"
   private val KsTrainUpTo = 80
   private val KsValidUpTo = 90
 

