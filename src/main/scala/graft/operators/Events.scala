@@ -445,4 +445,140 @@ object Events {
       |       n_active, cohort_size,
       |       n_active * 1000 // cohort_size AS retention_pm
       |FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day""".stripMargin
+
+  // ------------------------------------------------------ attribution
+
+  /** Attribution lookback window (7 days, in micros). */
+  private val AttribWindowUs = 7L * 24 * 3600 * 1000000L
+
+  /**
+   * Last-touch marketing attribution [EXT]: every purchase is credited
+   * to the same user's most recent click-or-view at-or-before it within
+   * a 7-day lookback, then revenue rolls up by credited channel
+   * ('none' = no touch in window). The match IS an as-of join —
+   * implemented on [[JoinsExt.asofJoin]], the same union+window
+   * machinery the native as-of operator twins, now with a multi-type
+   * touch side, a staleness cutoff, and a business aggregate on top.
+   *
+   * Scale shape: one user-keyed window pass over the union (the as-of
+   * idiom — no per-conversion probe join), then a channel-keyed rollup
+   * of ≤ |conversions| rows. Gap sums are exact integer micros; revenue
+   * crosses the decimal bridge; the one mean is a single deterministic
+   * division per output row.
+   */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("value"), col("ts_us"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_us"), col("event_type").as("channel"),
+              col("event_id").as("touch_id"), col("ts_us").as("touch_ts_us"))
+    val att = JoinsExt.asofJoin(conv, touches, "user_id", "ts_us",
+        payload = Seq("channel", "touch_id", "touch_ts_us"), rightOrd = "touch_id")
+      .withColumn("attributed",
+        col("asof_channel").isNotNull &&
+          (col("ts_us") - col("asof_touch_ts_us")) <= AttribWindowUs)
+      .withColumn("att_channel",
+        when(col("attributed"), col("asof_channel")).otherwise(lit("none")))
+    att.groupBy(col("att_channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+           dsum(col("value")).as("revenue"),
+           coalesce(sum(when(col("attributed"), col("ts_us") - col("asof_touch_ts_us"))),
+                    lit(0L)).as("sum_gap_us"))
+      .select(col("att_channel"), col("n_conversions"), col("revenue"), col("sum_gap_us"),
+        round(col("sum_gap_us").cast("double")
+          / (col("n_conversions") * 60000000L).cast("double"), 6).as("mean_gap_min"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+       |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+       |u AS (
+       |  SELECT user_id, ts_us,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS src,
+       |    CASE WHEN event_type <> 'purchase' THEN event_id ELSE 0 END AS ord,
+       |    CASE WHEN event_type = 'purchase' THEN event_id END AS conv_id,
+       |    CASE WHEN event_type = 'purchase' THEN value END AS cval,
+       |    CASE WHEN event_type <> 'purchase' THEN event_type END AS channel,
+       |    CASE WHEN event_type <> 'purchase' THEN ts_us END AS touch_ts
+       |  FROM e),
+       |m AS (
+       |  SELECT user_id, ts_us, src, conv_id, cval,
+       |    last_value(channel IGNORE NULLS) OVER w AS lc,
+       |    last_value(touch_ts IGNORE NULLS) OVER w AS lt
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, src, ord
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |a AS (
+       |  SELECT conv_id, cval,
+       |    CASE WHEN lc IS NOT NULL AND ts_us - lt <= $AttribWindowUs
+       |         THEN lc ELSE 'none' END AS att_channel,
+       |    CASE WHEN lc IS NOT NULL AND ts_us - lt <= $AttribWindowUs
+       |         THEN ts_us - lt END AS gap_us
+       |  FROM m WHERE src = 1)
+       |SELECT att_channel,
+       |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       |  CAST(SUM(CAST(cval AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       |  CAST(coalesce(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
+       |  round(CAST(coalesce(SUM(gap_us), 0) AS DOUBLE)
+       |        / CAST(COUNT(*) * 60000000 AS DOUBLE), 6) AS mean_gap_min
+       |FROM a GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- path mining
+
+  /** Path n-gram width and the result cut. */
+  private val PathN = 3
+  private val PathTopK = 20
+
+  /**
+   * Top navigation paths [EXT]: the most frequent length-[[PathN]]
+   * event-type sequences across user streams — the "what do users do
+   * next" product-analytics staple. Each user's events are ordered by
+   * (ts, event_id) and every consecutive trigram counts once; output is
+   * the global top-[[PathTopK]] with occurrence and distinct-user
+   * counts.
+   *
+   * Scale shape: one user-keyed window (two lead()s — no
+   * collect_list of a user's whole history), one path-keyed aggregate
+   * whose key domain is |event_types|^3 (tiny), and a
+   * TakeOrderedAndProject cut. Total order (count DESC, path ASC) makes
+   * the cut deterministic under ties in both engines.
+   */
+  def eventsPathTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+              concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
+  val eventsPathTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |tri AS (
+       |  SELECT user_id,
+       |    event_type || '>' || lead(event_type, 1) OVER w
+       |               || '>' || lead(event_type, 2) OVER w AS path,
+       |    lead(event_type, 2) OVER w AS t3
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT path,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM tri WHERE t3 IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY n_occurrences DESC, path ASC LIMIT $PathTopK""".stripMargin
 }

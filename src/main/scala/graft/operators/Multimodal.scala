@@ -287,4 +287,123 @@ object Multimodal {
        |SELECT frame_hash, COUNT(*) AS n_frames,
        |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS rep_doc_id
        |FROM h GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Hamming radius for perceptual near-duplicate frames, and the bucket
+    * occupancy cap guarding the band self-join. */
+  private val PhashHamMax = 1
+  private val PhashMaxBucket = 256L
+
+  /** Average hash (aHash) of one decoded frame: bit i set iff byte i is
+    * above the frame mean — the integer compare byte·n > sum avoids any
+    * division. A real pipeline computes this on decoded pixels; the stub
+    * codec's bytes stand in with the identical dataflow. */
+  private def aHash(frame: Array[Byte]): Long = {
+    val n = frame.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < frame.length) { sum += (frame(i) & 0xff); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < frame.length) {
+      if ((frame(i) & 0xff).toLong * n > sum) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /**
+   * Perceptual near-duplicate frames ACROSS assets [EXT]: aHash each
+   * sampled frame (bit per byte vs the frame mean — the lossy
+   * perceptual fingerprint; [[mediaFrameDedup]]'s md5 only catches
+   * byte-exact copies), then find cross-document frame pairs within
+   * Hamming ≤ [[PhashHamMax]] and roll them up per document pair —
+   * re-encoded/slightly-corrupted shared media that exact hashing
+   * structurally misses.
+   *
+   * Completeness by pigeonhole: candidates block on the hash's two
+   * 16-bit halves; a pair differing in ≤ 1 bit is identical in at least
+   * one half, so NO qualifying pair escapes the blocking — the same
+   * band argument as [[Dedup]]'s SimHash stage, with the same
+   * [[PhashMaxBucket]] occupancy cap closing the degenerate-bucket
+   * quadratic edge (inert here). Only (hash, ids) cross the shuffle —
+   * payload bytes never leave the decode stage.
+   */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ph = mediaTable(spark, dir).flatMap { r =>
+      decodeFrames(r.payload).map { case (idx, frame) => (r.doc_id, idx, aHash(frame)) }
+    }.toDF("doc_id", "frame_idx", "phash")
+    val banded = ph.select(col("doc_id"), col("frame_idx"), col("phash"),
+        explode(array(
+          struct(lit(0).as("band"), expr("phash div 65536").as("bv")),
+          struct(lit(1).as("band"), (col("phash") % 65536L).as("bv")))).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+              col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val capped = banded.join(
+      banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("bn")),
+      Seq("band", "bv")).filter(col("bn") <= PhashMaxBucket)
+    val a = capped.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+                          col("frame_idx").as("fi_a"), col("phash").as("ph_a"))
+    val b = capped.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+                          col("frame_idx").as("fi_b"), col("phash").as("ph_b"))
+    val pairs = a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ham", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("ham") <= PhashHamMax)
+      .select(col("doc_a"), col("doc_b"), col("fi_a"), col("fi_b"), col("ham"))
+      .distinct() // both halves may emit the same pair
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_near_frames"),
+           sum(when(col("ham") === 0, 1L).otherwise(0L)).as("n_exact"),
+           min(col("ham")).as("min_hamming"))
+  }
+
+  val mediaPhashSql: String =
+    s"""WITH $mediaSql,
+       |fr AS (
+       |  SELECT doc_id, n_bytes, text,
+       |    unnest(list_filter(
+       |      generate_series(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes - 1),
+       |      f -> f % $FrameStride = 0)) AS frame_idx
+       |  FROM media),
+       |fs AS (
+       |  SELECT doc_id, frame_idx,
+       |    text[frame_idx * $FrameBytes + 1 :
+       |         least(frame_idx * $FrameBytes + $FrameBytes, n_bytes)] AS frame
+       |  FROM fr),
+       |fm AS (
+       |  SELECT doc_id, frame_idx, frame, CAST(length(frame) AS BIGINT) AS flen,
+       |    CAST(list_sum(list_transform(range(1, length(frame) + 1),
+       |      i -> CAST(ord(frame[i:i]) AS BIGINT))) AS BIGINT) AS fsum
+       |  FROM fs),
+       |h AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(coalesce(list_sum(list_transform(range(1, CAST(flen AS INT) + 1),
+       |      i -> CASE WHEN CAST(ord(frame[i:i]) AS BIGINT) * flen > fsum
+       |                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)), 0) AS BIGINT) AS phash
+       |  FROM fm),
+       |banded AS (
+       |  SELECT doc_id, frame_idx, phash, 0 AS band, phash // 65536 AS bv FROM h
+       |  UNION ALL
+       |  SELECT doc_id, frame_idx, phash, 1 AS band, phash % 65536 AS bv FROM h),
+       |capped AS (
+       |  SELECT banded.* FROM banded
+       |  JOIN (SELECT band, bv, COUNT(*) AS bn FROM banded GROUP BY 1, 2) s
+       |    USING (band, bv)
+       |  WHERE s.bn <= $PhashMaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.frame_idx AS fi_a, b.frame_idx AS fi_b,
+       |         bit_count(xor(a.phash, b.phash)) AS ham
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax)
+       |SELECT doc_a, doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_near_frames,
+       |  CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(MIN(ham) AS INT) AS min_hamming
+       |FROM pairs GROUP BY 1, 2""".stripMargin
 }

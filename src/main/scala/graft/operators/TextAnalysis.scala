@@ -340,6 +340,88 @@ object TextAnalysis {
       |  CAST(len(ts) AS BIGINT) AS n_tokens
       |FROM d""".stripMargin
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Winnowing parameters: k-gram width (words) and window size (grams).
+    * Expected fingerprint density is 2/(w+1). */
+  private val WinK = 3
+  private val WinW = 4
+
+  /**
+   * Winnowing fingerprints [EXT] (Schleimer/Wilkerson/Aiken 2003 — the
+   * MOSS algorithm): hash every [[WinK]]-gram, slide a [[WinW]]-window
+   * over the hash sequence, and select each window's MINIMUM hash (ties
+   * to the RIGHTMOST position, per the paper). The selected (hash, pos)
+   * set is a position-robust local fingerprint: any shared substring of
+   * ≥ w+k−1 tokens between two documents is GUARANTEED to contribute at
+   * least one common selected hash — the partial-overlap detector that
+   * whole-document fingerprints ([[textFingerprint]]) and fixed-stride
+   * chunk hashes structurally miss.
+   *
+   * Dataflow: explode grams with positions (hashes only — 8 bytes each
+   * past the scan), one doc-keyed sliding-frame window min (the
+   * min-of-struct(hash, −pos) encodes the rightmost-tie rule), one
+   * distinct, one doc-keyed roll-up. The window partitions by doc, so
+   * no partition exceeds a document's gram count at any corpus scale.
+   * CorpusOps3Spec proves the coverage guarantee and the ~2/(w+1)
+   * density law.
+   */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= WinK)
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${WinK - 1}), i -> array_join(slice(ts, i, $WinK), ' '))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), md5Long(col("gram")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinW - 1)
+    val selected = grams
+      .withColumn("ng", max(col("pos")).over(Window.partitionBy(col("doc_id"))) + 1)
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(w))
+      // a full window starts at every pos ≤ ng − w
+      .filter(col("pos") <= col("ng") - WinW)
+      .select(col("doc_id"), col("n_tokens"), col("ng"),
+              col("sel.h").as("fh"), (-col("sel.np")).as("fpos"))
+      .distinct()
+    selected.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+           max(col("ng")).as("n_grams"),
+           count(lit(1)).as("n_selected"),
+           md5(array_join(transform(array_sort(collect_list(struct(col("fpos"), col("fh")))),
+             s => concat_ws(":", s.getField("fpos"), s.getField("fh"))), ",")).as("fp_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"), col("n_selected"),
+        (col("n_selected").cast("double") / col("n_grams")).as("density"),
+        col("fp_md5"))
+  }
+
+  val textWinnowingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents
+       |  WHERE len(string_split_regex(text, '\\s+')) >= $WinK),
+       |grams AS (
+       |  SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, CAST(i - 1 AS INT) AS pos,
+       |         CAST(('0x' || substring(md5(array_to_string(ts[i : i + ${WinK - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+       |  FROM d, UNNEST(range(1, len(ts) - ${WinK - 2})) AS u(i)),
+       |win AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |         MAX(pos) OVER (PARTITION BY doc_id) + 1 AS ng,
+       |         MIN({'h': h, 'np': -pos}) OVER
+       |           (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS sel
+       |  FROM grams),
+       |selected AS (
+       |  SELECT DISTINCT doc_id, n_tokens, ng, sel.h AS fh, -sel.np AS fpos
+       |  FROM win WHERE pos <= ng - $WinW)
+       |SELECT doc_id,
+       |  MAX(n_tokens) AS n_tokens,
+       |  CAST(MAX(ng) AS INT) AS n_grams,
+       |  CAST(COUNT(*) AS BIGINT) AS n_selected,
+       |  CAST(COUNT(*) AS DOUBLE) / MAX(ng) AS density,
+       |  md5(string_agg(fpos || ':' || fh, ',' ORDER BY fpos, fh)) AS fp_md5
+       |FROM selected GROUP BY doc_id""".stripMargin
+
   // -------------------------------------------------------- boilerplate
 
   /** Segment width (words) for boilerplate hashing. CCNet hashes lines;
