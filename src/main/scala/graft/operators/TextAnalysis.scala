@@ -366,7 +366,10 @@ object TextAnalysis {
    * CorpusOps3Spec proves the coverage guarantee and the ~2/(w+1)
    * density law.
    */
-  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+  /** The selected (doc, fingerprint-hash, position) set — the winnowing
+    * output proper; [[textWinnowing]] is its per-doc roll-up, and the
+    * overlap-detection spec joins two docs' sets directly. */
+  private[operators] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("ts"))
@@ -385,7 +388,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("ng"),
               col("sel.h").as("fh"), (-col("sel.np")).as("fpos"))
       .distinct()
-    selected.groupBy(col("doc_id"))
+    selected
+  }
+
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowSelected(spark, dir).groupBy(col("doc_id"))
       .agg(max(col("n_tokens")).as("n_tokens"),
            max(col("ng")).as("n_grams"),
            count(lit(1)).as("n_selected"),
@@ -394,7 +401,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_grams"), col("n_selected"),
         (col("n_selected").cast("double") / col("n_grams")).as("density"),
         col("fp_md5"))
-  }
 
   val textWinnowingSql: String =
     s"""WITH d AS (

@@ -296,4 +296,122 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("shifted")._3)
     assert(out.values.forall { case (d, ks, _) => d >= 0 && ks >= 0.0 && ks <= 1.0 })
   }
+
+  // ------------------------------------------------------- text_winnowing
+
+  test("textWinnowing matches a plain-Scala winnower on sf0.001; shared runs share fingerprints") {
+    // plain-Scala twin of the selection (k=3, w=4, rightmost-min rule)
+    def winnow(text: String): Set[(Long, Int)] = {
+      val ts = text.split("\\s+")
+      if (ts.length < 3) return Set.empty
+      val hs = (0 to ts.length - 3).map(i =>
+        Tables.md5LongOf(ts.slice(i, i + 3).mkString(" ").getBytes("UTF-8")))
+      (0 to hs.length - 4).map { s =>
+        val win = (s until s + 4).map(p => (hs(p), -p))
+        val m = win.min
+        (m._1, -m._2)
+      }.toSet
+    }
+    val expected = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => winnow(r.getString(1)).map(fp => (r.getLong(0), fp._1, fp._2)))
+      .toSet
+    val got = TextAnalysis.winnowSelected(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).toSet
+    assert(got == expected)
+    // guarantee: two docs sharing a ≥ w+k−1-token run share a fingerprint HASH
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val sub = writeDocs("win",
+      Seq((0L, s"a1 a2 a3 a4 $shared a5 a6 a7", "en"),
+          (1L, s"b1 b2 $shared b3 b4 b5 b6 b7", "en")))
+    val sel = TextAnalysis.winnowSelected(spark, sub).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val h0 = sel.filter(_._1 == 0L).map(_._2).toSet
+    val h1 = sel.filter(_._1 == 1L).map(_._2).toSet
+    assert(h0.intersect(h1).nonEmpty)
+    // density law on the real corpus: mean ≈ 2/(w+1) = 0.4
+    val dens = TextAnalysis.textWinnowing(spark, sf).collect().map(_.getDouble(4))
+    val mean = dens.sum / dens.length
+    assert(mean > 0.3 && mean < 0.5)
+  }
+
+  // --------------------------------------------------- events_attribution
+
+  test("eventsAttribution conserves conversions and revenue; stale touches fall to 'none'") {
+    val out = Events.eventsAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), Tables.dsum(col("value"))).collect()(0)
+    assert(out.values.map(_._1).sum == purchases.getLong(0))
+    assert(math.abs(out.values.map(_._2).sum - purchases.getDouble(1)) < 1e-6)
+    // crafted: a purchase 8 days after its only touch is unattributed
+    import spark.implicits._
+    val sub = s"$dir/att"
+    val us = 1000000L
+    Seq(
+      (1L, 1000L * us, 10L, "click", 1.0, "{}"),
+      (2L, 1000L * us + 8L * 86400L * us * 1000, 10L, "purchase", 5.0, "{}"),
+      (3L, 2000L * us, 20L, "view", 1.0, "{}"),
+      (4L, 2000L * us + 3600L * us * 1000, 20L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val c = Events.eventsAttribution(spark, sub).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(c("none") == ((1L, 5.0)))
+    assert(c("view") == ((1L, 7.0)))
+  }
+
+  // ----------------------------------------------------- events_path_topk
+
+  test("eventsPathTopk matches a plain-Scala recount on sf0.001") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }
+    val counts = tris.groupBy(identity).map { case (p, xs) =>
+      (p, xs.size.toLong, 0L)
+    }
+    val users = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(t => (t.mkString(">"), u)).distinct
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size.toLong }
+    val expected = counts.map { case (p, n, _) => (p, n, users(p)) }.toSeq
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = Events.eventsPathTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  // ----------------------------------------------------------- media_phash
+
+  test("mediaPhash matches an all-pairs plain-Scala twin on sf0.001 (blocking is complete)") {
+    def aHash(frame: Array[Byte]): Long = {
+      val n = frame.length.toLong
+      val sum = frame.iterator.map(b => (b & 0xff).toLong).sum
+      frame.iterator.zipWithIndex.foldLeft(0L) { case (acc, (b, i)) =>
+        if ((b & 0xff).toLong * n > sum) acc | (1L << i) else acc
+      }
+    }
+    val frames = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        bytes.grouped(32).zipWithIndex.collect {
+          case (f, i) if i % 4 == 0 => (r.getLong(0), aHash(f))
+        }
+      }
+    val expected = (for {
+      (da, ha) <- frames; (db, hb) <- frames if da < db
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 1
+    } yield ((da, db), ham)).groupBy(_._1).map { case ((da, db), xs) =>
+      (da, db, xs.length.toLong, xs.count(_._2 == 0).toLong, xs.map(_._2).min)
+    }.toSet
+    val got = Multimodal.mediaPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(got == expected)
+  }
 }
