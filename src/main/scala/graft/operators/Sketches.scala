@@ -230,4 +230,96 @@ object Sketches {
        |       MIN(g.cnt) - p.exact_cnt AS overcount
        |FROM probes p JOIN regs g ON g.r = p.r AND g.c = p.c
        |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- Bloom filter
+
+  /** Bloom geometry: m bits as m/32 32-bit-mask words (shift ≤ 31 — DuckDB checks signed-shift overflow at 63), k probes per key via
+    * Kirsch–Mitzenmacher double hashing h_i = (h1 + i·h2) mod m. */
+  private val BloomBits = 16384L
+  private val BloomK = 4
+
+  /**
+   * Bloom-filter membership [EXT] — the incremental-ingest dedup gate: a
+   * 100 TB corpus cannot equi-join every incoming batch against all
+   * history, so ingestion keeps a Bloom filter of historical content
+   * hashes and only the "maybe" fraction pays the exact check. Built
+   * from scratch (like the [[hllDistinct]]/[[cmsHeavyHitters]] siblings)
+   * so every bit is oracle-reproducible: the index side (sources ≠
+   * 'src0') ORs its k probe bits into 512 words; the probe side (src0)
+   * tests all k bits and splits into definitely-new vs maybe-duplicate;
+   * the exact content-hash join then exposes TRUE duplicates, making
+   * the false-positive count a first-class output — the number the
+   * m/k sizing trade-off is tuned by.
+   *
+   * Scale shape: the build is ONE aggregate whose shuffle carries
+   * (word, mask) partials — 512 rows regardless of corpus size; the
+   * probe joins against the 512-row word table broadcast; the exact
+   * residual join runs only on content hashes. All-integer end to end.
+   */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("source"),
+      md5Long(col("text")).as("h1"),
+      md5Long(concat(lit("bloom2:"), col("text"))).as("h2"))
+    def bits(df: DataFrame): DataFrame = df.select(col("doc_id"), col("h1"),
+        explode(array((0 until BloomK).map(i =>
+          (col("h1") + lit(i.toLong) * col("h2")) % BloomBits): _*)).as("bit"))
+      .select(col("doc_id"), col("h1"), expr("bit div 32").as("w"),
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask"))
+    val idx = d.filter(col("source") =!= "src0")
+    val probe = d.filter(col("source") === "src0")
+    val words = bits(idx).groupBy(col("w")).agg(expr("bit_or(mask)").as("wv"))
+    val tested = bits(probe)
+      .join(broadcast(words), Seq("w"), "left")
+      .withColumn("hit", (coalesce(col("wv"), lit(0L)).bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy(col("doc_id"), col("h1"))
+      .agg(min(col("hit").cast("int")).as("all_set"))
+    val truth = tested.join(
+      idx.select(col("h1")).distinct().withColumn("dup", lit(1)),
+      Seq("h1"), "left")
+      .select(col("doc_id"), (col("all_set") === 1).as("maybe"),
+              (col("dup").isNotNull).as("is_dup"))
+    truth.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(when(!col("maybe"), 1L).otherwise(0L)).as("n_definitely_new"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dup"),
+      sum(when(col("maybe") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"),
+      sum(when(!col("maybe") && col("is_dup"), 1L).otherwise(0L)).as("n_missed"))
+  }
+
+  val bloomMembershipSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substring(md5('bloom2:' || text), 1, 15)) AS BIGINT) AS h2
+       |  FROM documents),
+       |idx_bits AS (
+       |  SELECT (h1 + i * h2) % $BloomBits AS bit
+       |  FROM d, UNNEST(range(0, $BloomK)) AS u(i)
+       |  WHERE source <> 'src0'),
+       |words AS (
+       |  SELECT bit // 32 AS w, bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS wv
+       |  FROM idx_bits GROUP BY 1),
+       |probe_bits AS (
+       |  SELECT doc_id, h1, (h1 + i * h2) % $BloomBits AS bit
+       |  FROM d, UNNEST(range(0, $BloomK)) AS u(i)
+       |  WHERE source = 'src0'),
+       |tested AS (
+       |  SELECT p.doc_id, p.h1,
+       |    MIN(CASE WHEN (coalesce(w.wv, 0) & (1::BIGINT << CAST(p.bit % 32 AS INT))) <> 0
+       |             THEN 1 ELSE 0 END) AS all_set
+       |  FROM probe_bits p LEFT JOIN words w ON w.w = p.bit // 32
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT t.doc_id, t.all_set = 1 AS maybe,
+       |         EXISTS (SELECT 1 FROM d i WHERE i.source <> 'src0' AND i.h1 = t.h1) AS is_dup
+       |  FROM tested t)
+       |SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       |  CAST(SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_definitely_new,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       |  CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(SUM(CASE WHEN NOT maybe AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+       |FROM truth""".stripMargin
 }

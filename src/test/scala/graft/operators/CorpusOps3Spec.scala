@@ -414,4 +414,26 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(got == expected)
   }
+
+  // ------------------------------------------------------ bloom_membership
+
+  test("bloomMembership: crafted overlap is caught, and a Bloom filter never false-negatives") {
+    import spark.implicits._
+    val sub = s"$dir/bloom"
+    // 5 src0 docs duplicate src1 texts; 5 are genuinely new
+    val idx = (0 until 20).map(i => (100L + i, s"indexed doc number $i body", "en", "src1"))
+    val probe = (0 until 10).map { i =>
+      val text = if (i < 5) s"indexed doc number $i body" else s"brand new doc $i"
+      (200L + i, text, "en", "src0")
+    }
+    (idx ++ probe).toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    val r = Sketches.bloomMembership(spark, sub).collect()(0)
+    assert(r.getLong(0) == 10L)      // n_probe
+    assert(r.getLong(3) == 5L)       // n_true_dup
+    assert(r.getLong(5) == 0L)       // n_missed — the structural guarantee
+    assert(r.getLong(1) >= 5L && r.getLong(2) <= 5L) // all dups flagged maybe
+  }
 }
