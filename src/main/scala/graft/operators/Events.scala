@@ -581,4 +581,87 @@ object Events {
        |FROM tri WHERE t3 IS NOT NULL
        |GROUP BY 1
        |ORDER BY n_occurrences DESC, path ASC LIMIT $PathTopK""".stripMargin
+
+  // --------------------------------------------------- CUSUM change-point
+
+  /** CUSUM slack (k = μ/4) and alarm threshold (h = 4μ), both in the
+    * per-mille units of the integer series. */
+  private val CusumSlackDiv = 4L
+  private val CusumThreshMul = 4L
+
+  /**
+   * CUSUM change-point detection [EXT] (Page 1954 — the standard
+   * upstream-pipeline monitor for "did the event rate shift?"): per
+   * event_type, the one-sided CUSUM over the zero-filled hourly count
+   * series, S_t = max(0, S_{t−1} + x_t − μ − k), with an alarm when
+   * S_t > h.
+   *
+   * The recurrence LOOKS sequential (each S_t depends on S_{t−1} — the
+   * shape that normally does not distribute), but it has a closed
+   * prefix-scan form: S_t = P_t − min(0, min_{j≤t} P_j) where
+   * P = Σ(x − μ − k). That turns the whole detector into ONE window
+   * cumulative sum plus ONE window running-min per series — the same
+   * two-pass trick as maximum drawdown — so it parallelizes like any
+   * windowed aggregate. All arithmetic is integer per-mille (μ is an
+   * integer division of exact counts); no float ever enters.
+   */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    val series = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("x"))
+    val stats = series.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), expr("(sx * 1000) div cnt").as("mu_pm"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = series.join(broadcast(stats), "event_type")
+      .withColumn("d", col("x") * 1000L - col("mu_pm") - expr(s"mu_pm div $CusumSlackDiv"))
+      .withColumn("p", sum(col("d")).over(wCum))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wCum)))
+    scored.select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("x").as("n_events"), col("mu_pm"), col("s").as("cusum_pm"),
+        (col("s") > col("mu_pm") * CusumThreshMul).as("alarm"))
+  }
+
+  val eventsCusumSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+       |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |series AS (
+       |  SELECT t.event_type, g.h, COALESCE(hourly.n, 0) AS x
+       |  FROM grid g CROSS JOIN types t
+       |  LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h),
+       |stats AS (
+       |  SELECT event_type, CAST(SUM(x) * 1000 // COUNT(*) AS BIGINT) AS mu_pm
+       |  FROM series GROUP BY 1),
+       |d AS (
+       |  SELECT s.event_type, s.h, s.x, st.mu_pm,
+       |         s.x * 1000 - st.mu_pm - st.mu_pm // $CusumSlackDiv AS d
+       |  FROM series s JOIN stats st USING (event_type)),
+       |p AS (
+       |  SELECT event_type, h, x, mu_pm,
+       |         SUM(d) OVER w AS p
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (
+       |  SELECT event_type, h, x, mu_pm,
+       |         p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY h
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+       |  FROM p)
+       |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+       |       CAST(x AS BIGINT) AS n_events, mu_pm,
+       |       CAST(s AS BIGINT) AS cusum_pm,
+       |       s > mu_pm * $CusumThreshMul AS alarm
+       |FROM s""".stripMargin
 }

@@ -231,6 +231,140 @@ object Sketches {
        |FROM probes p JOIN regs g ON g.r = p.r AND g.c = p.c
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- sliding HLL
+
+  /** Sliding-window width in hours (current + 2 preceding). */
+  private val SlideHours = 2
+
+  /**
+   * Sliding-window distinct-user HLL [EXT] — the MERGEABILITY of the
+   * sketch made visible at the query level: hourly HLL registers are
+   * built once (the [[hllDistinct]] register dataflow keyed by hour),
+   * then every 3-hour window's sketch is the register-wise MAX of its
+   * hours — a window max over a dense (type, hour, bucket) grid, no
+   * re-scan of the raw events per window. This is exactly why sketches
+   * beat exact distinct at 100 TB: hourly registers are tiny (256 per
+   * type), merge is associative, and any window/rollup combination is
+   * post-hoc register algebra. The exact windowed distinct alongside
+   * (via the standard replicate-each-event-into-its-visible-windows
+   * explode — zero joins) is the verification column that would not
+   * survive at scale.
+   *
+   * Determinism: identical to [[hllDistinct]] — integer registers,
+   * exact integer harmonic sums, one double division + ln correction
+   * rounded to 6.
+   */
+  def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+              expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hnum"),
+              col("user_id"))
+    val hashed = ev
+      .select(col("event_type"), col("hnum"),
+              md5Long(col("user_id").cast("string")).as("hh"))
+      .select(col("event_type"), col("hnum"),
+              pmod(col("hh"), lit(HllM)).as("bucket"),
+              shiftright(col("hh"), HllP).as("w"))
+      .select(col("event_type"), col("hnum"), col("bucket"),
+              when(col("w") === 0, lit(HllW + 1))
+                .otherwise(lit(HllW + 1) - length(bin(col("w")))).as("rho"))
+    val regsHourly = hashed.groupBy(col("event_type"), col("hnum"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    val hours = regsHourly.agg(min(col("hnum")).as("mn"), max(col("hnum")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hnum"))
+    val grid = hours
+      .crossJoin(regsHourly.select(col("event_type")).distinct())
+      .crossJoin(spark.range(HllM).select(col("id").as("bucket")))
+    import org.apache.spark.sql.expressions.Window
+    val wSlide = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("hnum")).rangeBetween(-SlideHours, 0)
+    val slid = grid.join(regsHourly, Seq("event_type", "hnum", "bucket"), "left")
+      .withColumn("m_w", max(col("m_j")).over(wSlide))
+    val g = slid.filter(col("m_w").isNotNull)
+      .groupBy(col("event_type"), col("hnum"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllW + 1} - m_w AS INT))"))
+             .as("s_present"))
+      .select(col("event_type"), col("hnum"),
+        (lit(HllM) - col("n_buckets")).as("zeros"),
+        (col("s_present") + (lit(HllM) - col("n_buckets")) * lit(Pow53)).as("s_int"))
+      .withColumn("e_raw", lit(HllNumerator) / col("s_int").cast("double"))
+      .withColumn("hll_estimate",
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0,
+                   lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
+                .otherwise(col("e_raw")), 6))
+    val bounds = regsHourly.agg(max(col("hnum")).as("mx")).first().getLong(0)
+    val exact = ev
+      .select(col("event_type"), col("user_id"),
+              explode(sequence(col("hnum"), col("hnum") + SlideHours)).as("g"))
+      .filter(col("g") <= bounds)
+      .groupBy(col("event_type"), col("g").as("hnum"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    g.join(exact, Seq("event_type", "hnum"))
+      .select(col("event_type"), col("hnum"), col("n_exact"), col("zeros"),
+              col("s_int"), col("hll_estimate"))
+  }
+
+  val hllSlidingSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hnum,
+       |         user_id
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, hnum,
+       |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+       |  FROM ev),
+       |b AS (SELECT event_type, hnum, hh % $HllM AS bucket, hh >> $HllP AS w FROM h),
+       |r AS (
+       |  SELECT event_type, hnum, bucket,
+       |         MAX(CASE WHEN w = 0 THEN ${HllW + 1}
+       |                  ELSE ${HllW + 1} - length(bin(w)) END) AS m_j
+       |  FROM b GROUP BY 1, 2, 3),
+       |hrs AS (
+       |  SELECT unnest(range(CAST(MIN(hnum) AS BIGINT), CAST(MAX(hnum) AS BIGINT) + 1)) AS hnum
+       |  FROM r),
+       |grid AS (
+       |  SELECT t.event_type, hrs.hnum, bk.bucket
+       |  FROM hrs
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM r) t
+       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS bucket) bk),
+       |slid AS (
+       |  SELECT g.event_type, g.hnum, g.bucket,
+       |         MAX(r.m_j) OVER (PARTITION BY g.event_type, g.bucket ORDER BY g.hnum
+       |                          RANGE BETWEEN $SlideHours PRECEDING AND CURRENT ROW) AS m_w
+       |  FROM grid g
+       |  LEFT JOIN r ON r.event_type = g.event_type AND r.hnum = g.hnum
+       |              AND r.bucket = g.bucket),
+       |gg AS (
+       |  SELECT event_type, hnum, COUNT(*) AS n_buckets,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(${HllW + 1} - m_w AS INT)) AS BIGINT) AS s_present
+       |  FROM slid WHERE m_w IS NOT NULL GROUP BY 1, 2),
+       |e AS (
+       |  SELECT event_type, hnum,
+       |         $HllM - n_buckets AS zeros,
+       |         s_present + ($HllM - n_buckets) * ${Pow53} AS s_int
+       |  FROM gg),
+       |est AS (
+       |  SELECT event_type, hnum, zeros, s_int,
+       |         CAST('$HllNumerator' AS DOUBLE) / CAST(s_int AS DOUBLE) AS e_raw
+       |  FROM e),
+       |mx AS (SELECT MAX(hnum) AS mx FROM r),
+       |exact AS (
+       |  SELECT event_type, g AS hnum, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM (SELECT event_type, user_id,
+       |               unnest(range(hnum, hnum + ${SlideHours + 1})) AS g
+       |        FROM ev) x CROSS JOIN mx
+       |  WHERE g <= mx.mx
+       |  GROUP BY 1, 2)
+       |SELECT est.event_type, est.hnum,
+       |       CAST(exact.n_exact AS BIGINT) AS n_exact,
+       |       zeros, s_int,
+       |       round(CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
+       |                  THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+       |                  ELSE e_raw END, 6) AS hll_estimate
+       |FROM est JOIN exact USING (event_type, hnum)""".stripMargin
+
   // ---------------------------------------------------------- Bloom filter
 
   /** Bloom geometry: m bits as m/32 32-bit-mask words (shift ≤ 31 — DuckDB checks signed-shift overflow at 63), k probes per key via

@@ -436,4 +436,33 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(5) == 0L)       // n_missed — the structural guarantee
     assert(r.getLong(1) >= 5L && r.getLong(2) <= 5L) // all dups flagged maybe
   }
+
+  // ---------------------------------------------------------- events_cusum
+
+  test("eventsCusum prefix-scan form equals the sequential CUSUM recurrence") {
+    val rows = Events.eventsCusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val sorted = series.sortBy(_._2)
+      val mu = sorted.head._4
+      var s = 0L
+      for ((_, _, x, muRow, cusum) <- sorted) {
+        assert(muRow == mu) // one mu per series
+        s = math.max(0L, s + x * 1000L - mu - mu / 4L)
+        assert(s == cusum) // closed form == recurrence, hour by hour
+      }
+    }
+  }
+
+  // ----------------------------------------------------- events_hll_sliding
+
+  test("hllSliding: windowed sketch estimates track exact windowed distincts") {
+    val rows = Sketches.hllSliding(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // 256 registers on ≤ tens of distincts → the small-range ln path: tight
+    for ((exact, est) <- rows)
+      assert(math.abs(est - exact) <= math.max(1.0, 0.5 * exact))
+  }
 }
