@@ -63,6 +63,59 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered parquet write: both keys clustered per FILE, suppkey predicate skips rows a linear sort cannot") {
+    import graft.operators.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    try {
+      val li = Tables.t(spark, TestSpark.Sf0001, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val dom = li.agg(max(col("l_partkey")).as("max_pk"),
+                       max(col("l_suppkey")).as("max_sk")).first()
+      val (mpk, msk) = (dom.getLong(0), dom.getLong(1))
+      val zExpr = (0 until 8).map { i =>
+        s"(shiftleft(shiftright(px, $i) & 1, ${2 * i}) + shiftleft(shiftright(sy, $i) & 1, ${2 * i + 1}))"
+      }.mkString(" + ")
+      def write(d: org.apache.spark.sql.DataFrame, path: String): Unit =
+        d.write.mode("overwrite").parquet(path)
+      // the production write: range-partition + sort by z → one file per range
+      write(li.selectExpr("l_partkey", "l_suppkey",
+              s"(l_partkey * 256) div (${mpk + 1}) AS px",
+              s"(l_suppkey * 256) div (${msk + 1}) AS sy")
+            .withColumn("z", expr(zExpr))
+            .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+            .select(col("l_partkey"), col("l_suppkey")),
+            s"$dir/zorder")
+      // strawman: same file count, linear partkey sort
+      write(li.repartitionByRange(16, col("l_partkey"))
+              .sortWithinPartitions(col("l_partkey")),
+            s"$dir/linear")
+      // per-FILE min/max — exactly what parquet footer stats expose
+      def spans(path: String): Seq[(Long, Long)] =
+        spark.read.parquet(path)
+          .groupBy(input_file_name()).agg(min(col("l_suppkey")).as("lo"),
+                                          max(col("l_suppkey")).as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val zs = spans(s"$dir/zorder")
+      val ls = spans(s"$dir/linear")
+      def meanSpan(s: Seq[(Long, Long)]): Double =
+        s.map { case (lo, hi) => (hi - lo + 1).toDouble }.sum / s.size
+      assert(meanSpan(zs) * 2 < meanSpan(ls),
+        s"z-order files should bound l_suppkey: z=${meanSpan(zs)} linear=${meanSpan(ls)}")
+      // file skipping for a point predicate on the SECOND dimension:
+      // count files whose [min,max] can contain it
+      val probe = msk / 2
+      val zHit = zs.count { case (lo, hi) => lo <= probe && probe <= hi }
+      val lHit = ls.count { case (lo, hi) => lo <= probe && probe <= hi }
+      assert(zHit * 2 <= lHit,
+        s"z-order should skip files a linear sort scans: z=$zHit/${zs.size} linear=$lHit/${ls.size}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
     // The 100 TB pattern: fact partitioned by a key, dimension filtered at
     // query time — static pruning can't help (the partition values come
