@@ -340,6 +340,72 @@ object TextAnalysis {
       |  CAST(len(ts) AS BIGINT) AS n_tokens
       |FROM d""".stripMargin
 
+  // -------------------------------------------------- classifier evaluation
+
+  /**
+   * Classifier evaluation harness [EXT]: per-class precision / recall /
+   * F1 of the [[textLangid]] heuristic against the labeled `lang`
+   * column — the eval loop every pipeline classifier (language-ID,
+   * quality, toxicity) runs after training. All metrics are integer
+   * per-mille derived from exact confusion counts; F1 uses the
+   * tie-free integer form 2·tp·1000 div (2·tp + fp + fn), so no float
+   * ever enters.
+   *
+   * Scale shape: the confusion matrix is ONE (labeled, guessed)-keyed
+   * aggregate — at most |classes|² cells regardless of corpus size —
+   * and every metric derives from those cells; the per-class rollup is
+   * arithmetic over a broadcast-sized table. ('zh' has no stopword
+   * list, so it evaluates as the honest failure mode: recall 0.)
+   */
+  def evalLangid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = textLangid(spark, dir)
+      .groupBy(col("labeled_lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+    val byLabel = cells.groupBy(col("labeled_lang"))
+      .agg(sum(col("n")).as("n_docs"),
+           sum(when(col("guessed_lang") === col("labeled_lang"), col("n"))
+             .otherwise(0L)).as("tp"))
+    val byGuess = cells.groupBy(col("guessed_lang"))
+      .agg(sum(col("n")).as("n_guessed"))
+    byLabel
+      .join(byGuess, col("labeled_lang") === col("guessed_lang"), "left")
+      .select(col("labeled_lang"), col("n_docs"), col("tp"),
+              coalesce(col("n_guessed"), lit(0L)).as("n_guessed"))
+      .withColumn("fp", col("n_guessed") - col("tp"))
+      .withColumn("fn", col("n_docs") - col("tp"))
+      .select(col("labeled_lang"), col("n_docs"), col("tp"), col("n_guessed"),
+        when(col("n_guessed") > 0, expr("(tp * 1000) div n_guessed"))
+          .otherwise(0L).as("precision_pm"),
+        expr("(tp * 1000) div n_docs").as("recall_pm"),
+        when(col("tp") > 0, expr("(2 * tp * 1000) div (2 * tp + fp + fn)"))
+          .otherwise(0L).as("f1_pm"))
+  }
+
+  val evalLangidSql: String =
+    s"""WITH pred AS ($textLangidSql),
+       |cells AS (
+       |  SELECT labeled_lang, guessed_lang, COUNT(*) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |by_label AS (
+       |  SELECT labeled_lang, SUM(n) AS n_docs,
+       |         SUM(CASE WHEN guessed_lang = labeled_lang THEN n ELSE 0 END) AS tp
+       |  FROM cells GROUP BY 1),
+       |by_guess AS (
+       |  SELECT guessed_lang, SUM(n) AS n_guessed FROM cells GROUP BY 1),
+       |j AS (
+       |  SELECT l.labeled_lang,
+       |         CAST(l.n_docs AS BIGINT) AS n_docs,
+       |         CAST(l.tp AS BIGINT) AS tp,
+       |         CAST(coalesce(g.n_guessed, 0) AS BIGINT) AS n_guessed
+       |  FROM by_label l LEFT JOIN by_guess g ON g.guessed_lang = l.labeled_lang)
+       |SELECT labeled_lang, n_docs, tp, n_guessed,
+       |  CASE WHEN n_guessed > 0 THEN (tp * 1000) // n_guessed ELSE 0 END AS precision_pm,
+       |  (tp * 1000) // n_docs AS recall_pm,
+       |  CASE WHEN tp > 0
+       |       THEN (2 * tp * 1000) // (2 * tp + (n_guessed - tp) + (n_docs - tp))
+       |       ELSE 0 END AS f1_pm
+       |FROM j""".stripMargin
+
   // ----------------------------------------------------------- winnowing
 
   /** Winnowing parameters: k-gram width (words) and window size (grams).

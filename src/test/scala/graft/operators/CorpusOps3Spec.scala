@@ -437,6 +437,26 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) >= 5L && r.getLong(2) <= 5L) // all dups flagged maybe
   }
 
+  // ------------------------------------------------------------ eval_langid
+
+  test("evalLangid: perfect classifier scores 1000 per-mille everywhere; metrics respect identities") {
+    val sub = writeDocs("eval", Seq(
+      (0L, "the a of and is the", "en"), (1L, "the of is a a", "en"),
+      (2L, "el la de y que", "es"), (3L, "der die und das ist", "de"),
+      (4L, "le et les des le", "fr")))
+    val m = TextAnalysis.evalLangid(spark, sub).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for (c <- Seq("en", "es", "de", "fr"))
+      assert(m(c)._3 == 1000L && m(c)._4 == 1000L && m(c)._5 == 1000L, s"class $c: ${m(c)}")
+    // identities on the real corpus: tp ≤ n_docs, tp ≤ n_guessed, metrics in [0, 1000]
+    val real = TextAnalysis.evalLangid(spark, sf).collect()
+    for (r <- real) {
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= math.max(r.getLong(3), r.getLong(2)))
+      for (i <- 4 to 6) assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000L)
+    }
+  }
+
   // ---------------------------------------------------------- events_cusum
 
   test("eventsCusum prefix-scan form equals the sequential CUSUM recurrence") {
