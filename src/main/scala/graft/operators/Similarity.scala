@@ -1186,4 +1186,65 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= $NnK""".stripMargin
   }
+
+  // ------------------------------------------------- retrieval evaluation
+
+  /**
+   * Retrieval evaluation harness [EXT]: recall@k and MRR of the IVF
+   * index ([[annIvfTopk]]) against exact brute force
+   * ([[annBruteforceTopk]]) — the index-quality eval every ANN
+   * deployment runs before trusting an approximate index, expressed as
+   * a query over the two retrieval pipelines. Integer per-mille
+   * (recall = overlap·1000 div k, MRR = 1000 div rank-of-true-best),
+   * so the scorecard is hash-exact.
+   *
+   * Scale shape: both pipelines are the already-scale-shaped retrieval
+   * queries; the eval itself joins two k·|queries|-row tables on
+   * (query, neighbor) — trivial at any scale. Measuring recall against
+   * FULL brute force is only possible on a sample of queries (here the
+   * standard 8-query batch); production evals sample exactly this way.
+   */
+  def evalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforceTopk(spark, dir)
+    val ivf = annIvfTopk(spark, dir)
+    val qs = bf.select(col("q_id")).distinct()
+    val ov = bf.as("b").join(ivf.as("i"),
+        col("b.q_id") === col("i.q_id") && col("b.neighbor_id") === col("i.neighbor_id"))
+      .groupBy(col("b.q_id").as("q_id")).agg(count(lit(1)).as("n_overlap"))
+    val best = bf.filter(col("rnk") === 1).select(col("q_id"), col("neighbor_id"))
+    val br = best.as("b").join(ivf.as("i"),
+        col("b.q_id") === col("i.q_id") && col("b.neighbor_id") === col("i.neighbor_id"),
+        "left")
+      .groupBy(col("b.q_id").as("q_id")).agg(min(col("i.rnk")).as("best_rank"))
+    qs.join(ov, Seq("q_id"), "left").join(br, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * (1000L / K)).as("recall_pm"),
+        coalesce(col("best_rank"), lit(0)).as("best_rank_in_ivf"),
+        when(col("best_rank").isNotNull, expr("1000 div best_rank"))
+          .otherwise(0L).as("mrr_pm"))
+  }
+
+  val evalRetrievalSql: String =
+    s"""WITH bf AS ($annBruteforceTopkSql),
+       |ivf AS ($annIvfTopkSql),
+       |qs2 AS (SELECT DISTINCT q_id FROM bf),
+       |ov AS (
+       |  SELECT bf.q_id, COUNT(*) AS n_overlap
+       |  FROM bf JOIN ivf ON ivf.q_id = bf.q_id AND ivf.neighbor_id = bf.neighbor_id
+       |  GROUP BY 1),
+       |best AS (SELECT q_id, neighbor_id FROM bf WHERE rnk = 1),
+       |br AS (
+       |  SELECT b.q_id, MIN(ivf.rnk) AS best_rank
+       |  FROM best b LEFT JOIN ivf ON ivf.q_id = b.q_id AND ivf.neighbor_id = b.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.q_id,
+       |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(ov.n_overlap, 0) * ${1000L / K} AS BIGINT) AS recall_pm,
+       |  CAST(coalesce(br.best_rank, 0) AS INT) AS best_rank_in_ivf,
+       |  CAST(CASE WHEN br.best_rank IS NOT NULL THEN 1000 // br.best_rank
+       |            ELSE 0 END AS BIGINT) AS mrr_pm
+       |FROM qs2 q
+       |LEFT JOIN ov ON ov.q_id = q.q_id
+       |LEFT JOIN br ON br.q_id = q.q_id""".stripMargin
 }

@@ -457,6 +457,24 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------- eval_retrieval
+
+  test("evalRetrieval: metric identities, and brute force scored against itself is perfect") {
+    val rows = Similarity.evalRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.length == 8)
+    for ((_, ov, recall, br, mrr) <- rows) {
+      assert(recall == ov * 200) // k = 5
+      assert(ov >= 0 && ov <= 5)
+      assert((br == 0 && mrr == 0) || (br >= 1 && mrr == 1000 / br))
+    }
+    // self-eval sanity: the brute-force list trivially contains its own best
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = bf.groupBy(_._1)
+    assert(byQ.values.forall(_.exists(_._2 == 1))) // every query has a rank-1
+  }
+
   // ---------------------------------------------------------- events_cusum
 
   test("eventsCusum prefix-scan form equals the sequential CUSUM recurrence") {
