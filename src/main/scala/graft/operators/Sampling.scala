@@ -212,8 +212,40 @@ object Sampling {
    * simple formulation — same pattern as the salted join gated against
    * the plain-join oracle. Integer arithmetic throughout.
    */
-  def mixDomains(spark: SparkSession, dir: String): DataFrame = {
+  /** k-smallest-salted-hash selection per key via 256-bucket histogram
+    * selection: buckets entirely under the k-th order statistic are kept
+    * by pure filter; ONLY the single straddling bucket (~1/256 of the
+    * key's rows) is ranked. A whole-key window sort would be one reducer
+    * per key at 100 TB. `weighted` must carry (key, doc_id, h, bkt);
+    * `quota` carries (key, k). Shared by [[mixDomains]] and
+    * [[mixTemperature]]. */
+  private def histogramSelect(weighted: DataFrame, quota: DataFrame,
+                              key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col(key)).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = weighted.groupBy(col(key), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .join(broadcast(quota.select(col(key), col("k"))), key)
+    val keepAll = hist.filter(col("below") + col("cnt") <= col("k"))
+      .select(col(key), col("bkt"))
+    val boundary = hist
+      .filter(col("below") < col("k") && col("below") + col("cnt") > col("k"))
+      .select(col(key), col("bkt"), (col("k") - col("below")).as("room"))
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val keptBoundary = weighted
+      .join(broadcast(boundary), Seq(key, "bkt"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= col("room"))
+      .select(col(key), col("doc_id"))
+    weighted.join(broadcast(keepAll), Seq(key, "bkt"), "left_semi")
+      .select(col(key), col("doc_id"))
+      .union(keptBoundary)
+  }
+
+  def mixDomains(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
               md5Long(concat(lit(MixSalt), col("doc_id").cast("string"))).as("h"))
@@ -228,31 +260,7 @@ object Sampling {
     val quota = byDomain.crossJoin(broadcast(c))
       .withColumn("k", expr("(c * w) div 1000000"))
       .select(col("source"), col("w"), col("n_docs"), col("k"))
-    // per-(domain, bucket) occupancy + running count below each bucket:
-    // domains × 256 rows — broadcast-sized at any corpus size
-    val wCum = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = weighted.groupBy(col("source"), col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      .join(broadcast(quota.select(col("source"), col("k"))), "source")
-    // bucket entirely under the k-th order statistic → keep by filter;
-    // the single bucket straddling it → rank just that 1/256 slice
-    val keepAll = hist.filter(col("below") + col("cnt") <= col("k"))
-      .select(col("source"), col("bkt"))
-    val boundary = hist
-      .filter(col("below") < col("k") && col("below") + col("cnt") > col("k"))
-      .select(col("source"), col("bkt"), (col("k") - col("below")).as("room"))
-    val wB = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    val keptBoundary = weighted
-      .join(broadcast(boundary), Seq("source", "bkt"))
-      .withColumn("rnk", row_number().over(wB))
-      .filter(col("rnk") <= col("room"))
-      .select(col("source"), col("doc_id"))
-    val kept = weighted.join(broadcast(keepAll), Seq("source", "bkt"), "left_semi")
-      .select(col("source"), col("doc_id"))
-      .union(keptBoundary)
+    val kept = histogramSelect(weighted, quota, "source")
     kept
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .join(broadcast(quota), "source")
@@ -402,4 +410,74 @@ object Sampling {
        |  SUM(db.c * lam.lam_fp) > 0 AS keep
        |FROM db JOIN lam USING (b)
        |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------ temperature-scaled mixing
+
+  /** Salt isolating the temperature-mix sample from every other hash. */
+  private val TempSalt = "graft_temp_v1:"
+
+  /**
+   * Temperature-scaled language mixing [EXT] — the α-sampling recipe of
+   * multilingual pretraining (mT5/XLM-R style): target share per
+   * language ∝ n_l^α with α = 1/2, which UP-weights rare languages
+   * relative to their raw share without ever up-SAMPLING (downsample-
+   * only, like [[mixDomains]]). The α = 1/2 weight is the integer
+   * square root ⌊√n⌋ — `floor(sqrt(double))` is deterministic
+   * cross-engine away from perfect squares' exact boundaries, and AT a
+   * perfect square the sqrt is exact — so the whole recipe stays
+   * hash-exact. Quota arithmetic and the histogram selection are shared
+   * with [[mixDomains]] ([[histogramSelect]]); the oracle keeps the
+   * naive whole-language window-rank formulation, making the gate a
+   * differential across selection strategies too.
+   */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+              md5Long(concat(lit(TempSalt), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", expr(s"h div ${1L << 52}"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val c = byLang.agg(min(expr("(n_docs * 1000000) div w")).as("c"))
+    val quota = byLang.crossJoin(broadcast(c))
+      .withColumn("k", expr("(c * w) div 1000000"))
+      .select(col("lang"), col("w"), col("n_docs"), col("k"))
+    histogramSelect(docs, quota, "lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(quota), "lang")
+      .withColumn("share_before_pm",
+        expr("(n_docs * 1000000) div CAST(SUM(n_docs) OVER () AS BIGINT)"))
+      .withColumn("share_after_pm",
+        expr("(n_kept * 1000000) div CAST(SUM(n_kept) OVER () AS BIGINT)"))
+      .select(col("lang"), col("n_docs"), col("w"), col("k"), col("n_kept"),
+              col("share_before_pm"), col("share_after_pm"))
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substring(md5('$TempSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |bylang AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM docs GROUP BY 1),
+       |c AS (SELECT MIN((n_docs * 1000000) // w) AS c FROM bylang),
+       |quota AS (
+       |  SELECT lang, w, n_docs, (c.c * w) // 1000000 AS k FROM bylang, c),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rnk
+       |  FROM docs),
+       |kept AS (
+       |  SELECT r.lang, COUNT(*) AS n_kept
+       |  FROM ranked r JOIN quota q ON q.lang = r.lang
+       |  WHERE r.rnk <= q.k GROUP BY 1)
+       |SELECT lang,
+       |       CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(w AS BIGINT) AS w,
+       |       CAST(k AS BIGINT) AS k,
+       |       CAST(n_kept AS BIGINT) AS n_kept,
+       |       (CAST(n_docs AS BIGINT) * 1000000) // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_before_pm,
+       |       (CAST(n_kept AS BIGINT) * 1000000) // CAST(SUM(n_kept) OVER () AS BIGINT) AS share_after_pm
+       |FROM kept JOIN quota USING (lang)""".stripMargin
 }

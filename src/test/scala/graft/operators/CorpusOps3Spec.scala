@@ -457,6 +457,21 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // -------------------------------------------------------- mix_temperature
+
+  test("mixTemperature flattens the language distribution without upsampling") {
+    val rows = Sampling.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    for ((_, nDocs, nKept, _, _) <- rows) assert(nKept <= nDocs) // downsample-only
+    val before = rows.map(_._4)
+    val after = rows.map(_._5)
+    assert(after.max - after.min < before.max - before.min) // α=1/2 flattens
+    // the rarest language gains relative share; the dominant one loses
+    val rarest = rows.minBy(_._4); val dominant = rows.maxBy(_._4)
+    assert(rarest._5 >= rarest._4 && dominant._5 <= dominant._4)
+  }
+
   // --------------------------------------------------------- eval_retrieval
 
   test("evalRetrieval: metric identities, and brute force scored against itself is perfect") {
