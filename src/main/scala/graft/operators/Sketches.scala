@@ -145,6 +145,37 @@ object Sketches {
        |      FROM events GROUP BY 1) x
        |  ON est.event_type = x.event_type""".stripMargin
 
+  /**
+   * [[hllDistinct]] through the native [[graft.functions.HllSketchAgg]]
+   * UDAF: ONE aggregate holds the 256-byte register state per group
+   * (update = shift+max, merge = element-wise max, partials ship as the
+   * bare bytes) instead of the declarative explode → groupBy(bucket) →
+   * re-aggregate — no intermediate (group, bucket) rows at all. The
+   * harmonic-sum finish runs on the returned register array with the
+   * SAME expressions as the declarative path, so this query shares
+   * [[hllDistinctSql]] verbatim: native == declarative == DuckDB is the
+   * three-way differential.
+   */
+  def hllNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.select(col("event_type"), col("user_id"),
+        md5Long(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HllSketch.hllSketch(col("h")).as("regs"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("zeros"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), " +
+             "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - r))").as("s_int"))
+      .withColumn("e_raw", lit(HllNumerator) / col("s_int").cast("double"))
+      .withColumn("hll_estimate",
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0,
+                   lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
+                .otherwise(col("e_raw")), 6))
+      .select(col("event_type"), col("n_exact"), col("zeros"), col("s_int"),
+              col("hll_estimate"))
+  }
+
   val kmvDistinctSql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
        |h AS (SELECT event_type,

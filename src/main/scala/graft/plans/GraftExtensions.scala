@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HolisticReduce}
+import graft.functions.{DotProduct, HllSketchAgg, HolisticReduce}
 
 /**
  * Session extension installing graft's native functions into the SQL
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // graft_hll_sketch(hash): the native HLL register aggregate (256
+    // registers as array<int>) — the mergeable-sketch UDAF from SQL.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_sketch"),
+      (children: Seq[Expression]) =>
+        HllSketchAgg(children.head).toAggregateExpression()))
     // graft_mr_reduce('<app>', key, value): the engine's holistic reduce
     // aggregate (E7) from SQL, resolving the app by registry name — the
     // SQL-surface twin of the reference's `-a <app>` dylib selection.

@@ -457,6 +457,26 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- hll_native
+
+  test("hllNative (TypedImperativeAggregate) matches the declarative HLL row for row; SQL surface works") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(Sketches.hllNative(spark, sf)) == rows(Sketches.hllDistinct(spark, sf)))
+    // the SQL-registered form returns the raw 256-register array
+    graft.functions.HllSketch.register(spark)
+    Tables.events(spark, sf)
+      .select(col("event_type"), Tables.md5Long(col("user_id").cast("string")).as("h"))
+      .createOrReplaceTempView("hll_in")
+    val regs = spark.sql(
+      "SELECT event_type, graft_hll_sketch(h) AS regs FROM hll_in GROUP BY 1")
+    val collected = regs.select(size(col("regs")).as("n"),
+                                expr("aggregate(regs, 0, (a, r) -> greatest(a, r))").as("mx"))
+      .collect()
+    assert(collected.length == 5)
+    assert(collected.forall(r => r.getInt(0) == 256 && r.getInt(1) >= 1 && r.getInt(1) <= 53))
+  }
+
   // -------------------------------------------------------- mix_temperature
 
   test("mixTemperature flattens the language distribution without upsampling") {
