@@ -457,6 +457,58 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------- randomized properties
+
+  test("textWinnowing guarantee holds on randomized corpora") {
+    val r = new scala.util.Random(1234)
+    val vocab = (0 until 30).map(i => s"v$i")
+    def randRun(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 0 until 3) {
+      // any shared run of ≥ w+k−1 = 6 tokens must yield a common fingerprint
+      val shared = randRun(6 + r.nextInt(5))
+      val a = s"${randRun(5 + r.nextInt(10))} $shared ${randRun(5 + r.nextInt(10))}"
+      val b = s"${randRun(5 + r.nextInt(10))} $shared ${randRun(5 + r.nextInt(10))}"
+      val sub = writeDocs(s"winprop$trial", Seq((0L, a, "en"), (1L, b, "en")))
+      val sel = TextAnalysis.winnowSelected(spark, sub).collect()
+        .map(row => (row.getLong(0), row.getLong(3)))
+      val h0 = sel.filter(_._1 == 0L).map(_._2).toSet
+      val h1 = sel.filter(_._1 == 1L).map(_._2).toSet
+      assert(h0.intersect(h1).nonEmpty, s"trial $trial: no shared fingerprint")
+    }
+  }
+
+  test("bpeEncode randomized-corpus differential on a tiny cascading alphabet") {
+    val r = new scala.util.Random(42)
+    def greedyEncode(merges: Seq[(String, String)])(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    for (trial <- 0 until 2) {
+      // 4-letter alphabet forces merge cascades (aa, abab, …) — the
+      // adversarial case for the double-separator replace encoding
+      def word = (0 to r.nextInt(5)).map(_ => "abcd" (r.nextInt(4))).mkString
+      val docs = (0L until 5L).map(i =>
+        (i, Seq.fill(8 + r.nextInt(20))(word).mkString(" "), "en"))
+      val sub = writeDocs(s"bpeprop$trial", docs)
+      val merges = TextAnalysis.bpeMerges(spark, sub).collect()
+        .sortBy(_.getLong(0)).map(row => (row.getString(1), row.getString(2))).toSeq
+      val expected = docs.map { case (id, text, _) =>
+        id -> text.split("\\s+").map(greedyEncode(merges)).sum
+      }.toMap
+      val got = TextAnalysis.bpeEncode(spark, sub).collect()
+        .map(row => row.getLong(0) -> row.getLong(3)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   // ------------------------------------------------------------- hll_native
 
   test("hllNative (TypedImperativeAggregate) matches the declarative HLL row for row; SQL surface works") {
