@@ -116,6 +116,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("small-file compaction: coalesced rewrite preserves content exactly and bounds file count") {
+    // the other chronic 100 TB write-side pathology: a streaming or
+    // over-parallel writer leaves thousands of tiny files; the fix is a
+    // periodic compaction rewrite sized to a target file count
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val li = graft.operators.Tables.t(spark, TestSpark.Sf0001, "lineitem")
+      li.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+      val smallFiles = new java.io.File(s"$dir/small").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(smallFiles >= 32) // the pathology is real
+      // compaction = read + coalesce to target + rewrite (no shuffle:
+      // coalesce merges partitions in place, unlike repartition)
+      spark.read.parquet(s"$dir/small").coalesce(2)
+        .write.mode("overwrite").parquet(s"$dir/compact")
+      val bigFiles = new java.io.File(s"$dir/compact").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(bigFiles <= 2)
+      // content is untouched: same multiset of rows
+      val a = spark.read.parquet(s"$dir/small")
+        .groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      val b = spark.read.parquet(s"$dir/compact")
+        .groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
     // The 100 TB pattern: fact partitioned by a key, dimension filtered at
     // query time — static pruning can't help (the partition values come

@@ -187,4 +187,35 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lines dropped; a key with no value reads as ""
     assert(got == Seq(("a", "1"), ("b", "two"), ("c", ""), ("d", "4")))
   }
+
+  test("schema evolution: mergeSchema unions generations, old files backfill added columns with null") {
+    // the lakehouse reality at 100 TB: a table written over months gains
+    // columns; readers must see the union schema without rewriting history
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .write.mode("append").parquet(dir)
+      Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "name", "score")
+        .write.mode("append").parquet(dir)
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.schema.fieldNames.sorted.toSeq == Seq("id", "name", "score"))
+      val rows = merged.collect()
+        .map(r => (r.getLong(r.fieldIndex("id")),
+                   if (r.isNullAt(r.fieldIndex("score"))) None
+                   else Some(r.getInt(r.fieldIndex("score"))))).toMap
+      assert(rows(1L).isEmpty && rows(2L).isEmpty) // old generation: null backfill
+      assert(rows(3L).contains(30) && rows(4L).contains(40))
+      // and WITHOUT mergeSchema the footer-sampled schema may drop the new
+      // column — the default is not safe for evolved tables (why pipelines
+      // pin mergeSchema or a catalog schema)
+      val unmergedFields = spark.read.parquet(dir).schema.fieldNames.toSet
+      assert(unmergedFields.contains("id")) // present either way; the point is the option above
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
