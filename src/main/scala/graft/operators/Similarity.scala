@@ -1108,20 +1108,24 @@ object Similarity {
   def annNndescent(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
-    val keyed = c.select(col("vec_id"), col("v"), col("nrm"),
+    // ids-first: the banded self-join and its dedup carry ONLY
+    // (band, blk, vec_id) — never the 0.5 KB vectors; vectors are
+    // fetched by equi-join for the UNIQUE candidate pairs only. Same
+    // rows by construction (the cosine is a function of the pair).
+    val keyed = c.select(col("vec_id"), col("v"),
         explode(array((0 until NumBands).map(b =>
           struct(lit(b).as("band"), bandBucket(b, col("v")).as("blk"))): _*)).as("bk"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-              col("bk.band").as("band"), col("bk.blk").as("blk"))
-    val a = keyed.select(col("band"), col("blk"), col("vec_id").as("id_a"),
-                         col("v").as("va"), col("nrm").as("na"))
-    val b = keyed.select(col("band"), col("blk"), col("vec_id").as("id_b"),
-                         col("v").as("vb"), col("nrm").as("nb"))
-    val seedPairs = a.join(b, Seq("band", "blk"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.blk").as("blk"))
+    val ids = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.blk") === col("y.blk")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct() // multi-band keying can emit a pair once per band
+    val pa = c.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val pb = c.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val seedPairs = ids.join(pa, "id_a").join(pb, "id_b")
       .select(col("id_a"), col("id_b"),
               cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-      .distinct() // multi-band keying can emit a pair once per band
     val seedEdges = seedPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .union(seedPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
     val wSrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
