@@ -730,4 +730,51 @@ object Dedup {
        |       ELSE (CAST(COALESCE(p.n_dup, 0) AS BIGINT) * 1000000) // b.n_windows
        |  END AS dup_pm
        |FROM base b LEFT JOIN perdoc p ON p.doc_id = b.doc_id""".stripMargin
+
+  // --------------------------------------------- LSH index quality eval
+
+  /**
+   * Dedup-index evaluation harness [EXT]: precision/recall of the
+   * MinHash-LSH candidate pairs ([[dedupMinhashLsh]]) against the exact
+   * df-capped n-gram Jaccard truth set ([[dedupNgramJaccard]]) — the
+   * scorecard that tunes the bands/rows trade-off of every production
+   * near-dup index (more bands = recall, longer bands = precision).
+   * One scorecard row, all metrics exact integer per-mille; completes
+   * the eval trilogy with [[graft.operators.TextAnalysis.evalLangid]]
+   * and [[Similarity.evalRetrieval]].
+   *
+   * Scale shape: both inputs are the already-scale-shaped pair
+   * pipelines; the eval is one equi-join on the pair key plus a global
+   * roll-up of counts.
+   */
+  def evalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val cand = dedupMinhashLsh(spark, dir)
+    val truth = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = hit.agg(count(lit(1)).as("n_hit"))
+    nCand.crossJoin(nTruth).crossJoin(nHit)
+      .select(col("n_cand"), col("n_truth"), col("n_hit"),
+        when(col("n_cand") > 0, expr("(n_hit * 1000) div n_cand"))
+          .otherwise(0L).as("precision_pm"),
+        when(col("n_truth") > 0, expr("(n_hit * 1000) div n_truth"))
+          .otherwise(0L).as("recall_pm"))
+  }
+
+  val evalMinhashSql: String =
+    s"""WITH cand AS ($dedupMinhashLshSql),
+       |truth AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+       |hit AS (SELECT c.doc_a, c.doc_b FROM cand c
+       |        JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |n AS (
+       |  SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+       |         (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM hit) AS n_hit)
+       |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_truth AS BIGINT) AS n_truth,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CASE WHEN n_cand > 0 THEN (n_hit * 1000) // n_cand ELSE 0 END AS precision_pm,
+       |       CASE WHEN n_truth > 0 THEN (n_hit * 1000) // n_truth ELSE 0 END AS recall_pm
+       |FROM n""".stripMargin
 }

@@ -457,6 +457,19 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------ eval_minhash
+
+  test("evalMinhash: set identities hold and the LSH index misses no true pair on sf0.001") {
+    val r = Dedup.evalMinhash(spark, sf).collect()(0)
+    val (nCand, nTruth, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nCand && nHit <= nTruth)
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+    // 16 hashes / 4 bands at this shingle width: every exact-Jaccard dup
+    // collides in some band on this corpus — recall is full
+    assert(nHit == nTruth)
+  }
+
   // ------------------------------------------------- randomized properties
 
   test("textWinnowing guarantee holds on randomized corpora") {
