@@ -605,16 +605,22 @@ object Events {
    * windowed aggregate. All arithmetic is integer per-mille (μ is an
    * integer division of exact counts); no float ever enters.
    */
-  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Zero-filled hourly count series per event type — shared input of the
+    * [[eventsCusum]] and [[eventsEwma]] monitors. */
+  private def hourlySeries(spark: SparkSession, dir: String): DataFrame = {
     val hourly = events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
     val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
       .crossJoin(hourly.select(col("event_type")).distinct())
-    val series = grid.join(hourly, Seq("event_type", "h"), "left")
+    grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("x"))
+  }
+
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = hourlySeries(spark, dir)
     val stats = series.groupBy(col("event_type"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .select(col("event_type"), expr("(sx * 1000) div cnt").as("mu_pm"))
@@ -664,4 +670,67 @@ object Events {
        |       CAST(s AS BIGINT) AS cusum_pm,
        |       s > mu_pm * $CusumThreshMul AS alarm
        |FROM s""".stripMargin
+
+  // ------------------------------------------------------ EWMA smoothing
+
+  /** FIR window width (hours) and the per-lag integer weights: a 6-hour
+    * half-life truncated at 12 taps, w_i = round(2^(−i/6)·1000). */
+  private val EwmaTaps = 12
+  private val EwmaWeights: Seq[Long] =
+    (0 until EwmaTaps).map(i => math.round(math.pow(2.0, -i / 6.0) * 1000))
+
+  /**
+   * Exponentially-weighted moving average [EXT] as a finite-impulse-
+   * response window — the smoothed-rate monitor next to [[eventsCusum]]'s
+   * change-point detector. True EWMA is the sequential recurrence
+   * s_t = α·x_t + (1−α)·s_{t−1}; its tail decays geometrically, so the
+   * 12-tap truncation (< 1/4 of a unit of weight dropped at a 6-hour
+   * half-life) is the standard distributed form: every output is an
+   * independent weighted dot product over its own 12-hour frame — 12
+   * `lag()`s over ONE window pass, embarrassingly parallel per series.
+   *
+   * Determinism: integer weights × integer counts summed exactly;
+   * the single normalization is one exact integer division per row
+   * (per-mille). No float ever enters.
+   */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      coalesce(lag(col("x"), i).over(w), lit(0L)) * wt
+    }
+    val wsum = EwmaWeights.sum
+    hourlySeries(spark, dir)
+      .withColumn("ewma_fp", terms.reduce(_ + _))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("x").as("n_events"), col("ewma_fp"),
+        expr(s"(ewma_fp * 1000) div ($wsum)").as("smoothed_pm"))
+  }
+
+  val eventsEwmaSql: String = {
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      s"COALESCE(lag(x, $i) OVER w, 0) * $wt"
+    }.mkString(" + ")
+    val wsum = EwmaWeights.sum
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+       |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |series AS (
+       |  SELECT t.event_type, g.h, COALESCE(hourly.n, 0) AS x
+       |  FROM grid g CROSS JOIN types t
+       |  LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h),
+       |e AS (
+       |  SELECT event_type, h, x, $terms AS ewma_fp
+       |  FROM series
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h))
+       |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+       |       CAST(x AS BIGINT) AS n_events,
+       |       CAST(ewma_fp AS BIGINT) AS ewma_fp,
+       |       CAST((ewma_fp * 1000) // $wsum AS BIGINT) AS smoothed_pm
+       |FROM e""".stripMargin
+  }
 }

@@ -593,6 +593,24 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------ events_ewma
+
+  test("eventsEwma equals a plain-Scala FIR over the zero-filled series") {
+    val rows = Events.eventsEwma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val weights = (0 until 12).map(i => math.round(math.pow(2.0, -i / 6.0) * 1000))
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val sorted = series.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      for (t <- sorted.indices) {
+        val expected =
+          (0 until 12).map(i => if (t - i >= 0) xs(t - i) * weights(i) else 0L).sum
+        assert(sorted(t)._4 == expected, s"at index $t")
+      }
+    }
+  }
+
   // ----------------------------------------------------- events_hll_sliding
 
   test("hllSliding: windowed sketch estimates track exact windowed distincts") {
