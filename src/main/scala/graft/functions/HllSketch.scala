@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /**
  * HyperLogLog register aggregate as a native
@@ -37,10 +37,14 @@ case class HllSketchAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
 
   private val M = 256
 
+  // SQL-registered as graft_hll_sketch: pin the input to LongType so a
+  // non-long column fails (or casts) at ANALYSIS, not with a runtime
+  // ClassCastException inside update()
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -51,7 +55,9 @@ case class HllSketchAgg(
   override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long] // md5Long: 60 bits, non-negative
+      // md5Long yields 60-bit non-negative hashes; mask defensively so an
+      // arbitrary (possibly negative) long can't index b(bucket) < 0
+      val h = v.asInstanceOf[Long] & ((1L << 60) - 1)
       val bucket = (h % M).toInt
       val w = h >>> 8
       val rho =

@@ -175,8 +175,9 @@ object Events {
       .select(explode(sequence(col("mn"), col("mx"),
                                expr("INTERVAL 1 HOUR"))).as("h"))
       // types come from the tiny hourly aggregate (a type appears there
-      // iff it has any event) — not from a second full-corpus scan
-      .crossJoin(hourly.select(col("event_type")).distinct())
+      // iff it has any event) — not from a second full-corpus scan;
+      // explicit broadcast() so the plan never depends on AQE estimation
+      .crossJoin(broadcast(hourly.select(col("event_type")).distinct()))
     grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"),
               date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
@@ -613,7 +614,7 @@ object Events {
       .agg(count(lit(1)).as("n"))
     val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(hourly.select(col("event_type")).distinct())
+      .crossJoin(broadcast(hourly.select(col("event_type")).distinct()))
     grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("x"))
   }

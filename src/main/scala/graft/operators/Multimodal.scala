@@ -43,8 +43,12 @@ object Multimodal {
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
                         frame_sum: Long)
 
-  /** Frame geometry of the fake codec. */
+  /** Frame geometry of the fake codec. aHash packs one bit per frame
+    * byte into a 64-bit long (`1L << i`): Java's shift wraps modulo 64,
+    * so enlarging the frame past 64 bytes would silently alias bits here
+    * while the DuckDB twin errors past 63 — guard the hash width. */
   private val FrameBytes = 32
+  require(FrameBytes <= 64, s"aHash packs one bit per frame byte into a 64-bit long; FrameBytes=$FrameBytes would alias under Java's mod-64 shift")
   /** Keep every 4th frame (frame sampling, as a video pipeline would). */
   private val FrameStride = 4
   /** Records decoded per batch inside a partition. */

@@ -303,9 +303,11 @@ object Sketches {
       .agg(max(col("rho")).as("m_j"))
     val hours = regsHourly.agg(min(col("hnum")).as("mn"), max(col("hnum")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("hnum"))
+    // explicit broadcast() so the tiny pre-aggregated sides never depend
+    // on AQE runtime estimation to avoid a shuffled cross product
     val grid = hours
-      .crossJoin(regsHourly.select(col("event_type")).distinct())
-      .crossJoin(spark.range(HllM).select(col("id").as("bucket")))
+      .crossJoin(broadcast(regsHourly.select(col("event_type")).distinct()))
+      .crossJoin(broadcast(spark.range(HllM).select(col("id").as("bucket"))))
     import org.apache.spark.sql.expressions.Window
     val wSlide = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("hnum")).rangeBetween(-SlideHours, 0)
@@ -324,11 +326,15 @@ object Sketches {
         round(when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0,
                    lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
                 .otherwise(col("e_raw")), 6))
-    val bounds = regsHourly.agg(max(col("hnum")).as("mx")).first().getLong(0)
+    // derive the hour bound INSIDE the plan (mirrors the SQL twin's mx
+    // aggregate): constructing this DataFrame must not run a Spark job,
+    // and an empty events table yields an empty result instead of an NPE
+    val bounds = broadcast(ev.agg(max(col("hnum")).as("mx")))
     val exact = ev
       .select(col("event_type"), col("user_id"),
               explode(sequence(col("hnum"), col("hnum") + SlideHours)).as("g"))
-      .filter(col("g") <= bounds)
+      .crossJoin(bounds)
+      .filter(col("g") <= col("mx"))
       .groupBy(col("event_type"), col("g").as("hnum"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     g.join(exact, Seq("event_type", "hnum"))

@@ -943,7 +943,16 @@ object TextAnalysis {
               col("pair_count"))
   }
 
-  val bpeMergesSql: String = {
+  /** The training CTE chain (w, w0, p_i/t_i/m_i) shared verbatim by
+    * [[bpeMergesSql]] and [[bpeEncodeSql]], so the oracle's merge table
+    * is one artifact composed twice — not re-derived by string surgery
+    * on rendered SQL. The m_i merge uses a SCALAR one-row form of t_i
+    * (coalesce(max(..), '')) so a merge round that found no pair (tiny
+    * or synthetic corpus exhausting adjacent pairs before BpeRounds)
+    * degrades to a no-op replace instead of an empty CROSS JOIN
+    * annihilating every row — matching the Spark side's early-stopped
+    * (shorter) merge chain, whose missing rounds are also no-ops. */
+  private val bpeTrainCtes: String = {
     val sep = "chr(1)"
     def stage(i: Int): String = {
       val prev = if (i == 1) "w0" else s"m${i - 1}"
@@ -953,15 +962,13 @@ object TextAnalysis {
          |       UNNEST(range(1, len(syms))) AS u(i)
          |  GROUP BY 1, 2),
          |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |s$i AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM t$i),
          |m$i AS (
          |  SELECT replace(enc, $sep || t.a || $sep || $sep || t.b || $sep,
          |                 $sep || t.a || t.b || $sep) AS enc, freq
-         |  FROM $prev CROSS JOIN t$i t)""".stripMargin
+         |  FROM $prev CROSS JOIN s$i t)""".stripMargin
     }
     val stages = (1 to BpeRounds).map(stage).mkString(",\n")
-    val out = (1 to BpeRounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$i")
-      .mkString("\n UNION ALL ")
     s"""WITH w AS (
        |  SELECT tok, COUNT(*) AS freq
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
@@ -971,7 +978,14 @@ object TextAnalysis {
        |                                 i -> substring(tok, i, 1)), $sep || $sep) || $sep AS enc,
        |         freq
        |  FROM w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$i")
+      .mkString("\n UNION ALL ")
+    s"""$bpeTrainCtes
        |$out""".stripMargin
   }
 
@@ -1013,17 +1027,17 @@ object TextAnalysis {
 
   val bpeEncodeSql: String = {
     val mergePattern = (i: Int) =>
-      (s"chr(1) || t$i.a || chr(1) || chr(1) || t$i.b || chr(1)",
-       s"chr(1) || t$i.a || t$i.b || chr(1)")
+      (s"chr(1) || s$i.a || chr(1) || chr(1) || s$i.b || chr(1)",
+       s"chr(1) || s$i.a || s$i.b || chr(1)")
     val chain = (1 to BpeRounds).foldLeft("e") { (acc, i) =>
       val (pat, rep) = mergePattern(i)
       s"replace($acc, $pat, $rep)"
     }
-    // reuse the training CTE prefix verbatim (w, w0, p_i/t_i/m_i) so the
-    // oracle's merge table is the same artifact bpe_merges gates
-    val trainPrefix = bpeMergesSql.substring(0, bpeMergesSql.lastIndexOf("SELECT CAST(1"))
-      .stripSuffix("\n ").trim.stripSuffix(",")
-    s"""$trainPrefix,
+    // s_i is guaranteed one row (coalesce-over-aggregate), so an
+    // exhausted merge round is a no-op replace here, never an empty
+    // CROSS JOIN wiping the result
+    val joins = (1 to BpeRounds).map(i => s"CROSS JOIN s$i").mkString(" ")
+    s"""$bpeTrainCtes,
        |enc0 AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(text, '\\s+'),
@@ -1034,7 +1048,7 @@ object TextAnalysis {
        |enc AS (
        |  SELECT doc_id, ts,
        |    list_transform(encs, e -> $chain) AS encs2
-       |  FROM enc0 CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4),
+       |  FROM enc0 $joins),
        |agg AS (
        |  SELECT doc_id,
        |    CAST(len(ts) AS INT) AS n_tokens,

@@ -26,4 +26,8 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** `AbstractDataType` is `private[sql]`; re-export the type so graft
+    * expressions can declare `inputTypes` for analysis-time checking. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
