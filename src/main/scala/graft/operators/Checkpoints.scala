@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Lineage-cut policy for the iterative operators (the CC loop, PageRank,
+ * the triangle pipeline, corpus_prep's stage boundary, the shared
+ * shingle table).
+ *
+ * Two modes, chosen per session by [[DirConf]]:
+ *
+ *  - **unset (default, local/test runs)**: `localCheckpoint` — blocks live
+ *    in executor storage. Fastest, but lineage is TRUNCATED: on a real
+ *    cluster, losing one executor loses blocks that can no longer be
+ *    recomputed, killing the job. Acceptable only single-node.
+ *  - **set to a directory (cluster runs)**: reliable `checkpoint()`
+ *    against that directory (HDFS/object store on a cluster). Blocks are
+ *    re-readable by any executor after any loss — the 100 TB-safe mode.
+ *    Costs one write+read of the cut table, which for these operators is
+ *    the small derived state (edge lists, label vectors), not the corpus.
+ *
+ * The flag is read per cut so a test can flip it inside one session.
+ */
+object Checkpoints {
+
+  /** Session conf key: set to a durable directory to switch every
+    * iterative lineage cut from localCheckpoint to reliable checkpoint. */
+  val DirConf = "spark.graft.checkpointDir"
+
+  /** Cut lineage under the session policy. `eager` has checkpoint()'s
+    * usual meaning: materialize now vs at the first downstream action. */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — set once
+        // per (session, configured dir), not per cut
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+}

@@ -212,12 +212,11 @@ object Dedup {
   /** The CC loop over any candidate-pair table (doc_a, doc_b) — reused by
     * [[Pipeline.corpusPrep]] on its filtered corpus. */
   private[operators] def componentsOf(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = Checkpoints.cut(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     // Convergence witness: labels only ever decrease, so Σ label strictly
     // decreases until fixpoint — comparing two scalar sums replaces the
     // join-per-round changed-row check (one cheap agg over the already-
@@ -233,11 +232,12 @@ object Dedup {
       // so each round schedules one job instead of two (measured ~equal
       // at sf0.1 — the round's join+agg dominates — but one fewer job
       // per round is free scheduler headroom on a busy cluster)
-      val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("label"))
-        .union(labels)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+      val next = Checkpoints.cut(
+        edges.join(labels, edges("doc_b") === labels("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("label"))
+          .union(labels)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")),
+        eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -518,7 +518,7 @@ object Dedup {
     // explode + anti-join (measured 15% slower at sf0.1). A cluster
     // pipeline persists this table to storage for the same reason —
     // it is also the reusable artifact incremental dedup reads back.
-    val sh = shAll.join(hot, Seq("h"), "left_anti").localCheckpoint(true)
+    val sh = Checkpoints.cut(shAll.join(hot, Seq("h"), "left_anti"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

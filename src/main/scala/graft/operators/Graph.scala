@@ -43,12 +43,10 @@ object Graph {
     * ways. Returns (doc_id, deg, pr) with pr in micro-units. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    val deg = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val deg = Checkpoints.cut(
+      edges.groupBy(col("doc_a").as("doc_id")).agg(count(lit(1)).as("deg")))
     var pr = deg.withColumn("pr", lit(PrOne))
     for (_ <- 1 to PrIters) {
       val contrib = edges
@@ -108,8 +106,8 @@ object Graph {
    * of id — same plan shape, smaller wedge set.)
    */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.dedupMinhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val e = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),

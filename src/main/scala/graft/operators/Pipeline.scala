@@ -38,7 +38,7 @@ object Pipeline {
     // CC loop's edge base, and the final keep-join all consume this
     // table, and it only shrinks from here (a cluster run would persist
     // the stage boundary to storage for the same reason)
-    val exact = quality.join(reps, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val exact = Checkpoints.cut(quality.join(reps, Seq("doc_id"), "left_semi"))
     val nonReps = Dedup.componentsOf(Dedup.minhashPairsOf(exact))
       .filter(col("rep_doc_id") =!= col("doc_id"))
       .select(col("doc_id"))

@@ -897,7 +897,7 @@ object TextAnalysis {
     * legitimate driver collect as the k-means centroid loop); shared by
     * [[bpeMerges]] (the artifact) and [[bpeEncode]] (its application). */
   private def bpeTrain(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    val words0 = t(spark, dir, "documents")
+    val words0Plan = t(spark, dir, "documents")
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(BpeSep),
@@ -905,7 +905,7 @@ object TextAnalysis {
                                 BpeSep + BpeSep),
                      lit(BpeSep)).as("enc"),
               col("freq"))
-      .localCheckpoint(true) // the loop re-reads this tiny table each round
+    val words0 = Checkpoints.cut(words0Plan) // loop re-reads this tiny table each round
     var enc = words0
     // stop early if a (tiny or synthetic) corpus runs out of adjacent
     // pairs before BpeRounds — the oracle's fixed unroll degrades the
