@@ -893,11 +893,71 @@ object TextAnalysis {
    * itself is a zero-shuffle map. The oracle unrolls the loop
    * CTE-for-CTE.
    */
+  /** Merges accepted per batched training pass for the gated queries.
+    * Batch selection is PROVABLY sequential-equal (see [[bpeTrainOn]]),
+    * so the gate's hash against the strictly-sequential oracle holds by
+    * construction at any M; a real ~30k-merge run would use M in the
+    * hundreds. */
+  private val BpeBatchM = 4
+
   /** The trained merge table as driver-side scalars (4 rows — the same
     * legitimate driver collect as the k-means centroid loop); shared by
     * [[bpeMerges]] (the artifact) and [[bpeEncode]] (its application). */
-  private def bpeTrain(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    val words0Plan = t(spark, dir, "documents")
+  private def bpeTrain(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeTrainOn(t(spark, dir, "documents"), BpeRounds, BpeBatchM)
+
+  /**
+   * Batched BPE trainer (VERDICT r5 #2), EXACTLY equal to the
+   * sequential trainer. Sequential BPE runs one count-job + one corpus
+   * rewrite PER MERGE — ~30k chained Spark jobs for a real tokenizer,
+   * which no cluster survives. Each pass here instead:
+   *
+   *  1. counts adjacent pairs once (one explode+agg job over the
+   *     frequency-weighted vocab) and pulls a small ranked candidate
+   *     window to the driver;
+   *  2. takes the maximal PREFIX of the ranking that is pairwise
+   *     symbol-disjoint (selection STOPS at the first candidate sharing
+   *     a symbol — or its merged result — with an earlier one, rather
+   *     than skipping it);
+   *  3. truncates that prefix to members whose count STRICTLY exceeds
+   *     `c_next`, the best count outside the batch (the stop candidate,
+   *     or the window floor when the window may be incomplete); if that
+   *     empties the batch, it falls back to the top pair alone — the
+   *     plain sequential step, always exact;
+   *  4. applies the surviving batch as ONE chained-replace projection —
+   *     disjointness makes the chain order-independent and each link
+   *     exactly the greedy-leftmost merge of the sequential trainer.
+   *
+   * Why this equals sequential BPE, merge for merge and count for
+   * count: any pair a batch merge can CREATE — (x, a·b) or (a·b, y), or
+   * (a·b, c·d) across two merges — occurs only where the pass-start
+   * corpus had an adjacency overlapping a batch pair, so its count is
+   * bounded by an OVERLAPPING pass-start pair's count; under the prefix
+   * rule every overlapping pair ranks outside the batch, hence ≤
+   * c_next < (every batch member's count). Non-batch old pairs only
+   * lose occurrences, and batch members (mutually disjoint) keep
+   * exactly their pass-start counts. So at each unrolled sequential
+   * step the next batch member still wins strictly — no tie-break
+   * ambiguity, bit-identical merge table. Flat count distributions just
+   * shrink M_eff toward 1 (never wrong, only less batched); Zipfian
+   * pair counts — every real corpus — keep batches full.
+   *
+   * Passes ≈ ceil(merges / M_eff): 30k merges at M=256 is ~120 count
+   * jobs instead of 30k. `batchM = 1` IS the old sequential trainer.
+   * [[BpeBatchSpec]] pins equality on a steep corpus (one pass), an
+   * adversarial corpus engineered to re-rank under its own top merge
+   * (the guard falls back to sequential), and greedy-leftmost rewrite
+   * semantics within a pass.
+   */
+  private[operators] def bpeTrainOn(docs: DataFrame, rounds: Int,
+                                    batchM: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainPasses(docs, rounds, batchM)._1
+
+  /** [[bpeTrainOn]] plus the number of passes taken — observable so the
+    * spec can assert batching actually collapsed rounds into passes. */
+  private[operators] def bpeTrainPasses(docs: DataFrame, rounds: Int,
+                                        batchM: Int): (Seq[(Int, String, String, Long)], Int) = {
+    val words0Plan = docs
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(BpeSep),
@@ -905,14 +965,19 @@ object TextAnalysis {
                                 BpeSep + BpeSep),
                      lit(BpeSep)).as("enc"),
               col("freq"))
-    val words0 = Checkpoints.cut(words0Plan) // loop re-reads this tiny table each round
+    val words0 = Checkpoints.cut(words0Plan) // loop re-reads this tiny table each pass
     var enc = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // stop early if a (tiny or synthetic) corpus runs out of adjacent
-    // pairs before BpeRounds — the oracle's fixed unroll degrades the
+    // pairs before `rounds` — the oracle's fixed unroll degrades the
     // same way: an empty t_i CTE contributes no merge row
-    val merges = Iterator.from(1).takeWhile(_ <= BpeRounds).map { round =>
+    var passes = 0
+    var exhausted = false
+    while (merges.size < rounds && !exhausted) {
+      val want = math.min(batchM, rounds - merges.size)
+      val window = want * 4 // oversample so prefix-stops rarely starve a batch
       val syms = expr(s"split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep')")
-      val top = enc
+      val ranked = enc
         .select(col("freq"), syms.as("syms"))
         // single-symbol words have no pairs; Spark's sequence(1, 0) is
         // DESCENDING (unlike DuckDB's empty range), so filter them out
@@ -923,17 +988,41 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().headOption
-      top.map { t =>
-        val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
-        enc = enc.select(
-          replace(col("enc"), lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
-                  lit(s"$BpeSep$a$b$BpeSep")).as("enc"),
-          col("freq"))
-        (round, a, b, cnt)
+        .limit(window).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2))).toSeq
+      if (ranked.isEmpty) exhausted = true
+      else {
+        passes += 1
+        // maximal disjoint PREFIX: stop (don't skip) at the first
+        // candidate touching an already-taken symbol or merged result
+        val touched = scala.collection.mutable.Set.empty[String]
+        val prefix = ranked.take(want).takeWhile { case (a, b, _) =>
+          val ok = !touched(a) && !touched(b) && !touched(a + b)
+          if (ok) touched ++= Seq(a, b, a + b)
+          ok
+        }
+        // best count OUTSIDE the accepted prefix: the stop candidate if
+        // any; else the window floor when more pairs may lie beyond it
+        // (window full); -1 when the window provably saw every pair
+        val cNext =
+          if (prefix.size < ranked.size) ranked(prefix.size)._3
+          else if (ranked.size == window) ranked.last._3
+          else -1L
+        val exact = prefix.takeWhile(_._3 > cNext) match {
+          case Seq() => prefix.take(1) // flat top: plain sequential step
+          case p     => p
+        }
+        val rewritten = exact.foldLeft(col("enc")) { case (c, (a, b, _)) =>
+          replace(c, lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
+                  lit(s"$BpeSep$a$b$BpeSep"))
+        }
+        enc = enc.select(rewritten.as("enc"), col("freq"))
+        exact.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1, a, b, cnt))
+        }
       }
-    }.takeWhile(_.isDefined).flatten.toSeq
-    merges
+    }
+    (merges.toSeq, passes)
   }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
