@@ -506,4 +506,89 @@ object DecisionSupport {
       |SELECT l_partkey, CAST(rev_d AS DOUBLE) AS revenue
       |FROM pr, tot
       |WHERE CAST(rev_d AS DOUBLE) > 1.2 * tot_d / n_parts""".stripMargin
+
+  // ------------------------------------------------------------- Q9 shape
+  /**
+   * Product-type profit (TPC-H Q9, the last five-table join shape):
+   * profit per (supplier nation, order year) over a part-name pattern,
+   * with supply cost re-expressed as a retail-price fraction
+   * (`0.6 × p_retailprice × l_quantity`) — the testdata has no partsupp
+   * table, the same re-expression q2/q20 use. All arithmetic stays in
+   * exact DECIMAL until the output cast, so the sum is reproducible
+   * bit-for-bit under any partitioning.
+   *
+   * Scale shape: the ONLY shuffles are the orders ⋈ lineitem equi-join
+   * on the order key and the final small aggregate; part (pattern-
+   * filtered), supplier, and nation are broadcast. The name-pattern
+   * filter lands on the broadcast side, so the fact scan is pruned by
+   * the join itself, exactly how Q9 should run at 100 TB.
+   */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = t(spark, dir, "part").filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val one = lit(1).cast("decimal(18,2)")
+    val costF = lit(0.6).cast("decimal(18,2)")
+    t(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
+               costF * dec(col("p_retailprice")) * dec(col("l_quantity")))
+             .cast("double").as("profit"))
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           - CAST(0.6 AS DECIMAL(18,2))
+      |             * CAST(p_retailprice AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part     ON p_partkey   = l_partkey AND p_name LIKE '%red%'
+      |JOIN supplier ON s_suppkey   = l_suppkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      |JOIN orders   ON o_orderkey  = l_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ Q12 shape
+  /**
+   * Priority line counts (TPC-H Q12's conditional CASE-sum pair): for
+   * lineitems shipped inside a one-year window, count high-priority
+   * (URGENT/HIGH) versus other orders per lineitem category. The
+   * testdata carries no l_shipmode/l_receiptdate, so the group key is
+   * l_returnflag and the window predicate rides l_shipdate — the shape
+   * (fact window filter, one orders equi-join, two complementary
+   * CASE-sums) is Q12's exactly.
+   *
+   * Scale shape: the window filter prunes the fact scan (pushed to
+   * parquet), the join shuffles only (orderkey, returnflag) against
+   * (orderkey, priority), and the output is |returnflag| rows.
+   */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") <  ts("1998-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
 }
