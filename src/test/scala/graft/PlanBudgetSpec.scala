@@ -55,4 +55,36 @@ class PlanBudgetSpec extends AnyFunSuite {
       assert(n <= budget, s"$q: $n shuffles exceeds budget $budget")
     }
   }
+
+  /** The checked-in whole-surface ratchet (VERDICT r5 #7). */
+  private val budgetFile = new java.io.File("src/test/resources/plan_budgets.tsv")
+
+  // Regenerate with:  PLAN_BUDGETS_REGEN=1 sbt "testOnly graft.PlanBudgetSpec"
+  // (same session confs as the assertion, so counts are comparable).
+  // Budgets are ceilings: regen after an IMPROVEMENT to ratchet down,
+  // and the file diff documents exactly which plans changed.
+  test("whole-surface shuffle ratchet: every query within its checked-in budget") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    if (sys.env.contains("PLAN_BUDGETS_REGEN")) {
+      val out = new java.io.PrintWriter(budgetFile, "UTF-8")
+      try names.foreach(q => out.println(s"$q\t${shuffles(q)}"))
+      finally out.close()
+      info(s"regenerated ${budgetFile.getPath} for ${names.size} queries")
+    } else {
+      val recorded = scala.io.Source.fromFile(budgetFile, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(q, n) = l.split('\t'); q -> n.toInt
+        }.toMap
+      val missing = names.filterNot(recorded.contains)
+      assert(missing.isEmpty,
+        s"queries with no recorded plan budget (run PLAN_BUDGETS_REGEN=1): $missing")
+      val stale = recorded.keys.filterNot(names.contains)
+      assert(stale.isEmpty, s"plan_budgets.tsv lists removed queries: $stale")
+      val over = names.flatMap { q =>
+        val n = shuffles(q)
+        if (n > recorded(q)) Some(s"$q: $n shuffles > budget ${recorded(q)}") else None
+      }
+      assert(over.isEmpty, s"plan regressions:\n  ${over.mkString("\n  ")}")
+    }
+  }
 }
