@@ -21,7 +21,7 @@ object Bench {
     // fake multi-x regressions from co-tenant load spikes (a 0.9 s query
     // has recorded 5.2 s); the median of three is stable to one bad run
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query must read as a failure, not a fast timing: report
       // -1 and say so on stderr instead of timing the throw
       val times = (1 to runs).map { _ =>
@@ -31,6 +31,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
+      name -> times
+    }
+    val results = allRuns.map { case (name, times) =>
       val median =
         if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
       name -> median
@@ -60,8 +63,14 @@ object Bench {
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every individual run, not just the median: a co-tenant spike is
+    // then diagnosable from the artifact alone (max/min spread within
+    // one query's runs ≫ 1 means load, not a regression)
+    val runsJson = allRuns.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"runs":$runsJson,"sf":"$sfDir"}"""
     // full precision lands in a file (the tail window can't hold it);
     // best-effort — a read-only cwd must not fail the bench
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
