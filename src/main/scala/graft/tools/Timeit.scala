@@ -10,8 +10,9 @@ object Timeit {
     val useCount = args0.headOption.contains("--count")
     val args = if (useCount) args0.tail else args0
     val reps = args.head.toInt
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.operators.Tables.NanosConf, "true")
