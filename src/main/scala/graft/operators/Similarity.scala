@@ -242,6 +242,16 @@ object Similarity {
         r.getAs[Double]("cn")))
       .sortBy(_.cluster).toSeq
 
+  /** The collected centroids back as a (broadcastable) k-row DataFrame.
+    * Encoded via public tuples, NOT `createDataset(Seq[Cent])`: Cent is
+    * a private class, so Janino cannot access its getters from the
+    * generated serializer and Spark silently falls back to interpreted
+    * row encoding (a CompileException per query at every scale). */
+  private def centDf(spark: SparkSession, cents: Seq[Cent]): DataFrame = {
+    import spark.implicits._
+    cents.map(ct => (ct.cluster, ct.cv, ct.cn)).toDF("cluster", "cv", "cn")
+  }
+
   /**
    * IVF over iterated k-means coarse clusters: initialize centroids from
    * the label partition (the [[annIvfTopk]] quantizer), run [[KmIters]]
@@ -267,7 +277,7 @@ object Similarity {
         kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
     val assigned = kmAssign(c, cents)
     import spark.implicits._
-    val cent = spark.createDataset(cents).toDF()
+    val cent = centDf(spark, cents)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     import org.apache.spark.sql.expressions.Window
@@ -1022,7 +1032,7 @@ object Similarity {
       cents = collectCents(
         kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
     import spark.implicits._
-    val cent = spark.createDataset(cents).toDF()
+    val cent = centDf(spark, cents)
     val m = kmAssign(c, cents)
       .join(broadcast(cent), "cluster")
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
