@@ -503,21 +503,24 @@ object Dedup {
    * text ever leaves the scan stage.
    */
   private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val shAll = t(spark, dir, "documents")
+    // materialize the hashed shingle rows ONCE: the hot-list aggregate
+    // and the anti-join would otherwise EACH re-run the scan + tokenize
+    // + explode + md5 pass (the heaviest map work in the query)
+    val shAll = Checkpoints.cut(t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
               col("lang"))
       .select(col("doc_id"),
-              md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h"))
+              md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")))
     val hot = shAll.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("h"))
-    // materialize the filtered shingle rows ONCE: three consumers (set
-    // sizes + both join sides) would otherwise each re-run the scan +
-    // explode + anti-join (measured 15% slower at sf0.1). A cluster
-    // pipeline persists this table to storage for the same reason —
-    // it is also the reusable artifact incremental dedup reads back.
+    // ... and the filtered rows once more: three consumers (set sizes +
+    // both join sides) would otherwise each re-run the anti-join
+    // (measured 15% slower at sf0.1). A cluster pipeline persists this
+    // table to storage for the same reason — it is also the reusable
+    // artifact incremental dedup reads back.
     val sh = Checkpoints.cut(shAll.join(hot, Seq("h"), "left_anti"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -748,13 +751,19 @@ object Dedup {
    * roll-up of counts.
    */
   def evalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // full-outer join on the pair key + ONE aggregate, so each input
+    // pipeline appears exactly once in the DAG: the previous three
+    // crossJoined count aggregates re-ran the minhash pipeline and the
+    // shingle-pair pipeline twice each (measured 1.7× slower at sf0.1)
     val cand = dedupMinhashLsh(spark, dir)
-    val truth = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-    val nCand = cand.agg(count(lit(1)).as("n_cand"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val nHit = hit.agg(count(lit(1)).as("n_hit"))
-    nCand.crossJoin(nTruth).crossJoin(nHit)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_cand"))
+    val truth = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_cand")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("in_truth")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("in_cand") * col("in_truth")), lit(0L)).as("n_hit"))
       .select(col("n_cand"), col("n_truth"), col("n_hit"),
         when(col("n_cand") > 0, expr("(n_hit * 1000) div n_cand"))
           .otherwise(0L).as("precision_pm"),
