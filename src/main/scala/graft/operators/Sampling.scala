@@ -480,4 +480,53 @@ object Sampling {
        |       (CAST(n_docs AS BIGINT) * 1000000) // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_before_pm,
        |       (CAST(n_kept AS BIGINT) * 1000000) // CAST(SUM(n_kept) OVER () AS BIGINT) AS share_after_pm
        |FROM kept JOIN quota USING (lang)""".stripMargin
+
+  // ------------------------------------------------- shuffle + sharding
+
+  /** Output shards for the packed corpus (a real run picks shard count
+    * from target file size; 16 keeps the testdata gate readable). */
+  private val NumShards = 16
+
+  /** Shuffle salt — independent of the split salt so shard order shares
+    * no structure with the train/valid/test assignment. */
+  private val ShuffleSalt = "graft_shuffle_v1:"
+
+  /**
+   * Deterministic corpus shuffle + shard assignment [EXT] — the step that
+   * turns a curated corpus into training shards: every document gets a
+   * pseudo-random but reproducible position (shard file, offset within
+   * shard) so data order is decorrelated from crawl/source order without
+   * `rand()`'s run-to-run instability.
+   *
+   * Scale shape: the shard id is a pure per-row map (hash mod N — zero
+   * shuffle); the within-shard position is one window sort keyed by the
+   * shard id. That is THE canonical 100 TB global shuffle: one exchange
+   * partitioned by output shard, each reducer sorting only its shard —
+   * never a global single-node sort (the hash ordering makes per-shard
+   * local order globally consistent for free). Writing with
+   * `partitionBy(shard)` turns the result directly into the shard files.
+   */
+  def corpusShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5Long(concat_ws("", lit(ShuffleSalt), col("doc_id").cast("string")))
+          .as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(NumShards)).cast("int"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val corpusShuffleShardSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey
+       |  FROM documents)
+       |SELECT doc_id, CAST(hkey % $NumShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hkey % $NumShards
+       |                          ORDER BY hkey, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin
 }

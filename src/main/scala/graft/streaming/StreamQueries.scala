@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checkpoints
+
+/**
+ * Structured Streaming promoted to the oracle-gated query surface [EXT]:
+ * each query here stages the events table as a 4-file micro-batched
+ * stream, runs a [[EventStreams]] transform through a REAL streaming
+ * query (file source → state store → memory sink, `processAllAvailable`),
+ * and returns the drained sink table — which the driver then hash-compares
+ * against a batch DuckDB oracle like any other query. Streaming is not a
+ * spec-only side show: "the incremental plan computes exactly the batch
+ * answer" is itself the gated claim.
+ *
+ * Scale shape: the staged file source stands in for a Kafka-like source;
+ * the streaming plans are the same one-exchange aggregations/stateful
+ * maps as their batch twins, with state partitioned by (window, key) or
+ * user across `spark.sql.shuffle.partitions` state-store partitions.
+ */
+object StreamQueries {
+
+  /** Memory-sink names must be unique per run (Bench re-runs each query
+    * in one session). */
+  private val runId = new AtomicInteger(0)
+
+  private def rm(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete()
+  }
+
+  /** Stage the raw events parquet (ts still TIMESTAMP(NANOS)-as-long) as
+    * `chunks` event-time-ordered files — the micro-batch harness. The
+    * global ntile window is STAGING, not the measured operator: it plays
+    * the role of the upstream log's arrival order, and a real deployment
+    * reads an already-ordered Kafka/log source. No driver-side collect —
+    * rows move executor-to-disk. */
+  private def stageMicroBatches(spark: SparkSession, dir: String,
+                                chunks: Int): File = {
+    val tmp = Files.createTempDirectory("graft_stream_q").toFile
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ranked = Checkpoints.cut(raw.withColumn("mb",
+      ntile(chunks).over(Window.orderBy(col("ts"), col("event_id")))))
+    for (i <- 1 to chunks) {
+      val stage = new File(tmp, s"_stage$i")
+      ranked.filter(col("mb") === i).drop("mb")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new File(tmp, f"batch$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * i) // mtime = source arrival order
+      rm(stage)
+    }
+    tmp
+  }
+
+  /** Run one micro-batched streaming query over the staged events to a
+    * memory sink, drain it, clean up the staging dir, and hand back the
+    * sink table. */
+  private def runStream(spark: SparkSession, dir: String, mode: String,
+                        xform: DataFrame => DataFrame): DataFrame = {
+    val src = stageMicroBatches(spark, dir, chunks = 4)
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    try {
+      val q = xform(EventStreams.readEventsStream(spark, src.toString))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$src/_ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // the memory sink holds the drained result; staging files and the
+      // checkpoint are no longer needed
+      spark.table(name)
+    } finally rm(src)
+  }
+
+  /** Tumbling hourly counts computed INCREMENTALLY across 4 micro-batches
+    * (complete-mode streaming aggregation) — must equal the batch GROUP
+    * BY. */
+  def streamHourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "complete", EventStreams.hourlyCounts)
+
+  val streamHourlyCountsSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Custom-state sessionization (`flatMapGroupsWithState`) run as a real
+    * stream: per-user open-session state carried ACROSS micro-batch
+    * boundaries, each session emitted when the >30 min gap that closes it
+    * arrives. The stream emits exactly the CLOSED sessions (the final
+    * open tail per user never closes on a finite input), so the oracle is
+    * the lag-based batch sessionization minus each user's last session —
+    * same strict-gap semantics, money as exact cents. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "append",
+      ev => EventStreams.sessionizeStateful(ev).toDF())
+
+  val streamSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 30*60*1000000 THEN 1
+      |         WHEN lag(epoch_us(ts), 1)
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_no,
+      |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM s GROUP BY 1, 2),
+      |last AS (SELECT user_id, MAX(session_no) AS last_no FROM sess GROUP BY 1)
+      |SELECT sess.user_id, start_us, end_us, n_events, sum_cents
+      |FROM sess JOIN last ON last.user_id = sess.user_id
+      |WHERE session_no < last_no""".stripMargin
+}

@@ -159,6 +159,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
            oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
   }
 
+  test("StreamQueries.streamSessionize: self-staged micro-batch harness == oracle") {
+    // the oracle-gated query surface stages its own micro-batches (ntile
+    // over global event-time order, no driver collect) — this pins that
+    // the staging preserves per-user event-time order across batch files
+    val got = graft.streaming.StreamQueries.streamSessionize(spark, TestSpark.Sf0001)
+      .collect().map(r =>
+        SessionOut(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got.sortBy(s => (s.user_id, s.start_us)) ==
+           oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
+  }
+
+  test("StreamQueries.streamHourlyCounts: self-staged stream == batch aggregation") {
+    val streamed = graft.streaming.StreamQueries.streamHourlyCounts(spark, TestSpark.Sf0001)
+    val batch = EventStreams.hourlyCounts(batchEvents)
+    assert(streamed.count() > 0)
+    assert(asSortedSeq(streamed) == asSortedSeq(batch))
+  }
+
   test("stateful sessionizer: batch run == streaming run (unified semantics)") {
     val batchRun = EventStreams.sessionizeStateful(batchEvents).collect().toSeq
     assert(batchRun.sortBy(s => (s.user_id, s.start_us)) ==
