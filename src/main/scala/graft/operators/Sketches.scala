@@ -493,4 +493,98 @@ object Sketches {
        |  CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
        |  CAST(SUM(CASE WHEN NOT maybe AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
        |FROM truth""".stripMargin
+
+  // ------------------------------------------------------ quantile sketch
+
+  /** Sample size of the bottom-k quantile sketch. */
+  private val QsK = 256
+
+  /** Sketch salt — its own hash stream, independent of every other
+    * sampling decision in the library. */
+  private val QsSalt = "graft_qsk_v1:"
+
+  /** (percent, rank of the estimate in the k-sample, rank-error budget in
+    * per-mille): the budget is ceil(3000·σ) with σ = sqrt(p(1-p)/k) — the
+    * 3-sigma CLT band for the empirical p-quantile of a uniform k-sample.
+    * Computed once in Scala so both engines assert the SAME literals. */
+  private val QsPcts: Seq[(Int, Int, Int)] =
+    Seq(1, 5, 25, 50, 75, 95, 99).map { p =>
+      val prob = p / 100.0
+      val sigma = math.sqrt(prob * (1.0 - prob) / QsK)
+      (p, math.ceil(prob * QsK).toInt, math.ceil(3000.0 * sigma).toInt)
+    }
+
+  /**
+   * Mergeable quantile sketch [EXT]: estimate the value distribution of
+   * `events.value` from the [[QsK]] rows with the smallest salted hash —
+   * a uniform sample whose selection is a pure function of event_id, so
+   * (unlike reservoir sampling or `TABLESAMPLE`) it is deterministic,
+   * engine-independent, AND mergeable: the bottom-k of a union is the
+   * bottom-k of per-partition bottom-k's, the same sketch algebra as
+   * [[kmvDistinct]]. The p-quantile estimate is the sample's own
+   * p-quantile (rank ceil(p·k) in the sorted sample); the query then
+   * verifies itself against the full table — one conditional-count pass
+   * computes each estimate's TRUE rank, and the emitted `within_bound`
+   * verdict asserts the rank error sits inside the precomputed 3σ band.
+   * Like `agg_approx`, the oracle hashes the verdicts, so an estimator
+   * regression in either engine is a gate failure, not a silent drift.
+   *
+   * Scale shape: the sketch build is `TakeOrderedAndProject` — each
+   * partition keeps its k smallest hashes, the driver merges k-row
+   * partials (never a global sort); ranking 256 rows is a one-partition
+   * window by construction; the verification scan broadcasts 7 estimate
+   * rows through a conditional count, one pass over the table. At 100 TB
+   * only the k-row partials ever move.
+   */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select(col("event_id"), col("value"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val samp = ev
+      .select(col("value"),
+        md5Long(concat_ws("", lit(QsSalt), col("event_id").cast("string")))
+          .as("hk"))
+      .orderBy(col("hk").asc, col("value").asc).limit(QsK)
+    val ranked = samp.withColumn("r",
+      row_number().over(Window.orderBy(col("value").asc, col("hk").asc)))
+    val targets = QsPcts.toDF("pct", "rq", "bound_pm")
+    val est = ranked.join(broadcast(targets), col("r") === col("rq"))
+      .select(col("pct"), col("bound_pm"), col("value").as("est_value"))
+    ev.join(broadcast(est), col("value") <= col("est_value"))
+      .groupBy(col("pct"), col("bound_pm"), col("est_value"))
+      .agg(count(lit(1)).as("n_le"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target_pm", (col("pct") * 10).cast("long"))
+      .withColumn("est_rank_pm", expr("n_le * 1000 div n_total"))
+      .select(col("pct"), col("est_value"), col("target_pm"),
+        col("est_rank_pm"),
+        (abs(col("target_pm") - col("est_rank_pm")) <= col("bound_pm"))
+          .as("within_bound"))
+  }
+
+  val quantileSketchSql: String = {
+    val targetRows = QsPcts.map { case (p, rq, b) => s"($p, $rq, $b)" }
+      .mkString(", ")
+    s"""WITH samp AS (
+       |  SELECT value,
+       |    CAST(('0x' || substring(md5('$QsSalt' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+       |  FROM events ORDER BY hk ASC, value ASC LIMIT $QsK),
+       |ranked AS (
+       |  SELECT value, row_number() OVER (ORDER BY value ASC, hk ASC) AS r
+       |  FROM samp),
+       |targets(pct, rq, bound_pm) AS (VALUES $targetRows),
+       |est AS (
+       |  SELECT pct, bound_pm, value AS est_value
+       |  FROM ranked JOIN targets ON r = rq),
+       |cnt AS (
+       |  SELECT pct, bound_pm, est_value, COUNT(*) AS n_le
+       |  FROM events e JOIN est ON e.value <= est.est_value
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT COUNT(*) AS n_total FROM events)
+       |SELECT pct, est_value,
+       |  CAST(pct * 10 AS BIGINT) AS target_pm,
+       |  CAST((n_le * 1000) // n_total AS BIGINT) AS est_rank_pm,
+       |  abs(pct * 10 - (n_le * 1000) // n_total) <= bound_pm AS within_bound
+       |FROM cnt CROSS JOIN tot""".stripMargin
+  }
 }

@@ -104,6 +104,24 @@ object StreamQueries {
     runStream(spark, dir, "append",
       ev => EventStreams.sessionizeStateful(ev).toDF())
 
+  /** Streaming exact dedup as a gated query: `dropDuplicates` on the
+    * (user_id, event_type) key emits each key's FIRST arrival and
+    * suppresses every later one — the suppression is the state-store
+    * work carried across micro-batch boundaries (a key first seen in
+    * batch 1 must still be dropped in batch 4). Projected to the key
+    * columns BEFORE the dedup so the surviving row is deterministic
+    * (which full row wins within a batch is not). No watermark here —
+    * the gate claims exact global dedup, so key state is unbounded;
+    * the watermark-bounded production form is
+    * [[EventStreams.dedupEvents]] (spec-gated). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "append",
+      ev => ev.select(col("user_id"), col("event_type"))
+        .dropDuplicates(Seq("user_id", "event_type")))
+
+  val streamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val streamSessionizeSql: String =
     """WITH g AS (
       |  SELECT user_id, event_id, ts, value,

@@ -171,6 +171,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
            oracleClosedSessions.sortBy(s => (s.user_id, s.start_us)))
   }
 
+  test("StreamQueries.streamDedup: cross-batch key state emits exactly the distinct key set") {
+    val got = graft.streaming.StreamQueries.streamDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val expect = batchEvents.select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got == expect) // == also proves no key re-emitted across batches
+  }
+
   test("StreamQueries.streamHourlyCounts: self-staged stream == batch aggregation") {
     val streamed = graft.streaming.StreamQueries.streamHourlyCounts(spark, TestSpark.Sf0001)
     val batch = EventStreams.hourlyCounts(batchEvents)

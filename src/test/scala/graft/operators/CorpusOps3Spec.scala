@@ -621,4 +621,36 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     for ((exact, est) <- rows)
       assert(math.abs(est - exact) <= math.max(1.0, 0.5 * exact))
   }
+
+  // --------------------------------------------------------- quantile_sketch
+
+  test("quantileSketch: every rank verdict holds, estimates are monotone, " +
+       "and the sketch equals the plain-Scala bottom-k twin") {
+    val out = Sketches.quantileSketch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 5, 25, 50, 75, 95, 99))
+    assert(out.forall(_._5), s"rank verdicts: ${out.mkString(", ")}")
+    // sample quantiles of one sorted sample are monotone by construction —
+    // pin it as the user-visible law
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+
+    // exact twin: the same salted bottom-256 sample and rank arithmetic in
+    // plain Scala over the collected table
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val samp = evs
+      .map { case (id, v) =>
+        (Tables.md5LongOf(s"graft_qsk_v1:$id".getBytes("UTF-8")), v) }
+      .sortBy(identity).take(256).map(_._2).sorted
+    val n = evs.length.toLong
+    for ((pct, est, targetPm, rankPm, _) <- out) {
+      val expectEst = samp(math.ceil(pct / 100.0 * 256).toInt - 1)
+      assert(est == expectEst, s"estimate for p$pct")
+      assert(targetPm == pct * 10L)
+      assert(rankPm == evs.count(_._2 <= est) * 1000L / n, s"rank for p$pct")
+    }
+  }
 }
