@@ -577,17 +577,24 @@ object Similarity {
    * [[annRerank]] demonstrates. The gate here pins the dataflow and the
    * bit-exact cross-engine determinism, not the synthetic-data recall.
    */
-  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus(spark, dir)
-    // ---- cent0, all subspaces in ONE aggregation: the init partition
-    // (vec_id % k — uncorrelated with geometry ≙ standard PQ random
-    // init, deterministic and oracle-reproducible) is shared by every
-    // subspace, so the per-(cluster, dim) quantized means of the full
-    // 64-dim vector slice into the 8 subspace codebooks for free.
-    // (The first formulation aggregated each subspace separately:
-    // 16 shuffles + 16 collects, measured 4.9 s → 2.6 s fused.)
-    val cent0 = c
+  /** PQ codebook training over ANY (vec_id, v) table — [[annPqTopk]]
+    * trains on raw vectors, [[annIvfpqTopk]] on coarse residuals.
+    *
+    * cent0 builds all subspaces in ONE aggregation: the init partition
+    * (vec_id % k — uncorrelated with geometry ≙ standard PQ random
+    * init, deterministic and oracle-reproducible) is shared by every
+    * subspace, so the per-(cluster, dim) quantized means of the full
+    * 64-dim vector slice into the 8 subspace codebooks for free.
+    * (The first formulation aggregated each subspace separately:
+    * 16 shuffles + 16 collects, measured 4.9 s → 2.6 s fused.)
+    * Then ONE Lloyd step: all 8 per-subspace argmin assignments in one
+    * zero-shuffle projection, and all 8 codebooks re-estimated in ONE
+    * aggregation keyed by (subspace, code, dim-in-subspace) — the same
+    * partitions as per-subspace (code, dim), so every mean is
+    * bit-identical to the oracle's per-subspace CTEs. */
+  private def pqTrainBooks(cIn: DataFrame): Seq[Seq[(Long, Seq[Double])]] = {
+    val base = cIn.select(col("vec_id"), col("v"))
+    val cent0 = base
       .select((col("vec_id") % PqK).cast("long").as("cluster"),
               posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
@@ -600,12 +607,7 @@ object Similarity {
     val books0: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map(m =>
       c0.map { case (cl, cv) =>
         (cl, cv.slice(m * PqSubDim, (m + 1) * PqSubDim)) })
-    // ---- one Lloyd step: all 8 per-subspace argmin assignments in one
-    // zero-shuffle projection, then all 8 codebooks re-estimated in ONE
-    // aggregation keyed by (subspace, code, dim-in-subspace) — the same
-    // partitions as per-subspace (code, dim), so every mean is
-    // bit-identical to the oracle's per-subspace CTEs.
-    val asg1 = (0 until PqM).foldLeft(c.select(col("vec_id"), col("v"))) {
+    val asg1 = (0 until PqM).foldLeft(base) {
       (df, m) => pqAssign(df, pqSub(m, col("v")), books0(m), s"c$m")
     }
     val cent1 = asg1
@@ -623,33 +625,40 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim_in"), col("m")))),
                      s => s.getField("m")).as("cv"))
       .collect()
-    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       cent1.filter(_.getAs[Number]("sub").longValue() == m)
         .map(r => (r.getAs[Number]("cluster").longValue(),
                    r.getSeq[Double](2)))
         .sortBy(_._1).toSeq
     }
-    // encode the corpus: 4 literal-projection argmins, zero shuffle
-    val codes = (0 until PqM).foldLeft(c.select(col("vec_id"), col("v"))) {
+  }
+
+  /** Zero-shuffle PQ encode: 8 literal-codebook argmin projections,
+    * keeping `keep` + the code columns. */
+  private def pqEncode(base: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
+                       keep: Seq[String]): DataFrame =
+    (0 until PqM).foldLeft(base) {
       (df, m) => pqAssign(df, pqSub(m, col("v")), books(m), s"code$m")
-    }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
-    // per-query ADC lookup tables as plan expressions over the literal
-    // codebooks: lut[m][j] = <query subvector m, codebook m centroid j>
-    val lut = array((0 until PqM).map { m =>
+    }.select(keep.map(col) ++ (0 until PqM).map(m => col(s"code$m")): _*)
+
+  /** Per-query ADC lookup table as a plan expression over the literal
+    * codebooks: lut[m][j] = <query subvector m, codebook m centroid j>. */
+  private def pqLut(books: Seq[Seq[(Long, Seq[Double])]], qv: Column): Column =
+    array((0 until PqM).map { m =>
       array(books(m).map { case (_, cv) =>
-        dot(pqSub(m, col("qv")), array(cv.map(lit): _*))
+        dot(pqSub(m, qv), array(cv.map(lit): _*))
       }: _*)
     }: _*)
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("lut", lut)
-      .select(col("q_id"), col("lut"))
-    // NOTE codes may be sparse (a Lloyd step can empty a code); lookup
-    // is by position within the SORTED collected codebook, so build the
-    // index map per subspace
+
+  /** Per-subspace ADC lookup terms over `lut` and `code{m}` columns; the
+    * caller folds them left-to-right (matching the oracle's `+` chain).
+    * NOTE codes may be sparse (a Lloyd step can empty a code); lookup
+    * is by position within the SORTED collected codebook, so build the
+    * index map per subspace. */
+  private def pqAdcTerms(books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] = {
     val codeIdx: Seq[Map[Long, Int]] =
       books.map(_.map(_._1).zipWithIndex.toMap)
-    val scoreExpr = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val cases = books(m).map { case (code, _) =>
         (lit(code), element_at(element_at(col("lut"), m + 1),
                                codeIdx(m)(code) + 1))
@@ -657,10 +666,22 @@ object Similarity {
       cases.tail.foldLeft(when(col(s"code$m") === cases.head._1, cases.head._2)) {
         case (acc, (cond, v)) => acc.when(col(s"code$m") === cond, v)
       }
-    }.reduceLeft(_ + _)
+    }
+  }
+
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val books = pqTrainBooks(c)
+    // encode the corpus: 8 literal-projection argmins, zero shuffle
+    val codes = pqEncode(c, books, Seq("vec_id"))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("lut", pqLut(books, col("qv")))
+      .select(col("q_id"), col("lut"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-              scoreExpr.as("adc_ip"))
+              pqAdcTerms(books).reduceLeft(_ + _).as("adc_ip"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_ip").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -668,11 +689,13 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("adc_ip"))
   }
 
-  /** Oracle: identical per-subspace training unrolled CTE-for-CTE; ADC
-    * scoring joins the codes back to the codebook rows instead of a
-    * lookup table — same centroids, same folds, bit-identical scores. */
-  val annPqTopkSql: String = {
-    def centSql(name: String, src: String): String =
+  /** The oracle's PQ-training CTE block over `src` (a CTE exposing
+    * vec_id, v), CTE names prefixed with `p` so two trainings (raw and
+    * residual) can coexist in one query: identical per-subspace training
+    * unrolled CTE-for-CTE — cent0_m init means, asg_m assignments,
+    * cent1_m Lloyd-step codebooks, code_m final codes. */
+  private def pqTrainSqlCtes(src: String, p: String): String = {
+    def centSql(name: String, innerSrc: String): String =
       s"""$name AS (
          |  SELECT cluster, list(m ORDER BY dim) AS cv
          |  FROM (
@@ -681,7 +704,7 @@ object Similarity {
          |             / (COUNT(*) * 1000000.0) AS m
          |    FROM (SELECT cluster, unnest(sv) AS x,
          |                 unnest(generate_series(1, len(sv))) AS dim
-         |          FROM $src)
+         |          FROM $innerSrc)
          |    GROUP BY cluster, dim)
          |  GROUP BY cluster)""".stripMargin
     def asgSql(name: String, sv: String, centN: String): String =
@@ -690,20 +713,26 @@ object Similarity {
          |    SELECT c.vec_id, ct.cluster,
          |           row_number() OVER (PARTITION BY c.vec_id
          |             ORDER BY ${l2sqSql(sv, "ct.cv")} ASC, ct.cluster ASC) AS arnk
-         |    FROM corpus c CROSS JOIN $centN ct)
+         |    FROM $src c CROSS JOIN $centN ct)
          |  WHERE arnk = 1)""".stripMargin
-    val perSub = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val sv = pqSubSql(m, "c.v")
       Seq(
-        centSql(s"cent0_$m",
-          s"(SELECT CAST(vec_id % $PqK AS BIGINT) AS cluster, ${pqSubSql(m, "v")} AS sv FROM corpus) c"),
-        asgSql(s"asg_$m", sv, s"cent0_$m"),
-        centSql(s"cent1_$m",
+        centSql(s"${p}cent0_$m",
+          s"(SELECT CAST(vec_id % $PqK AS BIGINT) AS cluster, ${pqSubSql(m, "v")} AS sv FROM $src) c"),
+        asgSql(s"${p}asg_$m", sv, s"${p}cent0_$m"),
+        centSql(s"${p}cent1_$m",
           s"(SELECT a.code AS cluster, ${pqSubSql(m, "c.v")} AS sv " +
-          s"FROM corpus c JOIN asg_$m a ON a.vec_id = c.vec_id) c"),
-        asgSql(s"code_$m", sv, s"cent1_$m")
+          s"FROM $src c JOIN ${p}asg_$m a ON a.vec_id = c.vec_id) c"),
+        asgSql(s"${p}code_$m", sv, s"${p}cent1_$m")
       ).mkString(",\n")
     }.mkString(",\n")
+  }
+
+  /** Oracle: identical per-subspace training unrolled CTE-for-CTE; ADC
+    * scoring joins the codes back to the codebook rows instead of a
+    * lookup table — same centroids, same folds, bit-identical scores. */
+  val annPqTopkSql: String = {
     val scoreTerms = (0 until PqM).map { m =>
       s"${dotSql(pqSubSql(m, "q.qv"), s"g$m.cv")}"
     }.mkString(" + ")
@@ -712,7 +741,7 @@ object Similarity {
       s"  JOIN cent1_$m g$m ON g$m.cluster = k$m.code"
     }.mkString("\n  ")
     s"""WITH $corpusSql,
-       |$perSub,
+       |${pqTrainSqlCtes("corpus", "")},
        |qs2 AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < $NumQueries),
        |scored AS (
        |  SELECT q.q_id, c.vec_id AS neighbor_id, $scoreTerms AS adc_ip
@@ -720,6 +749,125 @@ object Similarity {
        |  $codeJoins
        |  CROSS JOIN qs2 q
        |  WHERE c.vec_id <> q.q_id)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc_ip FROM (
+       |  SELECT q_id, neighbor_id, adc_ip,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
+  /**
+   * IVF-PQ top-k [EXT] — the composition production billion-scale indexes
+   * actually ship (Faiss `IVFx,PQy`): a coarse quantizer partitions the
+   * corpus into inverted lists, PQ codebooks train on the RESIDUAL
+   * v − centroid(list) (residuals cluster far tighter than raw vectors,
+   * so the same code budget carries more precision), and a query probes
+   * only [[NProbe]] lists, scoring candidates as
+   * `<q, centroid> + ADC(<q, residual>)` — exact inner-product algebra:
+   * <q, v> = <q, c> + <q, v−c>, with only the residual term quantized.
+   *
+   * Scale shape: the coarse quantizer here is the per-label quantized
+   * mean (the [[annIvfTopk]] quantizer — k-row table, always broadcast);
+   * residual subtraction is a zero-shuffle map; PQ training/encode reuse
+   * [[pqTrainBooks]]/[[pqEncode]] (k-row collects, literal-codebook
+   * projections); candidates arrive via an equi-join on the list id, so
+   * only the probed fraction of the corpus is ever touched, and the scan
+   * reads codes + list id — never the vectors. The per-query constant
+   * <q, centroid> attaches to the probe row (NProbe rows/query) and the
+   * LUT is baked into the same broadcast — at 100 TB the big side moves
+   * nothing but 8-byte codes into a per-partition window top-k.
+   *
+   * Determinism: residual = IEEE double subtraction (bit-identical in
+   * both engines), codebooks from quantized integer means, ADC terms
+   * fold left-to-right in the same order as the oracle's `+` chain —
+   * the scores hash-match exactly, like [[annPqTopk]].
+   */
+  def annIvfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    // coarse quantizer: per-label quantized-mean centroids (reuse the
+    // k-means centroid aggregate keyed by label; norm column unused and
+    // pruned by the optimizer)
+    val cent = kmCentroids(c.select(col("label").as("cluster"), col("v")))
+      .select(col("cluster").cast("int").as("label"), col("cv"))
+    // residual corpus: v − centroid(label), zero-shuffle after the
+    // broadcast join
+    val rc = c.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+              zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val books = pqTrainBooks(rc)
+    val codes = pqEncode(rc, books, Seq("vec_id", "label"))
+    // probes: each query ranks the coarse centroids by raw inner
+    // product and keeps NProbe lists, carrying its <q, centroid>
+    // constant and its residual-ADC lookup table on the probe row
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_ip").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("label"),
+              dot(col("qv"), col("cv")).as("qc_ip"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= NProbe)
+      .withColumn("lut", pqLut(books, col("qv")))
+      .select(col("q_id"), col("label"), col("qc_ip"), col("lut"))
+    val scored = codes.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              (col("qc_ip") +: pqAdcTerms(books)).reduceLeft(_ + _)
+                .as("adc_ip"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_ip").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("adc_ip"))
+  }
+
+  /** Oracle: same coarse centroids as [[annIvfTopkSql]], residuals as a
+    * list_zip subtraction, the residual PQ training via
+    * [[pqTrainSqlCtes]] with the `r` prefix, and ADC scoring as
+    * `qc_ip + term0 + …` — the same left-to-right fold as the Spark
+    * side's (qc_ip +: terms) reduce. */
+  val annIvfpqTopkSql: String = {
+    val scoreTerms = (0 until PqM).map { m =>
+      s"${dotSql(pqSubSql(m, "p.qv"), s"g$m.cv")}"
+    }.mkString(" + ")
+    val codeJoins = (0 until PqM).map { m =>
+      s"JOIN rcode_$m k$m ON k$m.vec_id = c.vec_id\n" +
+      s"  JOIN rcent1_$m g$m ON g$m.cluster = k$m.code"
+    }.mkString("\n  ")
+    s"""WITH $corpusSql,
+       |cent AS (
+       |  SELECT label, list(m ORDER BY dim) AS cv
+       |  FROM (
+       |    SELECT label, dim,
+       |           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1000000.0) AS m
+       |    FROM (SELECT label, unnest(v) AS x,
+       |                 unnest(generate_series(1, len(v))) AS dim
+       |          FROM corpus)
+       |    GROUP BY label, dim)
+       |  GROUP BY label),
+       |rcorpus AS (
+       |  SELECT c.vec_id, c.label,
+       |         list_transform(list_zip(c.v, ct.cv), p -> p[1] - p[2]) AS v
+       |  FROM corpus c JOIN cent ct ON ct.label = c.label),
+       |${pqTrainSqlCtes("rcorpus", "r")},
+       |qs2 AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT q_id, qv, label, qc_ip FROM (
+       |    SELECT q_id, qv, ct.label,
+       |           ${dotSql("qv", "ct.cv")} AS qc_ip,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${dotSql("qv", "ct.cv")} DESC, ct.label ASC) AS crnk
+       |    FROM qs2 CROSS JOIN cent ct)
+       |  WHERE crnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS neighbor_id,
+       |         p.qc_ip + $scoreTerms AS adc_ip
+       |  FROM corpus c
+       |  JOIN probes p ON p.label = c.label AND c.vec_id <> p.q_id
+       |  $codeJoins)
        |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc_ip FROM (
        |  SELECT q_id, neighbor_id, adc_ip,
        |         row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, neighbor_id ASC) AS rnk

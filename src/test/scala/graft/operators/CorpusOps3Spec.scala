@@ -622,6 +622,47 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(est - exact) <= math.max(1.0, 0.5 * exact))
   }
 
+  // --------------------------------------------------------- ann_ivfpq_topk
+
+  test("annIvfpqTopk: every candidate comes from a probed inverted list; " +
+       "shape is NumQueries x K") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    // coarse centroids exactly as both engines build them: per-label
+    // element-wise quantized-integer means (order-free BIGINT sums)
+    val cents: Map[Int, Array[Double]] = emb.groupBy(_._2).map { case (l, rs) =>
+      val d = rs.head._3.length
+      l -> Array.tabulate(d) { i =>
+        rs.map(r => math.floor(r._3(i) * 1e6).toLong).sum.toDouble /
+          (rs.length.toDouble * 1e6)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // per-query probe set: top-2 labels by <q, centroid>, ties to the
+    // smaller label — the coarse stage of the operator, re-derived
+    val probes: Map[Long, Set[Int]] = emb.filter(_._1 < 8).map { case (q, _, qv) =>
+      q -> cents.toSeq.map { case (l, cv) => (l, dot(qv, cv)) }
+        .sortBy { case (l, ip) => (-ip, l) }.take(2).map(_._1).toSet
+    }.toMap
+    val out = Similarity.annIvfpqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).distinct.length == 8)
+    for ((q, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"ranks for q$q")
+      for ((_, _, nb, _) <- rows) {
+        assert(nb != q)
+        assert(probes(q).contains(labelOf(nb)),
+          s"q$q neighbor $nb label ${labelOf(nb)} outside probed ${probes(q)}")
+      }
+    }
+  }
+
   // --------------------------------------------------------- quantile_sketch
 
   test("quantileSketch: every rank verdict holds, estimates are monotone, " +
