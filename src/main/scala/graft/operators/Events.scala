@@ -734,4 +734,86 @@ object Events {
        |       CAST((ewma_fp * 1000) // $wsum AS BIGINT) AS smoothed_pm
        |FROM e""".stripMargin
   }
+
+  // ------------------------------------------------------------ events_trend
+
+  /**
+   * Per-type traffic trend [EXT]: the exact least-squares line over each
+   * event type's observed hourly counts — the "is this stream growing or
+   * decaying" fit a monitoring pipeline runs next to its anomaly gates.
+   *
+   * All four moments (Σx, Σy, Σx², Σxy) are exact BIGINT sums over the
+   * (type, hour) pre-aggregate, so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+   * and the intercept are each ONE double division from
+   * order-independent integers — bit-identical cross-engine, no float
+   * accumulation anywhere. x is rebased to hours-since-first-seen per
+   * type (one window MIN over the already-collapsed hourly table) so the
+   * moments stay small and the intercept means "fitted count at first
+   * hour". The `rising` verdict is the exact integer sign of the slope
+   * numerator. Observed hours only: an absent hour is a missing sample,
+   * not a zero (the zero-filled variant is one `events_gapfill`
+   * composition away).
+   *
+   * Scale shape: one count aggregate collapses the corpus to
+   * (type, hour) rows; the window and the moment aggregate run on that
+   * collapsed table — shuffles carry hourly counts, never events.
+   */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, dir)
+      .select(col("event_type"),
+              expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+                .as("hnum"))
+      .groupBy(col("event_type"), col("hnum"))
+      .agg(count(lit(1)).as("y"))
+    val based = hourly.withColumn("x",
+      col("hnum") - min(col("hnum")).over(Window.partitionBy(col("event_type"))))
+    based.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n_points"), col("sy").as("n_events"),
+        (col("n_points") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_points") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+      .select(col("event_type"), col("n_points"), col("n_events"),
+        col("slope_num"), col("slope_den"),
+        when(col("slope_den") =!= 0,
+             col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .as("slope_per_hour"),
+        when(col("slope_den") =!= 0,
+             col("icept_num").cast("double") / col("slope_den").cast("double"))
+          .as("intercept"),
+        (col("slope_num") > 0).as("rising"))
+  }
+
+  val eventsTrendSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hnum,
+      |         COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |based AS (
+      |  SELECT event_type,
+      |         hnum - MIN(hnum) OVER (PARTITION BY event_type) AS x, y
+      |  FROM hourly),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_points,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM based GROUP BY 1)
+      |SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+      |  sy AS n_events,
+      |  CAST(n_points * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_points * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CASE WHEN n_points * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(n_points * sxy - sx * sy AS DOUBLE)
+      |              / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS slope_per_hour,
+      |  CASE WHEN n_points * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |              / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS intercept,
+      |  n_points * sxy - sx * sy > 0 AS rising
+      |FROM m""".stripMargin
 }

@@ -160,6 +160,110 @@ object Profiling {
           * d38(col("n_train")) * d38(col("n_valid"))).as("drifted"))
   }
 
+  // ------------------------------------------- categorical drift (chi²)
+
+  /** Salt for the χ² drift check's two-sample split (its own key space,
+    * like [[KsSalt]]). */
+  private[operators] val Chi2Salt = "graft_chi2_v1:"
+
+  /** χ²_{0.05, df} critical values ×10⁴ for df 1..12 — inlined into both
+    * engines as the same integer literals (event_type cardinality is
+    * tiny; a wider table is a constant away). */
+  private val Chi2CritE4: Seq[(Int, Long)] = Seq(
+    1 -> 38415L, 2 -> 59915L, 3 -> 78147L, 4 -> 94877L,
+    5 -> 110705L, 6 -> 125916L, 7 -> 140671L, 8 -> 155073L,
+    9 -> 169190L, 10 -> 183070L, 11 -> 196751L, 12 -> 210261L)
+
+  /**
+   * Two-sample χ² homogeneity drift check [EXT] — the categorical twin
+   * of [[statsKsDrift]]: does the event_type DISTRIBUTION differ between
+   * two slices (hash-split train vs valid here; yesterday-vs-today in
+   * production)? For a 2×C contingency table the statistic reduces to
+   * χ² = Σ_c Δ_c²/(r_c·n₁·n₂) with Δ_c = O₁c·n₂ − O₂c·n₁ and
+   * r_c = O₁c+O₂c — every Δ_c is an exact integer, so each term is ONE
+   * integer division (Δ_c²·10⁶) div (r_c·n₁·n₂) in decimal(38)/HUGEINT
+   * (per-term quotients are χ²-sized ×10⁶, so the BIGINT sum cannot
+   * overflow at any corpus size), and the α=0.05 verdict compares the
+   * exact integer sum against χ²_{0.05, C−1}·10² — no float summation,
+   * no sqrt, no accumulation-order dependence anywhere.
+   *
+   * Scale shape: ONE count aggregate collapses the corpus to C rows;
+   * everything after is arithmetic on a table the size of the category
+   * set. The hash split drifts nothing by construction, so the verdict
+   * is false on testdata — the spec activates it on a crafted corpus
+   * whose categories correlate with the slice.
+   */
+  def statsChi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Long(concat(lit(Chi2Salt), col("event_id").cast("string"))) % 100
+    val split = when(bucket < KsTrainUpTo, "train")
+      .when(bucket < KsValidUpTo, "valid").otherwise("test")
+    val h = events(spark, dir)
+      .select(split.as("split"), col("event_type"))
+      .filter(col("split") =!= "test")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("o_tr"),
+           sum(when(col("split") === "valid", 1L).otherwise(0L)).as("o_va"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = h.agg(sum(col("o_tr")).as("n_tr"), sum(col("o_va")).as("n_va"),
+                    count(lit(1)).as("n_cat"))
+    val crit = Chi2CritE4.tail.foldLeft(
+        when(col("n_cat") - 1 === Chi2CritE4.head._1, Chi2CritE4.head._2)) {
+      case (acc, (df, c)) => acc.when(col("n_cat") - 1 === df, c)
+    }
+    h.crossJoin(broadcast(tot))
+      .select(col("n_tr"), col("n_va"), col("n_cat"),
+        (d38(col("o_tr") * col("n_va") - col("o_va") * col("n_tr"))
+           * d38(col("o_tr") * col("n_va") - col("o_va") * col("n_tr"))
+           * d38(lit(1000000L)))
+          .as("num"),
+        d38((col("o_tr") + col("o_va")) * col("n_tr") * col("n_va")).as("den"))
+      .select(col("n_tr"), col("n_va"), col("n_cat"),
+              expr("num div den").as("t_fp"))
+      .groupBy(col("n_tr"), col("n_va"), col("n_cat"))
+      .agg(sum(col("t_fp")).as("chi2_fp"))
+      .select(col("n_tr").as("n_train"), col("n_va").as("n_valid"),
+        col("n_cat").as("n_categories"), col("chi2_fp"),
+        round(col("chi2_fp").cast("double") / 1e6, 6).as("chi2"),
+        (col("chi2_fp") > crit * lit(100L)).as("drifted"))
+  }
+
+  val statsChi2DriftSql: String = {
+    val bucket =
+      s"CAST(('0x' || substring(md5('$Chi2Salt' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    val critCase = Chi2CritE4.map { case (df, c) =>
+      s"WHEN n_cat - 1 = $df THEN ${c}::BIGINT" }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CASE WHEN $bucket < $KsTrainUpTo THEN 'train'
+       |         WHEN $bucket < $KsValidUpTo THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS o_tr,
+       |    SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS o_va
+       |  FROM s WHERE split <> 'test' GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(o_tr) AS BIGINT) AS n_tr,
+       |         CAST(SUM(o_va) AS BIGINT) AS n_va,
+       |         COUNT(*) AS n_cat
+       |  FROM h),
+       |terms AS (
+       |  SELECT n_tr, n_va, n_cat,
+       |    CAST(((o_tr * n_va - o_va * n_tr)::HUGEINT
+       |            * (o_tr * n_va - o_va * n_tr) * 1000000)
+       |         // ((o_tr + o_va)::HUGEINT * n_tr * n_va) AS BIGINT) AS t_fp
+       |  FROM h CROSS JOIN tot),
+       |agg AS (
+       |  SELECT n_tr, n_va, n_cat, CAST(SUM(t_fp) AS BIGINT) AS chi2_fp
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT n_tr AS n_train, n_va AS n_valid,
+       |  CAST(n_cat AS BIGINT) AS n_categories, chi2_fp,
+       |  round(CAST(chi2_fp AS DOUBLE) / 1e6, 6) AS chi2,
+       |  chi2_fp > (CASE $critCase END) * 100 AS drifted
+       |FROM agg""".stripMargin
+  }
+
   val statsKsDriftSql: String = {
     val bucket =
       s"CAST(('0x' || substring(md5('$KsSalt' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"

@@ -875,6 +875,90 @@ object Similarity {
        |WHERE rnk <= $K""".stripMargin
   }
 
+  /** Prefix length for the matryoshka truncation eval. */
+  private val MatryDim = 16
+
+  /**
+   * Matryoshka truncation eval [EXT] — the storage decision an
+   * embedding pipeline has to score before it ships: MRL-style models
+   * front-load information into prefix dimensions, so serving can keep
+   * only the first [[MatryDim]] of 64 dims (4× less memory bandwidth,
+   * 4× more vectors per node) IF truncated retrieval still reproduces
+   * full-dim retrieval. This query measures exactly that: per query,
+   * recall@[[K]] of prefix-cosine top-k against full-cosine top-k —
+   * integer per-mille, the honest scorecard (like `eval_retrieval` /
+   * `eval_minhash`). On THIS corpus the verdict is "don't truncate":
+   * isotropic gaussian embeddings spread energy uniformly across dims,
+   * the worst case for truncation (same caveat as `ann_pq_topk`) — the
+   * gate pins the measurement arithmetic, not the synthetic recall.
+   *
+   * Scale shape: two broadcast-query scans over the corpus (the second
+   * reads a 4× narrower slice — in a real deployment a separate, short
+   * column), each a per-partition window top-k; the hit join is K·|Q|
+   * rows against K·|Q| rows.
+   */
+  def embedMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val qf = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val fullTop = c.join(broadcast(qf), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("neighbor_id"))
+    val tc = c.select(col("vec_id"), slice(col("v"), 1, MatryDim).as("tv"))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+    val qt = tc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("tv").as("qv"), col("tn").as("qn"))
+    val truncTop = tc.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("tv"), col("tn")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    fullTop.join(truncTop, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_full"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_full"), col("n_hits"),
+              expr("n_hits * 1000 div n_full").as("recall_pm"))
+  }
+
+  val embedMatryoshkaSql: String = {
+    val tsl = s"v[1 : $MatryDim]"
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |fullr AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${dotSql("qv", "v")} / (qn * c.nrm) DESC, c.vec_id ASC) AS rnk
+       |    FROM corpus c JOIN qs ON c.vec_id <> q_id)
+       |  WHERE rnk <= $K),
+       |tc AS (
+       |  SELECT vec_id, $tsl AS tv,
+       |         sqrt(${dotSql(tsl, tsl)}) AS tn
+       |  FROM corpus),
+       |tqs AS (SELECT vec_id AS q_id, tv AS qv, tn AS qn FROM tc
+       |        WHERE vec_id < $NumQueries),
+       |truncr AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${dotSql("qv", "tv")} / (qn * c.tn) DESC, c.vec_id ASC) AS rnk
+       |    FROM tc c JOIN tqs ON c.vec_id <> q_id)
+       |  WHERE rnk <= $K)
+       |SELECT f.q_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_full,
+       |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+       |       // COUNT(*) AS BIGINT) AS recall_pm
+       |FROM fullr f LEFT JOIN truncr t
+       |  ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Coarse-stage candidate count for two-stage retrieval. */
   private val RerankC = 40
 

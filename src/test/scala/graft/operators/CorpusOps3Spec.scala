@@ -622,6 +622,62 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(est - exact) <= math.max(1.0, 0.5 * exact))
   }
 
+  // -------------------------------------------------------- stats_chi2_drift
+
+  test("statsChi2Drift: verdict activates when categories correlate with the " +
+       "slice; chi2_fp matches a BigInt twin") {
+    import spark.implicits._
+    val sub = s"$dir/chi2"
+    // craft drift: the valid slice (hash bucket 80..89) sees only 'gamma';
+    // the train slice alternates alpha/beta — a real distribution change
+    val rows = (1L to 4000L).map { id =>
+      val b = Tables.md5LongOf(s"graft_chi2_v1:$id".getBytes("UTF-8")) % 100
+      val t = if (b < 80) (if (id % 2 == 0) "alpha" else "beta") else "gamma"
+      (id, id * 1000000000L, id % 7, t, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val r = Profiling.statsChi2Drift(spark, sub).collect()(0)
+    assert(r.getAs[Boolean]("drifted"))
+    assert(r.getAs[Long]("n_categories") == 3L)
+
+    // BigInt twin of the exact per-term arithmetic
+    val split = rows.map { case (id, _, _, t, _, _) =>
+      val b = Tables.md5LongOf(s"graft_chi2_v1:$id".getBytes("UTF-8")) % 100
+      (t, if (b < 80) "train" else if (b < 90) "valid" else "test")
+    }.filter(_._2 != "test")
+    val nTr = split.count(_._2 == "train").toLong
+    val nVa = split.count(_._2 == "valid").toLong
+    val expected = split.groupBy(_._1).values.map { g =>
+      val oTr = g.count(_._2 == "train").toLong
+      val oVa = g.count(_._2 == "valid").toLong
+      val delta = BigInt(oTr) * nVa - BigInt(oVa) * nTr
+      (delta * delta * 1000000) / (BigInt(oTr + oVa) * nTr * nVa)
+    }.sum
+    assert(BigInt(r.getAs[Long]("chi2_fp")) == expected)
+    assert(r.getAs[Long]("n_train") == nTr && r.getAs[Long]("n_valid") == nVa)
+  }
+
+  // ------------------------------------------------------------ events_trend
+
+  test("eventsTrend: recovers an exact planted line (slope 2, intercept 3)") {
+    import spark.implicits._
+    val sub = s"$dir/trend"
+    // hour x carries exactly y = 3 + 2x events, x = 0..9
+    val rows = for {
+      x <- 0 until 10
+      i <- 0 until (3 + 2 * x)
+    } yield (x * 1000L + i, x * 3600L * 1000000000L, i.toLong, "planted", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val r = Events.eventsTrend(spark, sub).collect()(0)
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Long]("n_events") == (0 until 10).map(3 + 2 * _).sum.toLong)
+    assert(r.getAs[Double]("slope_per_hour") == 2.0) // exact: integer moments
+    assert(r.getAs[Double]("intercept") == 3.0)
+    assert(r.getAs[Boolean]("rising"))
+  }
+
   // --------------------------------------------------------- ann_ivfpq_topk
 
   test("annIvfpqTopk: every candidate comes from a probed inverted list; " +
