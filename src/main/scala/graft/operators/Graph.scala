@@ -134,4 +134,74 @@ object Graph {
        |  UNION ALL SELECT c FROM tri)
        |SELECT doc_id, COUNT(*) AS n_triangles
        |FROM corners GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- graph_bfs
+
+  /** BFS depth bound: hop distances beyond this are cut off (a web-scale
+    * deployment bounds its frontier the same way). */
+  private val BfsMaxHops = 4
+
+  /** Seed rule: every node whose doc_id is divisible by this — a
+    * deterministic multi-source seed set spread across the graph. */
+  private val BfsSeedMod = 50L
+
+  /**
+   * Multi-source BFS hop distance over the near-dup similarity graph
+   * [EXT] — "how many similarity hops is each document from a seed
+   * document": the reachability/contamination-radius pass a pipeline
+   * runs when a set of documents is flagged (benchmark leaks, takedowns)
+   * and everything within k near-dup hops must be reviewed.
+   *
+   * Scale shape: textbook semi-naive frontier expansion — each round is
+   * ONE equi-join of the edge list against the current frontier plus one
+   * anti-join against the visited set, so the shuffled data is
+   * proportional to the frontier, never the graph; rounds are a fixed
+   * unroll (no per-round driver action), with [[Checkpoints.cut]]
+   * keeping the visited-set lineage flat (and durable under the reliable-
+   * checkpoint flag). The oracle is DuckDB's semi-naive recursive CTE —
+   * the same algorithm in the other paradigm, a cross-engine
+   * differential of the whole iteration, like `dedup_components`.
+   */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsOf(Dedup.dedupMinhashLsh(spark, dir))
+
+  /** The BFS loop over any undirected pair list (doc_a, doc_b) —
+    * factored for direct testing on crafted graphs, like
+    * [[Dedup.componentsOf]]. Seeds are the nodes divisible by
+    * [[BfsSeedMod]]; distances are cut at [[BfsMaxHops]]. */
+  private[operators] def bfsOf(pairs: DataFrame): DataFrame = {
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val seeds = edges.select(col("doc_a").as("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(BfsSeedMod)) === 0)
+    var dist = Checkpoints.cut(seeds.withColumn("dist", lit(0)))
+    var frontier = dist.select(col("doc_id"))
+    for (r <- 1 to BfsMaxHops) {
+      val next = Checkpoints.cut(
+        edges.join(frontier, edges("doc_a") === frontier("doc_id"))
+          .select(col("doc_b").as("doc_id")).distinct()
+          .join(dist, Seq("doc_id"), "left_anti")
+          .withColumn("dist", lit(r)))
+      dist = Checkpoints.cut(dist.union(next))
+      frontier = next.select(col("doc_id"))
+    }
+    dist.select(col("doc_id"), col("dist").cast("int").as("dist"))
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCtesFrom("documents")},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |seeds AS (
+       |  SELECT DISTINCT doc_a AS doc_id FROM edges
+       |  WHERE doc_a % $BfsSeedMod = 0),
+       |walk(doc_id, dist) AS (
+       |  SELECT doc_id, 0 AS dist FROM seeds
+       |  UNION
+       |  SELECT e.doc_b, w.dist + 1
+       |  FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+       |  WHERE w.dist < $BfsMaxHops)
+       |SELECT doc_id, CAST(MIN(dist) AS INT) AS dist
+       |FROM walk GROUP BY 1""".stripMargin
 }

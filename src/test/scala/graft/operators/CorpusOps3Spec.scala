@@ -658,6 +658,23 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_train") == nTr && r.getAs[Long]("n_valid") == nVa)
   }
 
+  // --------------------------------------------------------------- graph_bfs
+
+  test("bfsOf: multi-source shortest hop distance with depth cutoff on a " +
+       "crafted graph") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6 plus a shortcut from the second seed: 100-3.
+    // seeds (doc_id % 50 == 0) = {0, 100}
+    val pairs = ((0L until 6L).map(i => (i, i + 1)) :+ (100L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.bfsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is one hop from seed 100 (not three from seed 0); 2 and 4 tie at
+    // two hops; the chain tail is reached within the 4-hop cutoff
+    assert(got == Map(0L -> 0, 100L -> 0, 1L -> 1, 3L -> 1,
+                      2L -> 2, 4L -> 2, 5L -> 3, 6L -> 4))
+  }
+
   // ------------------------------------------------------------ events_trend
 
   test("eventsTrend: recovers an exact planted line (slope 2, intercept 3)") {
