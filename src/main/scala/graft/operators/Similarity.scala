@@ -791,10 +791,16 @@ object Similarity {
     val cent = kmCentroids(c.select(col("label").as("cluster"), col("v")))
       .select(col("cluster").cast("int").as("label"), col("cv"))
     // residual corpus: v − centroid(label), zero-shuffle after the
-    // broadcast join
-    val rc = c.join(broadcast(cent), Seq("label"))
+    // broadcast join. Cut once: the subtree (scan + centroid aggregate +
+    // residual subtraction) otherwise re-runs for each of the two
+    // training collects AND the encode/score job. (Measured ~flat at
+    // sf0.1 — 4.3 vs 4.5 s median-of-5 — because this query's toy-scale
+    // cost is dominated by codegen of the 8×16 literal-codebook argmin
+    // projections, like kmAssign's note; the avoided recomputation grows
+    // with the corpus, the codegen does not.)
+    val rc = Checkpoints.cut(c.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
-              zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+              zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
     val books = pqTrainBooks(rc)
     val codes = pqEncode(rc, books, Seq("vec_id", "label"))
     // probes: each query ranks the coarse centroids by raw inner
