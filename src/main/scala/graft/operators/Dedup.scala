@@ -734,6 +734,104 @@ object Dedup {
        |  END AS dup_pm
        |FROM base b LEFT JOIN perdoc p ON p.doc_id = b.doc_id""".stripMargin
 
+  // ------------------------------------- suffix-array exact-substring dedup
+
+  /** Map each (a, b) class pair to its dense lexicographic rank: the
+    * window sorts only the DISTINCT class table (suffix classes, not
+    * positions), then ranks join back. At 100 TB the single-partition
+    * class window becomes the standard two-pass distributed dense rank
+    * (range-partitioned sort, per-partition ranks, prefix-offset merge);
+    * equality semantics — all the final grouping consumes — unchanged. */
+  private def classRank(df: DataFrame, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = df.select(col("ra"), col("rb")).distinct()
+      .withColumn(out,
+        dense_rank().over(Window.orderBy(col("ra"), col("rb"))).cast("long"))
+    df.join(classes, Seq("ra", "rb"))
+  }
+
+  /** One doubling round: pair each position's rank with the rank k
+    * positions later (−1 sentinel past the document end — ranks are
+    * ≥ 1, so truncated suffixes can never merge with full ones). */
+  private def pairAt(ranks: DataFrame, k: Int): DataFrame = {
+    val right = ranks.select(col("doc_id").as("d2"), (col("off") - k).as("o2"),
+                             col("r").as("rb"))
+    ranks.join(right,
+        col("doc_id") === col("d2") && col("off") === col("o2"), "left")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r").as("ra"),
+              coalesce(col("rb"), lit(-1L)).as("rb"))
+  }
+
+  /**
+   * Exact-substring dedup via a DISTRIBUTED SUFFIX ARRAY [EXT] — the
+   * deduplicate-text-datasets (Lee et al. 2022) ExactSubstr approach,
+   * built by prefix doubling (Manber–Myers): rank every suffix by its
+   * first token, then repeatedly re-rank by (rank_k(p), rank_k(p+k)) so
+   * the ranked prefix length doubles per round — log₂(W) global
+   * sort-rounds instead of hashing every window. After rank₈, one
+   * (rank₈(p), rank₂(p+8)) combine classifies every [[SubstrW]]=10-token
+   * window; windows are duplicates iff their class has ≥ 2 members.
+   *
+   * Output is BYTE-IDENTICAL to [[dedupSubstr]] (per-doc duplicated-
+   * window counts), and the ORACLE IS [[dedupSubstrSql]] verbatim — the
+   * hash-window algorithm in DuckDB against the suffix-array algorithm
+   * in Spark, the strongest cross-engine differential on the surface
+   * (two different algorithms, one answer). The suffix ranks this path
+   * produces (and the window twin discards) are the artifact ExactSubstr
+   * actually needs: lexicographically adjacent suffixes expose maximal
+   * repeats of ANY length, not one fixed W.
+   *
+   * Scale shape: each round is one self-equi-join on (doc, off+k) plus
+   * one dense rank over the DISTINCT class table (shrinks as classes
+   * merge); lineage is cut per round (durable under the reliable-
+   * checkpoint flag). The class-rank window's 100 TB form is the
+   * two-pass distributed dense rank (see [[classRank]]).
+   */
+  def dedupSuffixArray(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("n_toks", size(col("ts")).cast("long"))
+    val pos = d.select(col("doc_id"), col("n_toks"),
+                       posexplode(col("ts")).as(Seq("off", "tok")))
+    // rank_1: lexicographic token rank (the SA base case)
+    val vocabRanked = classRank(
+        pos.select(col("tok").as("ra")).distinct().withColumn("rb", lit(0L)),
+        "r")
+      .select(col("ra").as("tok"), col("r"))
+    var ranks = Checkpoints.cut(pos.join(vocabRanked, "tok")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r")))
+    var rank2: DataFrame = null
+    for (k <- Seq(1, 2, 4)) {
+      ranks = Checkpoints.cut(classRank(pairAt(ranks, k), "r")
+        .select(col("doc_id"), col("n_toks"), col("off"), col("r")))
+      if (k == 1) rank2 = ranks
+    }
+    // rank₈ ⊕ rank₂@+8 → 10-token window classes, full windows only
+    val r2r = rank2.select(col("doc_id").as("d2"), (col("off") - 8).as("o2"),
+                           col("r").as("rb"))
+    val full = ranks.join(r2r,
+        col("doc_id") === col("d2") && col("off") === col("o2"), "left")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r").as("ra"),
+              coalesce(col("rb"), lit(-1L)).as("rb"))
+      .filter(col("off") <= col("n_toks") - SubstrW)
+    val dup = full.groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("ra"), col("rb"))
+    val perDoc = full.join(dup, Seq("ra", "rb"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    d.select(col("doc_id"),
+        greatest(lit(0L), col("n_toks") - (SubstrW - 1)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_pm",
+        when(col("n_windows") === 0, 0L)
+          .otherwise(expr("(n_dup * 1000000) div n_windows")))
+  }
+
+  /** The hash-window twin IS the oracle: same answer, different
+    * algorithm (see [[dedupSuffixArray]]). */
+  val dedupSuffixArraySql: String = dedupSubstrSql
+
   // --------------------------------------------- LSH index quality eval
 
   /**

@@ -658,6 +658,39 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_train") == nTr && r.getAs[Long]("n_valid") == nVa)
   }
 
+  // ------------------------------------------------------- dedup_suffix_array
+
+  test("dedupSuffixArray: prefix-doubling ranks match a brute-force window " +
+       "count on randomized 2-symbol corpora (forced 10-gram collisions)") {
+    val rnd = new scala.util.Random(42)
+    // 2-token vocabulary => only 1024 distinct 10-grams, so ~1000 windows
+    // force plenty of genuine cross- and within-doc repeats; lengths 5..44
+    // include docs below the window size (n_windows = 0 path)
+    val docs = (1L to 40L).map { id =>
+      val len = 5 + rnd.nextInt(40)
+      (id, Seq.fill(len)(if (rnd.nextBoolean()) "aa" else "bb").mkString(" "),
+       "en")
+    }
+    val sub = writeDocs("sufarr", docs)
+    val got = Dedup.dedupSuffixArray(spark, sub).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force: count every 10-token window globally, then per doc
+    val wins = docs.map { case (id, text, _) =>
+      id -> text.split("\\s+").toSeq.sliding(10).filter(_.size == 10).toSeq
+    }
+    val occ = wins.flatMap(_._2).groupBy(identity).map { case (w, os) => w -> os.size }
+    val expected = docs.map { case (id, text, _) =>
+      val n = text.split("\\s+").length.toLong
+      val nWin = math.max(0L, n - 9)
+      val nDup = wins.find(_._1 == id).get._2.count(w => occ(w) >= 2).toLong
+      id -> ((nWin, nDup, if (nWin == 0) 0L else nDup * 1000000L / nWin))
+    }.toMap
+    assert(expected.values.map(_._2).sum > 0, "vacuous corpus: no repeats")
+    assert(expected.values.exists(_._1 == 0), "no short-doc zero-window case")
+    assert(got == expected)
+  }
+
   // --------------------------------------------------------------- graph_bfs
 
   test("bfsOf: multi-source shortest hop distance with depth cutoff on a " +
