@@ -1435,6 +1435,86 @@ object TextAnalysis {
   def qualityC4Rules(spark: SparkSession, dir: String): DataFrame =
     qualityLineVerdicts(spark, dir, requirePunct = false)
 
+  /** md5 of the empty string — the reassembled text of a document that
+    * lost every span; inlined so both engines agree without a special
+    * case. */
+  private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /**
+   * Global span dedup with reassembly [EXT] — the C4/MassiveText step
+   * the rule-based line filter ([[qualityC4Rules]]) does NOT cover:
+   * every [[LineWords]]-token span that occurs more than once in the
+   * ENTIRE corpus is dropped except its first occurrence (ordered by
+   * (doc_id, span_idx)), and each document is reassembled from its
+   * surviving spans in order. Output is (per doc) the span counts and
+   * the md5 of the reassembled text — the full new text round-trips
+   * through the hash so the gate pins the exact reassembly, not just
+   * the counts.
+   *
+   * Scale shape: the keep-first decision is ONE window rank partitioned
+   * by the span's md5-derived 8-byte hash (the dedup_exact idiom — the
+   * shuffle is keyed by hashes, not span text), and reassembly is one
+   * doc-keyed aggregate; nothing quadratic, no global sort. First-
+   * occurrence semantics make the result insensitive to partitioning
+   * (proven by the local[7] sweeps like every other query).
+   */
+  def textSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    val spans = d.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(ts) + ${LineWords - 1}) div $LineWords - 1),
+           |  i -> struct(i AS idx,
+           |              array_join(slice(ts, i * $LineWords + 1, $LineWords), ' ') AS span))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), col("s.idx").as("span_idx"), col("s.span").as("span"))
+    val kept = spans
+      .withColumn("h", md5Long(col("span")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))))
+      .filter(col("rn") === 1)
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           md5(concat_ws("\n", expr(
+             "transform(array_sort(collect_list(struct(span_idx, span))), s -> s.span)")))
+             .as("kept_md5"))
+    d.select(col("doc_id"),
+        expr(s"(size(ts) + ${LineWords - 1}) div $LineWords").as("n_spans"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_md5"), lit(EmptyMd5)).as("kept_md5"))
+  }
+
+  val textSpanDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |spans AS (
+       |  SELECT doc_id, i AS span_idx,
+       |         array_to_string(ts[i * $LineWords + 1 : (i + 1) * $LineWords], ' ') AS span
+       |  FROM d, UNNEST(range(0, (len(ts) + ${LineWords - 1}) // $LineWords)) AS u(i)),
+       |kept AS (
+       |  SELECT doc_id, span_idx, span FROM (
+       |    SELECT doc_id, span_idx, span,
+       |           row_number() OVER (
+       |             PARTITION BY CAST(('0x' || substring(md5(span), 1, 15)) AS BIGINT)
+       |             ORDER BY doc_id, span_idx) AS rn
+       |    FROM spans)
+       |  WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         md5(string_agg(span, chr(10) ORDER BY span_idx)) AS kept_md5
+       |  FROM kept GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id, (len(ts) + ${LineWords - 1}) // $LineWords AS n_spans
+       |  FROM d)
+       |SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(b.n_spans - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       |  COALESCE(a.kept_md5, '$EmptyMd5') AS kept_md5
+       |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin
+
   val qualityC4RulesSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),

@@ -658,6 +658,30 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_train") == nTr && r.getAs[Long]("n_valid") == nVa)
   }
 
+  // --------------------------------------------------------- text_span_dedup
+
+  test("textSpanDedup: first occurrence wins globally; reassembly md5 is exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    // spans are 12 tokens; each doc below is exactly two spans.
+    val s1 = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val s2 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val s3 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val sub = writeDocs("spandedup", Seq(
+      (1L, s"$s1 $s2", "en"),  // first occurrence of the shared span
+      (2L, s"$s1 $s3", "en"),  // drops it, keeps only s3
+      (3L, s"$s3 $s3", "en"))) // within-doc dup: second copy drops too
+    val rows = TextAnalysis.textSpanDedup(spark, sub).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                  r.getString(4)))).toMap
+    assert(rows(1L) == ((2L, 2L, 0L, md5hex(s"$s1\n$s2"))))
+    assert(rows(2L) == ((2L, 1L, 1L, md5hex(s3))))
+    // doc 3's first s3 copy loses to doc 2's (doc_id 2 < 3): BOTH copies
+    // drop and the reassembled text is empty
+    assert(rows(3L) == ((2L, 0L, 2L, md5hex(""))))
+  }
+
   // ------------------------------------------------------- dedup_suffix_array
 
   test("dedupSuffixArray: prefix-doubling ranks match a brute-force window " +
