@@ -736,18 +736,33 @@ object Dedup {
 
   // ------------------------------------- suffix-array exact-substring dedup
 
-  /** Map each (a, b) class pair to its dense lexicographic rank: the
-    * window sorts only the DISTINCT class table (suffix classes, not
-    * positions), then ranks join back. At 100 TB the single-partition
-    * class window becomes the standard two-pass distributed dense rank
-    * (range-partitioned sort, per-partition ranks, prefix-offset merge);
-    * equality semantics — all the final grouping consumes — unchanged. */
-  private def classRank(df: DataFrame, out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Map each (a, b) class pair to its dense lexicographic rank via the
+    * TWO-PASS DISTRIBUTED dense rank — no single-partition Window/Sort
+    * anywhere. The DISTINCT class table is range-partitioned and sorted
+    * within partitions on (ra, rb); because the table is distinct, the
+    * dense rank of a class is exactly its position in that global sort,
+    * so pass 1 assigns contiguous per-partition indices and pass 2 adds
+    * each partition's prefix offset (the partition-count side job inside
+    * `zipWithIndex` — range partitions are emitted in key order, so the
+    * offsets ARE the prefix sums). Early doubling rounds have
+    * O(corpus-positions) distinct classes; every task here sorts only
+    * its own range slice, which is what survives 100 TB. Rank VALUES are
+    * identical to `dense_rank() OVER (ORDER BY ra, rb)` (proven in
+    * SuffixArraySpec), so order preservation across doubling rounds —
+    * which prefix doubling requires — is unchanged. */
+  private[graft] def classRank(df: DataFrame, out: String): DataFrame = {
+    val spark = df.sparkSession
     val classes = df.select(col("ra"), col("rb")).distinct()
-      .withColumn(out,
-        dense_rank().over(Window.orderBy(col("ra"), col("rb"))).cast("long"))
-    df.join(classes, Seq("ra", "rb"))
+    val sorted = classes
+      .repartitionByRange(col("ra"), col("rb"))
+      .sortWithinPartitions(col("ra"), col("rb"))
+    val schema = sorted.schema
+      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+      }, schema)
+    df.join(ranked, Seq("ra", "rb"))
   }
 
   /** One doubling round: pair each position's rank with the rank k
@@ -784,8 +799,8 @@ object Dedup {
    * Scale shape: each round is one self-equi-join on (doc, off+k) plus
    * one dense rank over the DISTINCT class table (shrinks as classes
    * merge); lineage is cut per round (durable under the reliable-
-   * checkpoint flag). The class-rank window's 100 TB form is the
-   * two-pass distributed dense rank (see [[classRank]]).
+   * checkpoint flag). Class ranking is the two-pass distributed dense
+   * rank (see [[classRank]]) — no single-partition sort anywhere.
    */
   def dedupSuffixArray(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")

@@ -715,6 +715,29 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("classRank: two-pass distributed dense rank equals the global-window " +
+       "dense rank, incl. duplicate classes spanning partition boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // 2000 rows over 40×5 classes: every class repeats ~10×, so with 4
+    // shuffle partitions plenty of class duplicates are separated from
+    // their twins before the distinct, and adjacent classes straddle
+    // range-partition boundaries
+    val df = (1 to 2000)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong))
+      .toDF("ra", "rb").repartition(7)
+    val got = Dedup.classRank(df, "r")
+    val ref = df.withColumn("r",
+      dense_rank().over(Window.orderBy(col("ra"), col("rb"))).cast("long"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(got.collect().map(key).sorted.toSeq ==
+           ref.select(col("ra"), col("rb"), col("r")).collect().map(key).sorted.toSeq)
+    // the structural claim: the two-pass plan has NO Window operator at all
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "classRank must not fall back to a window-function rank")
+  }
+
   // --------------------------------------------------------------- graph_bfs
 
   test("bfsOf: multi-source shortest hop distance with depth cutoff on a " +
