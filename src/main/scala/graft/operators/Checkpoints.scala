@@ -35,8 +35,14 @@ object Checkpoints {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — set once
-        // per (session, configured dir), not per cut
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        // per (session, configured dir), not per cut. "Already set" means
+        // the current checkpoint dir's PARENT equals the configured dir
+        // (substring matching would treat /tmp/a as set after /tmp/ab)
+        val already = sc.getCheckpointDir.exists { cur =>
+          Option(new org.apache.hadoop.fs.Path(cur).getParent)
+            .map(_.toUri.getPath).contains(new org.apache.hadoop.fs.Path(dir).toUri.getPath)
+        }
+        if (!already) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

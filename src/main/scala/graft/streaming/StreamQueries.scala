@@ -8,8 +8,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Checkpoints
-
 /**
  * Structured Streaming promoted to the oracle-gated query surface [EXT]:
  * each query here stages the events table as a 4-file micro-batched
@@ -36,49 +34,67 @@ object StreamQueries {
     f.delete()
   }
 
+  /** Staged micro-batch dirs, keyed by (events dir, chunk count): staging
+    * is a deterministic function of the source table, so one session
+    * stages each corpus ONCE and every later stream run (Bench reps, the
+    * other stream queries, Verify) replays the same files. The dirs live
+    * until JVM exit (a shutdown hook removes them). */
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), File]
+  sys.addShutdownHook(staged.values.foreach(rm))
+
   /** Stage the raw events parquet (ts still TIMESTAMP(NANOS)-as-long) as
     * `chunks` event-time-ordered files — the micro-batch harness. The
     * global ntile window is STAGING, not the measured operator: it plays
     * the role of the upstream log's arrival order, and a real deployment
     * reads an already-ordered Kafka/log source. No driver-side collect —
-    * rows move executor-to-disk. */
+    * rows move executor-to-disk. The ranked frame is cut with
+    * localCheckpoint (NOT the reliable-checkpoint policy): staging is
+    * transient and re-creatable, and a durable cut would leave orphaned
+    * checkpoint files under spark.graft.checkpointDir. */
   private def stageMicroBatches(spark: SparkSession, dir: String,
-                                chunks: Int): File = {
-    val tmp = Files.createTempDirectory("graft_stream_q").toFile
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ranked = Checkpoints.cut(raw.withColumn("mb",
-      ntile(chunks).over(Window.orderBy(col("ts"), col("event_id")))))
-    for (i <- 1 to chunks) {
-      val stage = new File(tmp, s"_stage$i")
-      ranked.filter(col("mb") === i).drop("mb")
-        .coalesce(1).write.parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new File(tmp, f"batch$i%02d.parquet")
-      Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000L * i) // mtime = source arrival order
-      rm(stage)
-    }
-    tmp
+                                chunks: Int): File = synchronized {
+    staged.getOrElseUpdate((dir, chunks), {
+      val tmp = Files.createTempDirectory("graft_stream_q").toFile
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ranked = raw.withColumn("mb",
+        ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint(true)
+      for (i <- 1 to chunks) {
+        val stage = new File(tmp, s"_stage$i")
+        ranked.filter(col("mb") === i).drop("mb")
+          .coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new File(tmp, f"batch$i%02d.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * i) // mtime = source arrival order
+        rm(stage)
+      }
+      tmp
+    })
   }
 
   /** Run one micro-batched streaming query over the staged events to a
-    * memory sink, drain it, clean up the staging dir, and hand back the
-    * sink table. */
+    * memory sink, drain it, clean up the per-run checkpoint, and hand
+    * back the sink table. The staging dir is shared across runs (see
+    * [[staged]]); the CHECKPOINT must be fresh per run — reusing one
+    * would resume a finished query and see no new files. */
   private def runStream(spark: SparkSession, dir: String, mode: String,
                         xform: DataFrame => DataFrame): DataFrame = {
     val src = stageMicroBatches(spark, dir, chunks = 4)
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toFile
     val name = s"graft_stream_${runId.incrementAndGet()}"
     try {
       val q = xform(EventStreams.readEventsStream(spark, src.toString))
         .writeStream.format("memory").queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", s"$src/_ckpt")
+        .option("checkpointLocation", ckpt.toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      // the memory sink holds the drained result; staging files and the
-      // checkpoint are no longer needed
+      // the memory sink holds the drained result; the checkpoint is no
+      // longer needed
       spark.table(name)
-    } finally rm(src)
+    } finally rm(ckpt)
   }
 
   /** Tumbling hourly counts computed INCREMENTALLY across 4 micro-batches
