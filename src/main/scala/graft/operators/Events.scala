@@ -761,6 +761,10 @@ object Events {
   def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourly = events(spark, dir)
+      // Spark `div` truncates toward zero while DuckDB `//` floors, but
+      // after date_trunc('hour') the micros are an EXACT multiple of
+      // 3 600 000 000, where truncation == floor — the idiom is exact on
+      // both engines for any epoch sign, pre-1970 included
       .select(col("event_type"),
               expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
                 .as("hnum"))

@@ -180,12 +180,18 @@ object Profiling {
    * two slices (hash-split train vs valid here; yesterday-vs-today in
    * production)? For a 2×C contingency table the statistic reduces to
    * χ² = Σ_c Δ_c²/(r_c·n₁·n₂) with Δ_c = O₁c·n₂ − O₂c·n₁ and
-   * r_c = O₁c+O₂c — every Δ_c is an exact integer, so each term is ONE
-   * integer division (Δ_c²·10⁶) div (r_c·n₁·n₂) in decimal(38)/HUGEINT
-   * (per-term quotients are χ²-sized ×10⁶, so the BIGINT sum cannot
-   * overflow at any corpus size), and the α=0.05 verdict compares the
-   * exact integer sum against χ²_{0.05, C−1}·10² — no float summation,
-   * no sqrt, no accumulation-order dependence anywhere.
+   * r_c = O₁c+O₂c — every Δ_c is an exact integer, and each term
+   * (Δ_c²·10⁶) div (r_c·n₁·n₂) is computed as the TWO-PIECE exact form
+   * q·10⁶ + (rem·10⁶) div den (q = Δ² div den, rem = Δ² mod den), which
+   * is algebraically identical but never materializes Δ²·10⁶: the widest
+   * intermediate is Δ² ≤ (n₁·n₂)², inside decimal(38)/HUGEINT while
+   * n₁·n₂ ≤ 10¹⁹ (≈ 3·10⁹ events per slice — far past any corpus where
+   * a χ² verdict is informative; beyond it Spark's non-ANSI decimal
+   * nulls where DuckDB raises, the engines' one divergence). Per-term
+   * quotients are χ²-sized ×10⁶, so the BIGINT sum never overflows. The
+   * α=0.05 verdict compares the exact integer sum against
+   * χ²_{0.05, C−1}·10² — no float summation, no sqrt, no
+   * accumulation-order dependence anywhere.
    *
    * Scale shape: ONE count aggregate collapses the corpus to C rows;
    * everything after is arithmetic on a table the size of the category
@@ -210,15 +216,18 @@ object Profiling {
         when(col("n_cat") - 1 === Chi2CritE4.head._1, Chi2CritE4.head._2)) {
       case (acc, (df, c)) => acc.when(col("n_cat") - 1 === df, c)
     }
+    // Δ and den fully in decimal(38): the products o·n and r·n₁·n₂ pass
+    // LONG range already at ~10⁶–10⁹ events, so no LONG intermediates
+    val delta = d38(col("o_tr")) * d38(col("n_va")) -
+                d38(col("o_va")) * d38(col("n_tr"))
     h.crossJoin(broadcast(tot))
       .select(col("n_tr"), col("n_va"), col("n_cat"),
-        (d38(col("o_tr") * col("n_va") - col("o_va") * col("n_tr"))
-           * d38(col("o_tr") * col("n_va") - col("o_va") * col("n_tr"))
-           * d38(lit(1000000L)))
-          .as("num"),
-        d38((col("o_tr") + col("o_va")) * col("n_tr") * col("n_va")).as("den"))
+        (delta * delta).as("d2"),
+        (d38(col("o_tr") + col("o_va")) * d38(col("n_tr")) * d38(col("n_va")))
+          .as("den"))
       .select(col("n_tr"), col("n_va"), col("n_cat"),
-              expr("num div den").as("t_fp"))
+              (expr("d2 div den") * lit(1000000L) +
+                 expr("((d2 % den) * 1000000) div den")).as("t_fp"))
       .groupBy(col("n_tr"), col("n_va"), col("n_cat"))
       .agg(sum(col("t_fp")).as("chi2_fp"))
       .select(col("n_tr").as("n_train"), col("n_va").as("n_valid"),
@@ -250,10 +259,13 @@ object Profiling {
        |  FROM h),
        |terms AS (
        |  SELECT n_tr, n_va, n_cat,
-       |    CAST(((o_tr * n_va - o_va * n_tr)::HUGEINT
-       |            * (o_tr * n_va - o_va * n_tr) * 1000000)
-       |         // ((o_tr + o_va)::HUGEINT * n_tr * n_va) AS BIGINT) AS t_fp
-       |  FROM h CROSS JOIN tot),
+       |    CAST((d2 // den) * 1000000 + ((d2 % den) * 1000000) // den
+       |         AS BIGINT) AS t_fp
+       |  FROM (SELECT n_tr, n_va, n_cat,
+       |          (o_tr::HUGEINT * n_va - o_va::HUGEINT * n_tr)
+       |            * (o_tr::HUGEINT * n_va - o_va::HUGEINT * n_tr) AS d2,
+       |          (o_tr + o_va)::HUGEINT * n_tr * n_va AS den
+       |        FROM h CROSS JOIN tot)),
        |agg AS (
        |  SELECT n_tr, n_va, n_cat, CAST(SUM(t_fp) AS BIGINT) AS chi2_fp
        |  FROM terms GROUP BY 1, 2, 3)
