@@ -531,11 +531,23 @@ object Similarity {
   /** Nearest-code assignment for one subspace as a zero-shuffle literal
     * projection: argmin squared-L2, ties to the smaller code
     * (`array_min` over (dist, code) structs). */
+  /** One subspace codebook as a SINGLE literal array-of-structs (cv, c)
+    * in code order — the argmin/LUT lambdas iterate it with `transform`,
+    * so the distance arithmetic appears ONCE in the plan instead of
+    * unrolled k×. The arithmetic was interpreted either way (l2sq is a
+    * higher-order fold, which never enters whole-stage codegen); what
+    * the unrolled form paid k× for was Janino compile time of the
+    * projection shell — measured 2.3–2.9 s per PQ query at sf0.001,
+    * i.e. pure compile, which this removes without adding a shuffle. */
+  private def bookLit(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (code, cv) =>
+      struct(array(cv.map(lit): _*).as("cv"), lit(code).as("c"))
+    }: _*)
+
   private def pqAssign(df: DataFrame, sv: Column, cents: Seq[(Long, Seq[Double])],
                        out: String): DataFrame = {
-    val scores = array(cents.map { case (code, cv) =>
-      struct(l2sq(sv, array(cv.map(lit): _*)).as("d"), lit(code).as("c"))
-    }: _*)
+    val scores = transform(bookLit(cents), cb =>
+      struct(l2sq(sv, cb.getField("cv")).as("d"), cb.getField("c").as("c")))
     df.withColumn(out, array_min(scores).getField("c"))
   }
 
@@ -633,8 +645,8 @@ object Similarity {
     }
   }
 
-  /** Zero-shuffle PQ encode: 8 literal-codebook argmin projections,
-    * keeping `keep` + the code columns. */
+  /** Zero-shuffle PQ encode: 8 transform-over-literal-codebook argmin
+    * projections (see [[bookLit]]), keeping `keep` + the code columns. */
   private def pqEncode(base: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
                        keep: Seq[String]): DataFrame =
     (0 until PqM).foldLeft(base) {
@@ -642,32 +654,23 @@ object Similarity {
     }.select(keep.map(col) ++ (0 until PqM).map(m => col(s"code$m")): _*)
 
   /** Per-query ADC lookup table as a plan expression over the literal
-    * codebooks: lut[m][j] = <query subvector m, codebook m centroid j>. */
+    * codebooks: an array of per-subspace MAPS code → <query subvector m,
+    * codebook m centroid code> (a map, not a position-indexed array, so
+    * the scoring side needs no code→position CASE chain and sparse codes
+    * — a Lloyd step can empty one — need no index bookkeeping). */
   private def pqLut(books: Seq[Seq[(Long, Seq[Double])]], qv: Column): Column =
     array((0 until PqM).map { m =>
-      array(books(m).map { case (_, cv) =>
-        dot(pqSub(m, qv), array(cv.map(lit): _*))
-      }: _*)
+      map_from_entries(transform(bookLit(books(m)), cb =>
+        struct(cb.getField("c"), dot(pqSub(m, qv), cb.getField("cv")))))
     }: _*)
 
-  /** Per-subspace ADC lookup terms over `lut` and `code{m}` columns; the
-    * caller folds them left-to-right (matching the oracle's `+` chain).
-    * NOTE codes may be sparse (a Lloyd step can empty a code); lookup
-    * is by position within the SORTED collected codebook, so build the
-    * index map per subspace. */
-  private def pqAdcTerms(books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] = {
-    val codeIdx: Seq[Map[Long, Int]] =
-      books.map(_.map(_._1).zipWithIndex.toMap)
+  /** Per-subspace ADC lookup terms over `lut` and `code{m}` columns —
+    * one two-level lookup each; the caller folds them left-to-right
+    * (matching the oracle's `+` chain). */
+  private def pqAdcTerms(books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
     (0 until PqM).map { m =>
-      val cases = books(m).map { case (code, _) =>
-        (lit(code), element_at(element_at(col("lut"), m + 1),
-                               codeIdx(m)(code) + 1))
-      }
-      cases.tail.foldLeft(when(col(s"code$m") === cases.head._1, cases.head._2)) {
-        case (acc, (cond, v)) => acc.when(col(s"code$m") === cond, v)
-      }
+      element_at(element_at(col("lut"), m + 1), col(s"code$m"))
     }
-  }
 
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -788,19 +791,26 @@ object Similarity {
     // coarse quantizer: per-label quantized-mean centroids (reuse the
     // k-means centroid aggregate keyed by label; norm column unused and
     // pruned by the optimizer)
-    val cent = kmCentroids(c.select(col("label").as("cluster"), col("v")))
-      .select(col("cluster").cast("int").as("label"), col("cv"))
+    val cent = Checkpoints.cut(
+      kmCentroids(c.select(col("label").as("cluster"), col("v")))
+        .select(col("cluster").cast("int").as("label"), col("cv")),
+      eager = false) // the k-row centroid table feeds the residual join,
+                     // the probe crossJoin, and both training passes —
+                     // uncut, each re-runs the full corpus aggregate
     // residual corpus: v − centroid(label), zero-shuffle after the
-    // broadcast join. Cut once: the subtree (scan + centroid aggregate +
-    // residual subtraction) otherwise re-runs for each of the two
-    // training collects AND the encode/score job. (Measured ~flat at
-    // sf0.1 — 4.3 vs 4.5 s median-of-5 — because this query's toy-scale
-    // cost is dominated by codegen of the 8×16 literal-codebook argmin
-    // projections, like kmAssign's note; the avoided recomputation grows
-    // with the corpus, the codegen does not.)
+    // broadcast join. Cut once (lazily): the subtree (scan + centroid
+    // aggregate + residual subtraction) otherwise re-runs for each of
+    // the two training collects AND the encode/score job. Toy-scale cost
+    // after the bookLit codegen fix is the 4-job training/probe
+    // SEQUENCE (~0.5 s driver floor each — sf0.001 and sf0.1 medians are
+    // equal, so it is fixed overhead, not dataflow); collapsing the
+    // Lloyd collects into joins would trade the zero-shuffle encode for
+    // an extra corpus shuffle, a worse deal at 100 TB.
     val rc = Checkpoints.cut(c.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
-              zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
+              zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")),
+      eager = false) // materialized by the first training collect — an
+                     // eager cut would add a whole extra driver job
     val books = pqTrainBooks(rc)
     val codes = pqEncode(rc, books, Seq("vec_id", "label"))
     // probes: each query ranks the coarse centroids by raw inner
