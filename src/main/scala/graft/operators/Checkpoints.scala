@@ -37,10 +37,19 @@ object Checkpoints {
         // setCheckpointDir mints a fresh UUID subdir per call — set once
         // per (session, configured dir), not per cut. "Already set" means
         // the current checkpoint dir's PARENT equals the configured dir
-        // (substring matching would treat /tmp/a as set after /tmp/ab)
+        // (substring matching would treat /tmp/a as set after /tmp/ab).
+        // Both sides are fully qualified (scheme + authority + absolute
+        // path) before comparing: a bare-path compare would match an
+        // existing file:/ckpt against a configured hdfs://nn/ckpt and
+        // silently checkpoint to the wrong filesystem, and a RELATIVE
+        // configured dir would never match its absolutized parent,
+        // minting a fresh UUID subdir per cut
+        def qualified(p: String): org.apache.hadoop.fs.Path = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(sc.hadoopConfiguration).makeQualified(path)
+        }
         val already = sc.getCheckpointDir.exists { cur =>
-          Option(new org.apache.hadoop.fs.Path(cur).getParent)
-            .map(_.toUri.getPath).contains(new org.apache.hadoop.fs.Path(dir).toUri.getPath)
+          Option(qualified(cur).getParent).contains(qualified(dir))
         }
         if (!already) sc.setCheckpointDir(dir)
         df.checkpoint(eager)

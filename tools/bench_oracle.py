@@ -34,8 +34,17 @@ def main():
             times.append(time.monotonic() - t0)
         per[name] = round(sorted(times)[len(times) // 2], 4)
     total = round(sum(per.values()), 2)
+    # provenance: when it was measured and a fingerprint of the data it
+    # was measured AGAINST (sum of int-mtime + size over the table
+    # files; graft.Bench recomputes the same sum and drops oracle_sec on
+    # mismatch) — a stale ORACLE_BENCH.json from an earlier round or a
+    # regenerated corpus can then never misstate the Spark/DuckDB ratio
+    fp = sum(int(os.path.getmtime(p)) + os.path.getsize(p)
+             for t in TABLES
+             if os.path.exists(p := os.path.join(sf_dir, f"{t}.parquet")))
     out = {"metric": "oracle_total", "value": total, "unit": "sec",
            "sf": os.path.basename(sf_dir.rstrip("/")), "reps": reps,
+           "measured_at": int(time.time()), "data_fingerprint": fp,
            "queries": per}
     with open("ORACLE_BENCH.json", "w") as f:
         json.dump(out, f)
