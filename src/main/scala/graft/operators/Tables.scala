@@ -15,27 +15,40 @@ object Tables {
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   /**
-   * Load the events table. Its `ts` column is parquet TIMESTAMP(NANOS),
-   * which Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL) — even when `ts`
-   * is pruned away, because footer schema conversion happens first. The
-   * legacy conf reads it as a long (nanos since epoch); we then truncate to
-   * microseconds, which is bit-identical to how DuckDB (µs-native) reads
-   * the same file, keeping timestamp values oracle-comparable.
+   * Load the events table, normalizing `ts` to Spark `TimestampType`
+   * (micros, session-tz-adjusted) whatever the corpus' physical type:
    *
-   * The conf is deliberately NOT set here: a table loader mutating session
-   * state would silently switch every later nanos read in the session to
-   * the legacy path. It is execution-time state (re-read at every action),
-   * so a set/restore scope around the lazy `read` would break the first
-   * action; instead every entry point that owns a session (Verify, Bench,
-   * Scratch, TestSpark) enables it at construction, and this loader fails
-   * fast with the conf name if handed a session without it.
+   *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it outright
+   *    (PARQUET_TYPE_ILLEGAL) — even when `ts` is pruned away, because
+   *    footer schema conversion happens first. With [[NanosConf]] set at
+   *    session construction it arrives as a long (nanos since epoch),
+   *    truncated here to micros — bit-identical to how DuckDB (µs-native)
+   *    reads the same file, keeping values oracle-comparable.
+   *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (the current
+   *    driver corpus): Spark infers TIMESTAMP_NTZ; cast to TimestampType
+   *    under the UTC session timezone every entry point sets — the same
+   *    wall-clock values DuckDB reads natively.
+   *  - already TimestampType: pass through.
+   *
+   * The nanos conf is deliberately NOT set here: a table loader mutating
+   * session state would silently switch every later nanos read in the
+   * session to the legacy path; entry points owning a session (Verify,
+   * Bench, Scratch, TestSpark) enable it at construction instead.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption(NanosConf).contains("true"),
-      s"the events table needs $NanosConf=true at session construction " +
-      "(its ts column is parquet TIMESTAMP(NANOS))")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw =
+      try t(spark, dir, "events")
+      catch { case e: Throwable if String.valueOf(e.getMessage).contains("Illegal Parquet type") =>
+        throw new IllegalStateException(
+          s"events table read failed — a TIMESTAMP(NANOS) ts column needs " +
+          s"$NanosConf=true at session construction", e)
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /**

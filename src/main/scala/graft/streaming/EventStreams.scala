@@ -21,26 +21,22 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** File-source schema (streaming sources cannot infer). `ts` arrives as
-    * parquet TIMESTAMP(NANOS) which Spark only admits as a long (see
-    * [[graft.operators.Tables.events]]); normalized to micros here. */
+  /** File-source schema (streaming sources cannot infer). Staged stream
+    * files are written by Spark from the [[graft.operators.Tables.events]]
+    * normalized view, so `ts` is already TimestampType micros — whatever
+    * physical timestamp type the source corpus used. */
   val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Open a parquet-file event stream (one file per micro-batch — the test
     * harness's stand-in for a Kafka-like source). */
-  def readEventsStream(spark: SparkSession, srcDir: String): DataFrame = {
-    require(spark.conf.getOption(graft.operators.Tables.NanosConf).contains("true"),
-      s"the events stream needs ${graft.operators.Tables.NanosConf}=true at " +
-      "session construction (ts is parquet TIMESTAMP(NANOS))")
+  def readEventsStream(spark: SparkSession, srcDir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   // ------------------------------------------------- unified transforms
 

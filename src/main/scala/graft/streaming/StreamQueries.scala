@@ -43,7 +43,9 @@ object StreamQueries {
     scala.collection.concurrent.TrieMap.empty[(String, Int), File]
   sys.addShutdownHook(staged.values.foreach(rm))
 
-  /** Stage the raw events parquet (ts still TIMESTAMP(NANOS)-as-long) as
+  /** Stage the normalized events table (ts as TimestampType micros, via
+    * [[graft.operators.Tables.events]] — so the stream schema is stable
+    * whatever the corpus' physical timestamp type) as
     * `chunks` event-time-ordered files — the micro-batch harness. The
     * global ntile window is STAGING, not the measured operator: it plays
     * the role of the upstream log's arrival order, and a real deployment
@@ -56,7 +58,7 @@ object StreamQueries {
                                 chunks: Int): File = synchronized {
     staged.getOrElseUpdate((dir, chunks), {
       val tmp = Files.createTempDirectory("graft_stream_q").toFile
-      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val raw = graft.operators.Tables.events(spark, dir)
       val ranked = raw.withColumn("mb",
         ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
         .localCheckpoint(true)
@@ -74,6 +76,41 @@ object StreamQueries {
     })
   }
 
+  /** Late-arrival staging for the watermark gate: the same event-time-
+    * ordered `chunks`-file split as [[stageMicroBatches]], except rows
+    * with `event_id % lateMod == 0` from the first `chunks-1` batches are
+    * DISPLACED to arrive in the final batch with their event time
+    * unchanged — a deterministic stand-in for out-of-order delivery. By
+    * the time they arrive, the watermark (advanced by the in-order
+    * batches) has passed most of their windows, so the stateful agg must
+    * drop exactly the displaced rows whose hour-window end is at or
+    * before that watermark. Cached like [[staged]], keyed separately. */
+  private def stageLateMicroBatches(spark: SparkSession, dir: String,
+                                    chunks: Int, lateMod: Int): File =
+    synchronized {
+      staged.getOrElseUpdate((s"$dir#late$lateMod", chunks), {
+        val tmp = Files.createTempDirectory("graft_stream_late").toFile
+        val raw = graft.operators.Tables.events(spark, dir)
+        val ranked = raw.withColumn("mb",
+          ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
+          .withColumn("mb",
+            when(col("mb") < chunks && col("event_id") % lateMod === 0,
+                 lit(chunks)).otherwise(col("mb")))
+          .localCheckpoint(true)
+        for (i <- 1 to chunks) {
+          val stage = new File(tmp, s"_stage$i")
+          ranked.filter(col("mb") === i).drop("mb")
+            .coalesce(1).write.parquet(stage.toString)
+          val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dst = new File(tmp, f"batch$i%02d.parquet")
+          Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1000000L * i)
+          rm(stage)
+        }
+        tmp
+      })
+    }
+
   /** Run one micro-batched streaming query over the staged events to a
     * memory sink, drain it, clean up the per-run checkpoint, and hand
     * back the sink table. The staging dir is shared across runs (see
@@ -82,6 +119,11 @@ object StreamQueries {
   private def runStream(spark: SparkSession, dir: String, mode: String,
                         xform: DataFrame => DataFrame): DataFrame = {
     val src = stageMicroBatches(spark, dir, chunks = 4)
+    runStagedStream(spark, src, mode, xform)
+  }
+
+  private def runStagedStream(spark: SparkSession, src: File, mode: String,
+                              xform: DataFrame => DataFrame): DataFrame = {
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toFile
     val name = s"graft_stream_${runId.incrementAndGet()}"
     try {
@@ -137,6 +179,60 @@ object StreamQueries {
 
   val streamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** Watermark late-data gate: append-mode hourly counts over the
+    * LATE-ARRIVAL staging ([[stageLateMicroBatches]]: every 101st event
+    * from batches 1–3 arrives in batch 4). The gated claim is Spark's
+    * watermark semantics end to end, deterministically:
+    *
+    *  - stateful operators carry TWO watermarks since the multi-operator
+    *    fix (Spark 3.4+, SPARK-40925): the LATE-EVENTS filter uses the
+    *    watermark in effect during the PREVIOUS micro-batch, while
+    *    eviction/emission uses the current one. A displaced row arriving
+    *    in batch 4 is therefore DROPPED iff its hour window's end is
+    *    ≤ (max event time through batch 2) − 2 h — measured: 50 of 74
+    *    displaced rows dropped at sf0.01, exactly the batch-2 cut, not
+    *    the batch-3 one;
+    *  - the filter predicate is on the WINDOW END (`window.end <= wm`,
+    *    `WatermarkSupport.watermarkExpression`'s struct branch), not the
+    *    row's event time — a late row whose open window still spans the
+    *    watermark is merged normally;
+    *  - append mode emits exactly the windows whose end is ≤ the FINAL
+    *    watermark (max event time overall − 2 h, applied by a trailing
+    *    no-data batch; the trailing windows stay in state forever on a
+    *    finite input).
+    *
+    * The oracle replays those rules in batch SQL. All boundaries
+    * are whole hours vs microsecond timestamps, so the ≤/< edge and
+    * Spark's ms-truncated watermark cannot produce ties. */
+  private val LateMod = 101
+
+  def streamLateData(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark, stageLateMicroBatches(spark, dir, 4, LateMod),
+      "append", EventStreams.hourlyCountsAppend)
+
+  val streamLateDataSql: String =
+    s"""WITH ordered AS (
+      |  SELECT ts, event_id, event_type, value,
+      |    ntile(4) OVER (ORDER BY ts, event_id) AS mb
+      |  FROM events),
+      |wm_late AS (
+      |  SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM ordered
+      |  WHERE mb <= 2 AND event_id % $LateMod <> 0),
+      |final_wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+      |kept AS (
+      |  SELECT ts, event_type, value FROM ordered
+      |  WHERE NOT (mb <= 3 AND event_id % $LateMod = 0)
+      |  UNION ALL
+      |  SELECT o.ts, o.event_type, o.value FROM ordered o, wm_late
+      |  WHERE o.mb <= 3 AND o.event_id % $LateMod = 0
+      |    AND date_trunc('hour', o.ts) + INTERVAL 1 HOUR > wm_late.wm)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM kept, final_wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= final_wm.wm
+      |GROUP BY 1, 2""".stripMargin
 
   val streamSessionizeSql: String =
     """WITH g AS (

@@ -17,14 +17,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private var srcDir: String = _
 
-  /** Raw events (ts still nanos-long) for splitting into stream files;
-    * the nanos conf comes from TestSpark's session construction. */
+  /** Normalized events (ts as TimestampType micros) — used BOTH for
+    * splitting into stream files and as the batch side, so the staged
+    * stream schema matches [[EventStreams.eventsRawSchema]] whatever the
+    * corpus' physical timestamp type. */
   private def rawEvents: DataFrame =
-    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+    graft.operators.Tables.events(spark, TestSpark.Sf0001)
 
   /** Batch view with normalized micros timestamps (= Tables.events). */
-  private def batchEvents: DataFrame =
-    graft.operators.Tables.events(spark, TestSpark.Sf0001)
+  private def batchEvents: DataFrame = rawEvents
 
   override def beforeAll(): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -99,6 +100,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mustEmit.foreach { case (ws, row) =>
       assert(streamedSet.contains(row), s"window $ws should have passed the watermark")
     }
+  }
+
+  test("late-data gate: drop boundary follows the previous-batch watermark") {
+    // Differential twin of the stream_late_data oracle, in plain Scala:
+    // every 101st event of batches 1-3 arrives in batch 4; the stateful
+    // agg must drop exactly the displaced rows whose hour-window end is
+    // <= the watermark in effect during the PREVIOUS micro-batch (max
+    // event time through batch 2, minus the 2 h delay) — Spark's
+    // two-watermark design (late-events filter vs eviction) — and the
+    // sink must hold exactly the final-watermark-passed windows of the
+    // surviving rows.
+    val lateMod = 101
+    val hourUs = 3600L * 1000000
+    val evs = rawEvents
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(e => (e._2, e._1))
+    // exact ntile(4): the first (N mod 4) buckets hold ceil(N/4) rows
+    val (q4, r4) = (evs.length / 4, evs.length % 4)
+    def ntile4(i: Int): Int =
+      if (i < r4 * (q4 + 1)) i / (q4 + 1) + 1
+      else (i - r4 * (q4 + 1)) / q4 + r4 + 1
+    val chunkOf = evs.zipWithIndex.map { case (e, i) => e._1 -> ntile4(i) }.toMap
+    def displaced(id: Long) = chunkOf(id) <= 3 && id % lateMod == 0
+    val wmLateUs = evs.filter(e => chunkOf(e._1) <= 2 && !displaced(e._1))
+      .map(_._2).max - 2 * hourUs
+    val finalWmUs = evs.map(_._2).max - 2 * hourUs
+    def winEnd(tsUs: Long) = (tsUs / hourUs) * hourUs + hourUs
+    val kept = evs.filter(e => !displaced(e._1) || winEnd(e._2) > wmLateUs)
+    // activation: the boundary must cut through the displaced set — some
+    // dropped, some merged — or the gate is vacuous
+    val nDropped = evs.count(e => displaced(e._1) && winEnd(e._2) <= wmLateUs)
+    val nMerged = evs.count(e => displaced(e._1) && winEnd(e._2) > wmLateUs)
+    assert(nDropped > 0, "no displaced row was late enough to drop")
+    assert(nMerged > 0, "no displaced row survived the watermark")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expect = kept.filter(e => winEnd(e._2) <= finalWmUs)
+      .groupBy(e => (winEnd(e._2) - hourUs, e._3))
+      .map { case ((ws, tpe), rows) =>
+        val cents = rows.map(e => math.round(e._4 * 100)).sum
+        s"${fmt.format(new java.util.Date(ws / 1000))}|$tpe|${rows.size}|${cents / 100.0}"
+      }.toSeq.sorted
+    val streamed = SparkEntry.queries("stream_late_data")(spark, TestSpark.Sf0001)
+    assert(asSortedSeq(streamed) == expect)
   }
 
   /** Plain-Scala sequential oracle: closed sessions per user (the open
