@@ -50,30 +50,38 @@ object StreamQueries {
     * global ntile window is STAGING, not the measured operator: it plays
     * the role of the upstream log's arrival order, and a real deployment
     * reads an already-ordered Kafka/log source. No driver-side collect —
-    * rows move executor-to-disk. The ranked frame is cut with
-    * localCheckpoint (NOT the reliable-checkpoint policy): staging is
-    * transient and re-creatable, and a durable cut would leave orphaned
-    * checkpoint files under spark.graft.checkpointDir. */
+    * rows move executor-to-disk in one [[stageFiles]] job. */
   private def stageMicroBatches(spark: SparkSession, dir: String,
                                 chunks: Int): File = synchronized {
     staged.getOrElseUpdate((dir, chunks), {
-      val tmp = Files.createTempDirectory("graft_stream_q").toFile
       val raw = graft.operators.Tables.events(spark, dir)
-      val ranked = raw.withColumn("mb",
-        ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
-        .localCheckpoint(true)
-      for (i <- 1 to chunks) {
-        val stage = new File(tmp, s"_stage$i")
-        ranked.filter(col("mb") === i).drop("mb")
-          .coalesce(1).write.parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new File(tmp, f"batch$i%02d.parquet")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * i) // mtime = source arrival order
-        rm(stage)
-      }
-      tmp
+      stageFiles(raw.withColumn("mb",
+        ntile(chunks).over(Window.orderBy(col("ts"), col("event_id")))),
+        chunks)
     })
+  }
+
+  /** Write the ranked frame as one file per micro-batch in a SINGLE job:
+    * repartition by the batch column so each batch's rows live in exactly
+    * one task, `partitionBy` to split the dirs (dropping `mb` from the
+    * files), then lift each dir's one part-file out with the arrival-order
+    * mtime. Replaces the old per-chunk filter+coalesce(1) writes (chunks+1
+    * jobs and a localCheckpoint of the whole ranked corpus). */
+  private def stageFiles(ranked: org.apache.spark.sql.DataFrame,
+                         chunks: Int): File = {
+    val tmp = Files.createTempDirectory("graft_stream_q").toFile
+    val stage = new File(tmp, "_stage")
+    ranked.repartition(chunks, col("mb"))
+      .write.partitionBy("mb").parquet(stage.toString)
+    for (i <- 1 to chunks) {
+      val dir = new File(stage, s"mb=$i")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new File(tmp, f"batch$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * i) // mtime = source arrival order
+    }
+    rm(stage)
+    tmp
   }
 
   /** Late-arrival staging for the watermark gate: the same event-time-
@@ -89,25 +97,13 @@ object StreamQueries {
                                     chunks: Int, lateMod: Int): File =
     synchronized {
       staged.getOrElseUpdate((s"$dir#late$lateMod", chunks), {
-        val tmp = Files.createTempDirectory("graft_stream_late").toFile
         val raw = graft.operators.Tables.events(spark, dir)
-        val ranked = raw.withColumn("mb",
+        stageFiles(raw.withColumn("mb",
           ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
           .withColumn("mb",
             when(col("mb") < chunks && col("event_id") % lateMod === 0,
-                 lit(chunks)).otherwise(col("mb")))
-          .localCheckpoint(true)
-        for (i <- 1 to chunks) {
-          val stage = new File(tmp, s"_stage$i")
-          ranked.filter(col("mb") === i).drop("mb")
-            .coalesce(1).write.parquet(stage.toString)
-          val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-          val dst = new File(tmp, f"batch$i%02d.parquet")
-          Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1000000L * i)
-          rm(stage)
-        }
-        tmp
+                 lit(chunks)).otherwise(col("mb"))),
+          chunks)
       })
     }
 
@@ -122,16 +118,35 @@ object StreamQueries {
     runStagedStream(spark, src, mode, xform)
   }
 
+  /** State-store partition count for the gated streams. A streaming
+    * query pins `spark.sql.shuffle.partitions` state stores per stateful
+    * operator PER MICRO-BATCH (each pays task launch + snapshot + commit
+    * every trigger, data or not) — a fixed cost a deployment sizes to
+    * stream THROUGHPUT, not to the host's core count: 32 stores for a
+    * 25k-row micro-batch is ~4x pure overhead (measured: addBatch
+    * ~1.0 s -> ~0.3 s at 8). Results are partitioning-invariant (hash
+    * state keying), which StreamingSpec's differentials already pin. */
+  private val StreamStatePartitions = 8
+
   private def runStagedStream(spark: SparkSession, src: File, mode: String,
                               xform: DataFrame => DataFrame): DataFrame = {
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toFile
     val name = s"graft_stream_${runId.incrementAndGet()}"
+    // the partition count is read at query START (then pinned in the
+    // checkpoint; each run's checkpoint is fresh) — set it just for the
+    // start call and restore, so batch queries in the session keep the
+    // session's setting
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
     try {
-      val q = xform(EventStreams.readEventsStream(spark, src.toString))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
+      spark.conf.set(partKey, StreamStatePartitions.toString)
+      val q = try {
+        xform(EventStreams.readEventsStream(spark, src.toString))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+      } finally spark.conf.set(partKey, prev)
       try q.processAllAvailable() finally q.stop()
       // the memory sink holds the drained result; the checkpoint is no
       // longer needed
