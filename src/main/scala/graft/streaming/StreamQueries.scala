@@ -195,6 +195,36 @@ object StreamQueries {
   val streamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stream-STREAM interval self-join as a gated query (the hardest
+    * streaming operator on the surface, previously only spec-
+    * differential): each `view` joins the same user's `purchase`s within
+    * the following hour, both sides watermarked, run as a real
+    * micro-batched stream — cross-batch matches (view in batch 1,
+    * purchase in batch 2) come from the join's buffered state.
+    *
+    * The drained append-mode result equals the FULL batch join,
+    * deterministically: staged arrival is event-time-ordered, so no row
+    * is ever late on entry (the 2 h watermark trails the in-order max),
+    * and a view's state is evicted only once the watermark passes
+    * view_ts + 1 h — by which point every matching purchase
+    * (purchase_ts ≤ view_ts + 1 h ≤ max seen − 2 h) has already arrived
+    * and emitted. Timestamps emitted as epoch micros so both engines
+    * hash identical integers. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "append", ev =>
+      EventStreams.viewPurchaseJoin(ev, ev)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+                unix_micros(col("view_ts")).as("view_us"),
+                unix_micros(col("purchase_ts")).as("purchase_us")))
+
+  val streamAttributionSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+      |FROM events v JOIN events p
+      |  ON p.user_id = v.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin
+
   /** Watermark late-data gate: append-mode hourly counts over the
     * LATE-ARRIVAL staging ([[stageLateMicroBatches]]: every 101st event
     * from batches 1–3 arrives in batch 4). The gated claim is Spark's

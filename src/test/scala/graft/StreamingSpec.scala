@@ -344,6 +344,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSortedSeq(streamed) == asSortedSeq(batch))
   }
 
+  test("stream-stream join: a match spanning the batch boundary comes from state") {
+    // At sf0.001 no natural match straddles the 4-file split, so CRAFT
+    // the cut: pick the batch-join pair whose purchase arrives furthest
+    // after its view (in arrival order) and split the stream exactly at
+    // the purchase — the view can then only match from the join's
+    // buffered state carried across the micro-batch boundary.
+    val pairs = EventStreams.viewPurchaseJoin(batchEvents, batchEvents)
+      .select(col("view_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has no view-purchase match at all")
+    val evs = rawEvents.orderBy("ts", "event_id").collect()
+    val arrival = evs.zipWithIndex
+      .map { case (r, i) => r.getAs[Long]("event_id") -> i }.toMap
+    val (vid, pid) = pairs.maxBy { case (v, p) => arrival(p) - arrival(v) }
+    val cut = arrival(pid) // the purchase opens file 2
+    assert(arrival(vid) < cut, "view must arrive in file 1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    try {
+      val schema = rawEvents.schema
+      Seq(evs.take(cut), evs.drop(cut)).zipWithIndex.foreach { case (chunk, i) =>
+        val stage = s"$dir/_stage$i"
+        spark.createDataFrame(java.util.Arrays.asList(chunk: _*), schema)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, f"batch$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(stage))
+      }
+      val s = EventStreams.readEventsStream(spark, dir)
+      val streamed = runToMemory(
+        EventStreams.viewPurchaseJoin(s, s), "ss_span", "append")
+      val got = streamed.select(col("view_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((vid, pid)),
+        s"cross-batch match ($vid, $pid) missing from the drained join")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = batchEvents.groupBy("user_id").count()
       .withColumnRenamed("count", "user_total")
