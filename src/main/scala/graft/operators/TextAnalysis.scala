@@ -1435,6 +1435,90 @@ object TextAnalysis {
   def qualityC4Rules(spark: SparkSession, dir: String): DataFrame =
     qualityLineVerdicts(spark, dir, requirePunct = false)
 
+  /** Gopher stopword list (Rae et al. 2021 §A.2.1): a document should
+    * contain at least [[GopherMinStops]] distinct words from it. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherMinStops = 2
+
+  /**
+   * Gopher document-quality rules (Rae et al. 2021, MassiveText §A.2.1)
+   * [EXT] — the document-LEVEL complement of the line-level
+   * [[qualityC4Rules]]: word count in [50, 100k], mean word length in
+   * [3, 10] chars, ≥ 80% of words containing an alphabetic character,
+   * ≤ 10% symbol words (# or ellipsis), and ≥ 2 distinct stopwords.
+   * All ratios are integer per-mille (`x * 1000 div n`), so both
+   * engines agree bit-for-bit — no float thresholds anywhere.
+   *
+   * The synthetic corpus has alphabetic, symbol-free words, so the
+   * word-count rule is the one that cuts BOTH ways here (223/500 docs
+   * under 50 words at sf0.01); mean/alpha/symbol pass degenerately and
+   * are still enforced (they'd activate on real data). The STOPWORD
+   * rule would degenerately fail every synthetic doc (the corpus has
+   * "the" but rarely a second list word), so like the C4 punctuation
+   * rule it is REPORT-ONLY on the gated surface (`n_stop` emitted,
+   * verdict unaffected) and `enforceStop` lets the spec prove the
+   * enforcement path on a crafted corpus.
+   *
+   * Scale shape: a PURE per-row map — token array built once per doc,
+   * every metric a higher-order-function fold over it (codegen'd, no
+   * UDF), zero shuffles (ratchet-pinned). At 100 TB this is scan-bound.
+   */
+  def qualityGopherVerdicts(docs: DataFrame, enforceStop: Boolean): DataFrame = {
+    val stopArr = array(GopherStops.map(lit): _*)
+    val withM = docs
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .withColumn("n_words", size(col("ts")).cast("long"))
+      .withColumn("mean_len_pm",
+        expr("aggregate(ts, 0L, (a, w) -> a + length(w)) * 1000L div n_words"))
+      .withColumn("alpha_pm",
+        expr("size(filter(ts, w -> w rlike '[a-z]')) * 1000L div n_words"))
+      .withColumn("sym_pm",
+        expr("size(filter(ts, w -> w like '%#%' or w like '%...%')) * 1000L div n_words"))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("ts")), stopArr)).cast("long"))
+    val passWords = col("n_words") >= 50 && col("n_words") <= 100000
+    val passMean  = col("mean_len_pm") >= 3000 && col("mean_len_pm") <= 10000
+    val passAlpha = col("alpha_pm") >= 800
+    val passSym   = col("sym_pm") <= 100
+    val passStop  = col("n_stop") >= GopherMinStops
+    val keep = passWords && passMean && passAlpha && passSym &&
+      (if (enforceStop) passStop else lit(true))
+    withM.select(col("doc_id"), col("n_words"), col("mean_len_pm"),
+      col("alpha_pm"), col("sym_pm"), col("n_stop"),
+      passWords.as("pass_words"), passMean.as("pass_mean"),
+      passAlpha.as("pass_alpha"), passSym.as("pass_sym"),
+      keep.as("doc_keep"))
+  }
+
+  def qualityGopherRules(spark: SparkSession, dir: String): DataFrame =
+    qualityGopherVerdicts(t(spark, dir, "documents"), enforceStop = false)
+
+  val qualityGopherRulesSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ts, w -> len(w))) AS BIGINT) * 1000
+       |      // len(ts) AS mean_len_pm,
+       |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+       |      * 1000 // len(ts) AS alpha_pm,
+       |    CAST(len(list_filter(ts, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)
+       |      * 1000 // len(ts) AS sym_pm,
+       |    CAST(len(list_intersect(list_distinct(ts), $stops)) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_len_pm, alpha_pm, sym_pm, n_stop,
+       |  n_words BETWEEN 50 AND 100000 AS pass_words,
+       |  mean_len_pm BETWEEN 3000 AND 10000 AS pass_mean,
+       |  alpha_pm >= 800 AS pass_alpha,
+       |  sym_pm <= 100 AS pass_sym,
+       |  (n_words BETWEEN 50 AND 100000) AND (mean_len_pm BETWEEN 3000 AND 10000)
+       |    AND alpha_pm >= 800 AND sym_pm <= 100 AS doc_keep
+       |FROM m""".stripMargin
+  }
+
   /** md5 of the empty string — the reassembled text of a document that
     * lost every span; inlined so both engines agree without a special
     * case. */

@@ -27,7 +27,8 @@ class PlanBudgetSpec extends AnyFunSuite {
   // the load-bearing claim of several Scaladocs: these are PURE MAPS —
   // nothing may ever cross the network
   test("zero-shuffle queries stay zero-shuffle") {
-    for (q <- Seq("bpe_encode", "embed_quantize", "text_chunks", "sample_split"))
+    for (q <- Seq("bpe_encode", "embed_quantize", "text_chunks", "sample_split",
+                  "quality_gopher_rules"))
       assert(shuffles(q) == 0, s"$q grew a shuffle")
   }
 

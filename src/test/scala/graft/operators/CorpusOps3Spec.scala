@@ -61,6 +61,38 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lax(2L).getLong(6) == 1L) // n_junk
   }
 
+  test("qualityGopherVerdicts: every rule cuts on a crafted corpus; stopword rule enforces only when asked") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // 0: 60 words incl. 2 stopwords — keeps in BOTH modes
+      (0L, s"the and ${words(58, "ok")}", "en"),
+      // 1: 60 words, only 1 stopword — dropped ONLY under enforceStop
+      (1L, s"the ${words(59, "ok")}", "en"),
+      // 2: under 50 words — dropped in both modes (word-count rule)
+      (2L, words(30, "w"), "en"),
+      // 3: >10% symbol words — dropped in both modes (symbol rule)
+      (3L, s"the and ${words(50, "ok")} ${Seq.fill(8)("#tag").mkString(" ")}", "en"),
+      // 4: single-letter words -> mean length 1000pm < 3000 — dropped
+      (4L, s"the and ${(1 to 58).map(_ => "a").mkString(" ")}", "en"))
+    val sub = writeDocs("gopher", docs.map { case (i, t, l) => (i, t, l) })
+    def keeps(enforce: Boolean): Map[Long, Boolean] =
+      TextAnalysis.qualityGopherVerdicts(
+          spark.read.parquet(s"$sub/documents.parquet"), enforceStop = enforce)
+        .select(col("doc_id"), col("doc_keep")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lax = keeps(enforce = false)
+    val strict = keeps(enforce = true)
+    assert(lax(0L) && strict(0L))
+    assert(lax(1L) && !strict(1L)) // the stopword rule's enforcement delta
+    assert(!lax(2L) && !strict(2L))
+    assert(!lax(3L) && !strict(3L))
+    assert(!lax(4L) && !strict(4L))
+    // the gated surface must stay ACTIVE both ways on the real corpus
+    val real = TextAnalysis.qualityGopherRules(spark, graft.TestSpark.Sf0001)
+      .select(col("doc_keep")).collect().map(_.getBoolean(0))
+    assert(real.exists(identity) && real.exists(!_))
+  }
+
   test("quality_c4_rules line segmentation: ceil(n/12) lines, tail shorter than 3 words dropped as short") {
     val text = (1 to 26).map(i => s"w$i").mkString(" ") // 12 + 12 + 2
     val sub = writeDocs("c4seg", Seq((0L, text, "en")))
