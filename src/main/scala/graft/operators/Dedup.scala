@@ -80,11 +80,16 @@ object Dedup {
     * map-side partial mins), instead of exploding ×16 through the exchange.
     * At 100 TB this is the difference between shuffling the corpus'
     * shingles once vs sixteen times. */
-  private def signaturesWideOf(docs: DataFrame): DataFrame = {
-    val sh = docs
+  private def signaturesWideOf(docs: DataFrame): DataFrame =
+    signaturesWideFromHashed(docs
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"))
-      .select(col("doc_id"), (md5Long(col("shingle")) % M).as("sh"))
+      .select(col("doc_id"), (md5Long(col("shingle")) % M).as("sh")))
+
+  /** The minhash aggregate over an already-hashed shingle table
+    * (doc_id, sh) — split out so [[evalMinhash]] can feed both the LSH
+    * and the Jaccard pipelines from ONE materialized shingle pass. */
+  private def signaturesWideFromHashed(sh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map { i =>
       min((col("sh") * (2 * i + 1) + (i + 1) * 7919L) % M).as(s"mh$i")
     }
@@ -104,10 +109,13 @@ object Dedup {
     * corpus with (doc_id, text) — the pipeline entry point that lets
     * downstream stages (e.g. [[Pipeline.corpusPrep]]) run the minhash
     * chain on a filtered corpus rather than the raw table. */
-  private def bandedSignaturesOf(docs: DataFrame): DataFrame = {
+  private def bandedSignaturesOf(docs: DataFrame): DataFrame =
+    bandedSignaturesFromWide(signaturesWideOf(docs))
+
+  private def bandedSignaturesFromWide(wide: DataFrame): DataFrame = {
     val bandArr = array((0 until NumHashes / RowsPerBand).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
-    signaturesWideOf(docs)
+    wide
       .select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -155,7 +163,10 @@ object Dedup {
     * beyond [[MaxBucketDocs]] are dropped (see its doc). */
   /** [[dedupMinhashLsh]] over any corpus with (doc_id, text). */
   private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
-    bandedSignaturesOf(docs)
+    minhashPairsFromBanded(bandedSignaturesOf(docs))
+
+  private def minhashPairsFromBanded(banded: DataFrame): DataFrame =
+    banded
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
@@ -502,16 +513,23 @@ object Dedup {
    * compare 8-byte longs instead of ~25-char strings, and no shingle
    * text ever leaves the scan stage.
    */
-  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
     // materialize the hashed shingle rows ONCE: the hot-list aggregate
     // and the anti-join would otherwise EACH re-run the scan + tokenize
     // + explode + md5 pass (the heaviest map work in the query)
-    val shAll = Checkpoints.cut(t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
-              col("lang"))
-      .select(col("doc_id"),
-              md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")))
+    shinglePairCountsFromHashed(Checkpoints.cut(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+        .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
+                col("lang"))
+        .select(col("doc_id"),
+                md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h"))))
+
+  /** The Jaccard/containment pair machinery over an ALREADY-MATERIALIZED
+    * hashed shingle table (doc_id, h) — the caller owns the lineage cut
+    * (see [[evalMinhash]], which shares one shingle pass across both the
+    * LSH and Jaccard pipelines). */
+  private def shinglePairCountsFromHashed(shAll: DataFrame): DataFrame = {
     val hot = shAll.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
@@ -560,7 +578,10 @@ object Dedup {
        |  JOIN cnt cb ON cb.doc_id = doc_b)""".stripMargin
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    shinglePairCounts(spark, dir)
+    jaccardPairsFrom(shinglePairCounts(spark, dir))
+
+  private def jaccardPairsFrom(pairCounts: DataFrame): DataFrame =
+    pairCounts
       .select(col("doc_a"), col("doc_b"),
               (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -781,58 +802,80 @@ object Dedup {
    * Exact-substring dedup via a DISTRIBUTED SUFFIX ARRAY [EXT] — the
    * deduplicate-text-datasets (Lee et al. 2022) ExactSubstr approach,
    * built by prefix doubling (Manber–Myers): rank every suffix by its
-   * first token, then repeatedly re-rank by (rank_k(p), rank_k(p+k)) so
-   * the ranked prefix length doubles per round — log₂(W) global
-   * sort-rounds instead of hashing every window. After rank₈, one
-   * (rank₈(p), rank₂(p+8)) combine classifies every [[SubstrW]]=10-token
-   * window; windows are duplicates iff their class has ≥ 2 members.
+   * leading bigram, then re-rank by (rank_k(p), rank_k(p+k)) so the
+   * ranked prefix length doubles per round — log₂(W) global sort-rounds
+   * instead of hashing every window. Two fusions cut the round count
+   * without changing a single class:
+   *
+   *  - the base case ranks (token(p), token(p+1)) STRING pairs directly
+   *    to rank₂ — dense rank is order-isomorphic under the monotonic
+   *    vocab-rank map, so the separate vocabulary-ranking round the
+   *    classic formulation starts with is a no-op;
+   *  - after rank₄, the OVERLAPPING triple (rank₄(p), rank₄(p+3),
+   *    rank₄(p+6)) classifies every [[SubstrW]]=10-token window exactly
+   *    (the three 4-token spans cover positions p..p+9 contiguously, so
+   *    triple-equality ⟺ 10-token equality) — replacing both the k=4
+   *    doubling round and the final rank-combine join. Further doubling
+   *    rounds extend this to the full SA at log₂(W) cost when the
+   *    downstream artifact needs total suffix order.
+   *
+   * Windows are duplicates iff their class has ≥ 2 members.
    *
    * Output is BYTE-IDENTICAL to [[dedupSubstr]] (per-doc duplicated-
    * window counts), and the ORACLE IS [[dedupSubstrSql]] verbatim — the
    * hash-window algorithm in DuckDB against the suffix-array algorithm
    * in Spark, the strongest cross-engine differential on the surface
-   * (two different algorithms, one answer). The suffix ranks this path
-   * produces (and the window twin discards) are the artifact ExactSubstr
-   * actually needs: lexicographically adjacent suffixes expose maximal
-   * repeats of ANY length, not one fixed W.
+   * (two different algorithms, one answer).
    *
-   * Scale shape: each round is one self-equi-join on (doc, off+k) plus
-   * one dense rank over the DISTINCT class table (shrinks as classes
-   * merge); lineage is cut per round (durable under the reliable-
-   * checkpoint flag). Class ranking is the two-pass distributed dense
-   * rank (see [[classRank]]) — no single-partition sort anywhere.
+   * Scale shape: per round, one doc-partitioned window `lead` (documents
+   * are bounded, so a doc's positions always fit one task — no global or
+   * single-partition sort) plus one dense rank over the DISTINCT class
+   * table (shrinks as classes merge); mid-round lineage cuts are LAZY —
+   * the next round's rank-offset job materializes them, one job per
+   * round instead of two (durable under the reliable-checkpoint flag).
+   * Class ranking is the two-pass distributed dense rank (see
+   * [[classRank]]).
    */
   def dedupSuffixArray(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .withColumn("n_toks", size(col("ts")).cast("long"))
     val pos = d.select(col("doc_id"), col("n_toks"),
                        posexplode(col("ts")).as(Seq("off", "tok")))
-    // rank_1: lexicographic token rank (the SA base case)
-    val vocabRanked = classRank(
-        pos.select(col("tok").as("ra")).distinct().withColumn("rb", lit(0L)),
-        "r")
-      .select(col("ra").as("tok"), col("r"))
-    var ranks = Checkpoints.cut(pos.join(vocabRanked, "tok")
-      .select(col("doc_id"), col("n_toks"), col("off"), col("r")))
-    var rank2: DataFrame = null
-    for (k <- Seq(1, 2, 4)) {
-      ranks = Checkpoints.cut(classRank(pairAt(ranks, k), "r")
-        .select(col("doc_id"), col("n_toks"), col("off"), col("r")))
-      if (k == 1) rank2 = ranks
-    }
-    // rank₈ ⊕ rank₂@+8 → 10-token window classes, full windows only
-    val r2r = rank2.select(col("doc_id").as("d2"), (col("off") - 8).as("o2"),
-                           col("r").as("rb"))
-    val full = ranks.join(r2r,
-        col("doc_id") === col("d2") && col("off") === col("o2"), "left")
-      .select(col("doc_id"), col("n_toks"), col("off"), col("r").as("ra"),
-              coalesce(col("rb"), lit(-1L)).as("rb"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    // rank₂ directly from the (token, next-token) string pair. The
+    // past-the-end sentinel must sort below and collide with no real
+    // token, including a pathological empty one: real next-tokens get a
+    // constant U+0002 prefix (order-preserving), the sentinel is "".
+    val bigram = pos.select(col("doc_id"), col("n_toks"), col("off"),
+        col("tok").as("ra"),
+        coalesce(concat(lit("\u0002"), lead(col("tok"), 1).over(w)), lit(""))
+          .as("rb"))
+    val rank2 = Checkpoints.cut(classRank(bigram, "r")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r")),
+      eager = false)
+    // one doubling round: rank₂ ⊕ rank₂@+2 → rank₄ (−1 sentinel past the
+    // document end — real ranks are ≥ 1)
+    val paired = rank2.select(col("doc_id"), col("n_toks"), col("off"),
+        col("r").as("ra"),
+        coalesce(lead(col("r"), 2).over(w), lit(-1L)).as("rb"))
+    val rank4 = Checkpoints.cut(classRank(paired, "r")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r")),
+      eager = false)
+    // overlapping rank₄ triple → 10-token window classes, full windows
+    // only (the off filter keeps exactly the windows where all three
+    // spans are real tokens, so no sentinel can reach a kept class)
+    val full = rank4.select(col("doc_id"), col("n_toks"), col("off"),
+        col("r").as("ra"),
+        lead(col("r"), 3).over(w).as("rb"),
+        lead(col("r"), 6).over(w).as("rc"))
       .filter(col("off") <= col("n_toks") - SubstrW)
-    val dup = full.groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("occ"))
+    val dup = full.groupBy(col("ra"), col("rb"), col("rc"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
-      .select(col("ra"), col("rb"))
-    val perDoc = full.join(dup, Seq("ra", "rb"))
+      .select(col("ra"), col("rb"), col("rc"))
+    val perDoc = full.join(dup, Seq("ra", "rb", "rc"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     d.select(col("doc_id"),
         greatest(lit(0L), col("n_toks") - (SubstrW - 1)).as("n_windows"))
@@ -867,10 +910,27 @@ object Dedup {
     // full-outer join on the pair key + ONE aggregate, so each input
     // pipeline appears exactly once in the DAG: the previous three
     // crossJoined count aggregates re-ran the minhash pipeline and the
-    // shingle-pair pipeline twice each (measured 1.7× slower at sf0.1)
-    val cand = dedupMinhashLsh(spark, dir)
+    // shingle-pair pipeline twice each (measured 1.7x slower at sf0.1).
+    // Both pipelines start from the SAME scan + tokenize + 3-shingle
+    // explode (the heaviest map work in either); compute BOTH hash
+    // columns in one pass over it and cut the compact (3 longs/row)
+    // result, so the corpus is scanned and shingled exactly once for
+    // the whole scorecard instead of once per pipeline. Each side's
+    // hash is bit-identical to its standalone query's, so the eval
+    // scores exactly the gated [[dedupMinhashLsh]]/[[dedupNgramJaccard]]
+    // artifacts.
+    val hashed = Checkpoints.cut(t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"),
+              explode(shingles3(col("ts"))).as("shingle"))
+      .select(col("doc_id"),
+              (md5Long(col("shingle")) % M).as("sh"),
+              md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")))
+    val cand = minhashPairsFromBanded(bandedSignaturesFromWide(
+        signaturesWideFromHashed(hashed.select(col("doc_id"), col("sh")))))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_cand"))
-    val truth = dedupNgramJaccard(spark, dir)
+    val truth = jaccardPairsFrom(
+        shinglePairCountsFromHashed(hashed.select(col("doc_id"), col("h"))))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth"))
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
