@@ -36,10 +36,15 @@ object Bench {
       // -1 and say so on stderr instead of timing the throw
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
+        // outside the timed window: drop this rep's lineage-cut blocks —
+        // ~800 executions in one JVM otherwise accumulate storage that
+        // inflates every later query (see Checkpoints.releaseAll)
+        graft.operators.Checkpoints.releaseAll(spark)
+        t
       }
       name -> times
     }

@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's lineage-cut blocks so a 158-query dump doesn't
+      // accumulate session storage (see Checkpoints.releaseAll)
+      graft.operators.Checkpoints.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1381,15 +1381,23 @@ object Similarity {
       .distinct() // multi-band keying can emit a pair once per band
     val pa = c.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val pb = c.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val seedPairs = ids.join(pa, "id_a").join(pb, "id_b")
+    // lineage cuts at the two fan-out points: seedPairs feeds BOTH
+    // direction branches of the edge union, and u feeds THREE plan
+    // branches (each side of the two-hop self-join plus the candidate
+    // union) — uncut, Spark executes the whole seed pipeline once per
+    // branch (measured ~2x the round at sf0.1). A cluster run persists
+    // the same two tables (they are the round's input/output state in
+    // the to-convergence loop).
+    val seedPairs = Checkpoints.cut(ids.join(pa, "id_a").join(pb, "id_b")
       .select(col("id_a"), col("id_b"),
-              cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+              cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos")))
     val seedEdges = seedPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .union(seedPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
     val wSrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     val g = seedEdges.withColumn("rnk", row_number().over(wSrc))
       .filter(col("rnk") <= NnK).select(col("src"), col("dst"))
-    val u = g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val u = Checkpoints.cut(
+      g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val cand = u.as("e1").join(u.as("e2"), col("e1.dst") === col("e2.src"))
       .filter(col("e1.src") =!= col("e2.dst"))
       .select(col("e1.src").as("qa"), col("e2.dst").as("qb"))

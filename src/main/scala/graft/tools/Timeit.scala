@@ -30,7 +30,9 @@ object Timeit {
         // forces every row and column to be produced.
         if (useCount) df.count()
         else df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.operators.Checkpoints.releaseAll(spark) // untimed, as in Bench
+        t
       }.sorted
       val med = times(times.size / 2)
       println(f"TIMEIT $n%-24s median=$med%7.3f  min=${times.head}%7.3f  max=${times.last}%7.3f")
