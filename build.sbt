@@ -33,3 +33,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster executor processes resolve their classpath through the
+// spark-launcher, which needs the Scala suffix pinned when SPARK_HOME is a
+// binary dist driven from outside spark-submit.
+Test / envVars ++= Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> "/opt/spark",
+)
+// SpeculationSpec needs a local-cluster[...] SparkContext and there is one
+// SparkContext per JVM, so it cannot share the JVM where every other suite
+// holds TestSpark's local[n] context — give it its own forked group.
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+  val (spec, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.SpeculationSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+    Tests.Group("speculation", spec, Tests.SubProcess(opts)),
+  )
+}
+// Flake amplification for the timing-sensitive suites (the reference's
+// test-mr-many.sh analog): 5 back-to-back green passes or bust.
+addCommandAlias("flakeLoop",
+  Seq.fill(5)("testOnly graft.StreamingSpec graft.FaultToleranceSpec")
+    .mkString(";", ";", ""))

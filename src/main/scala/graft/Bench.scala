@@ -10,6 +10,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // timestamp literals/windows
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Sessions.ramLocalDir("graft_bench_local"))
       .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -531,35 +531,45 @@ object Sketches {
    *
    * Scale shape: the sketch build is `TakeOrderedAndProject` — each
    * partition keeps its k smallest hashes, the driver merges k-row
-   * partials (never a global sort); ranking 256 rows is a one-partition
-   * window by construction; the verification scan broadcasts 7 estimate
-   * rows through a conditional count, one pass over the table. At 100 TB
-   * only the k-row partials ever move.
+   * partials (never a global sort) and ranks the 256-row sample in
+   * Scala; the verification is ONE conditional-count pass over the
+   * table with the 7 estimates baked in as literals. At 100 TB only the
+   * k-row partials ever move.
    */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val ev = events(spark, dir).select(col("event_id"), col("value"))
-    val tot = ev.agg(count(lit(1)).as("n_total"))
-    val samp = ev
+    // build the sketch: TakeOrderedAndProject merges per-partition
+    // bottom-k partials, and the k-row sample lands on the driver — the
+    // same collect-and-rebroadcast the centroid/codebook operators use.
+    // Ranking 256 rows happens in Scala (same (value, hk) order the
+    // window gave); the earlier formulation ranked them in a
+    // one-partition window and THETA-JOINED events against the 7
+    // estimates, materializing ~7x the table into the verification
+    // aggregate — the literal-threshold conditional counts below verify
+    // in ONE pass with zero joins (measured 2.0 s -> 0.5 s at sf0.1).
+    val sketch = ev
       .select(col("value"),
         md5Long(concat_ws("", lit(QsSalt), col("event_id").cast("string")))
           .as("hk"))
       .orderBy(col("hk").asc, col("value").asc).limit(QsK)
-    val ranked = samp.withColumn("r",
-      row_number().over(Window.orderBy(col("value").asc, col("hk").asc)))
-    val targets = QsPcts.toDF("pct", "rq", "bound_pm")
-    val est = ranked.join(broadcast(targets), col("r") === col("rq"))
-      .select(col("pct"), col("bound_pm"), col("value").as("est_value"))
-    ev.join(broadcast(est), col("value") <= col("est_value"))
-      .groupBy(col("pct"), col("bound_pm"), col("est_value"))
-      .agg(count(lit(1)).as("n_le"))
-      .crossJoin(broadcast(tot))
-      .withColumn("target_pm", (col("pct") * 10).cast("long"))
-      .withColumn("est_rank_pm", expr("n_le * 1000 div n_total"))
-      .select(col("pct"), col("est_value"), col("target_pm"),
-        col("est_rank_pm"),
-        (abs(col("target_pm") - col("est_rank_pm")) <= col("bound_pm"))
-          .as("within_bound"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    val est = QsPcts.map { case (p, rq, b) => (p, b, sketch(rq - 1)._1) }
+    // one conditional-count pass over the full table: n_total plus each
+    // estimate's true rank, the estimates baked in as literals
+    val aggs = count(lit(1)).as("n_total") +:
+      est.zipWithIndex.map { case ((_, _, v), i) =>
+        sum(when(col("value") <= lit(v), 1L).otherwise(0L)).as(s"le_$i") }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(est.zipWithIndex.map { case ((p, b, v), i) =>
+        struct(lit(p).as("pct"), lit(v).as("est_value"),
+          lit(p * 10L).as("target_pm"),
+          expr(s"le_$i * 1000 div n_total").as("est_rank_pm"),
+          (abs(lit(p * 10L) - expr(s"le_$i * 1000 div n_total")) <= lit(b))
+            .as("within_bound"))
+      }: _*)).as("q"))
+      .select(col("q.pct"), col("q.est_value"), col("q.target_pm"),
+        col("q.est_rank_pm"), col("q.within_bound"))
   }
 
   val quantileSketchSql: String = {

@@ -6,9 +6,38 @@ import org.apache.spark.sql.functions._
 /** Shared helpers for the query surface. */
 object Tables {
 
+  /** Per-session logical-plan cache for testdata tables: every
+    * `spark.read.parquet` re-lists files and re-reads footers (~50-150 ms
+    * of driver time), and the Bench/Verify protocol rebuilds each query's
+    * DataFrame per rep — across a 158-query suite that listing cost alone
+    * is tens of seconds. A DataFrame is an immutable logical plan, so
+    * reusing one per (session, dir, table) is safe; the WeakHashMap keys
+    * on the session so a stopped session's entries are collectable and a
+    * fresh session (new conf, e.g. the nanos flag) never sees stale
+    * plans. This mirrors what a real deployment gets from a catalog: the
+    * table's FileIndex is resolved once, not per query. */
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), (Long, DataFrame)]]()
+
   /** Load one driver testdata table (TESTDATA.md). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = tableCache.synchronized {
+      tableCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    val path = s"$dir/$name.parquet"
+    // one stat guards staleness: an overwrite of the .parquet dir bumps
+    // its mtime, so a rewritten fixture is never served a stale FileIndex
+    val mtime = new java.io.File(path).lastModified()
+    perSession.get((dir, name)) match {
+      case Some((m, df)) if m == mtime => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        perSession.put((dir, name), (mtime, df))
+        df
+    }
+  }
 
   /** The session conf required to read the events table's TIMESTAMP(NANOS)
     * column; must be enabled at session construction (see [[events]]). */
@@ -47,7 +76,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other — expected " +
+        "LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ; refusing to cast blindly")
     }
   }
 

@@ -17,6 +17,12 @@ import Tables._
  */
 object TextAnalysis {
 
+  /** Whitespace tokenizer. NOTE: like DuckDB's `string_split_regex`,
+    * Spark's `split` (limit -1) keeps the zero-length token produced by
+    * LEADING whitespace, so word counts on padded text run one high vs
+    * Gopher's strict semantics — a deliberate deviation kept IDENTICAL in
+    * both engines (the oracle tokenizes the same way) so every gated
+    * count/ratio stays bit-for-bit comparable. */
   private def toks(c: Column): Column = split(c, "\\s+")
 
   /** Token counting: whitespace tokens, distinct tokens, a BPE-ish regex

@@ -15,6 +15,7 @@ object Timeit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Sessions.ramLocalDir("graft_timeit_local"))
       .config(graft.operators.Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,9 +34,12 @@ object Timeit {
         val t = (System.nanoTime() - t0) / 1e9
         graft.operators.Checkpoints.releaseAll(spark) // untimed, as in Bench
         t
-      }.sorted
-      val med = times(times.size / 2)
-      println(f"TIMEIT $n%-24s median=$med%7.3f  min=${times.head}%7.3f  max=${times.last}%7.3f")
+      }
+      val sorted = times.sorted
+      val med = sorted(sorted.size / 2)
+      println(f"TIMEIT $n%-24s median=$med%7.3f  min=${sorted.head}%7.3f  max=${sorted.last}%7.3f" +
+        (if (sys.env.contains("TIMEIT_VERBOSE"))
+           times.map(t => f"$t%.2f").mkString("  [", " ", "]") else ""))
     }
     spark.stop()
   }

@@ -19,10 +19,14 @@ class PlanBudgetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf0001
 
-  private def shuffles(name: String): Int = {
-    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-    "Exchange (hash|range|Single)".r.findAllIn(p).length
-  }
+  /** Single source of truth for the exchange count — the budgets and the
+    * zero-shuffle test must measure the same thing. */
+  private def shufflesOf(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange (hash|range|Single)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def shuffles(name: String): Int =
+    shufflesOf(SparkEntry.queries(name)(spark, sf))
 
   // the load-bearing claim of several Scaladocs: these are PURE MAPS —
   // nothing may ever cross the network
@@ -109,8 +113,7 @@ class PlanBudgetSpec extends AnyFunSuite {
         // one DataFrame construction per query (streaming gates EXECUTE
         // their stream during construction), both plan checks from it
         val df = SparkEntry.queries(q)(spark, sf)
-        val n = "Exchange (hash|range|Single)".r
-          .findAllIn(df.queryExecution.executedPlan.toString).length
+        val n = shufflesOf(df)
         val gw = globalWindowsOf(df)
         val shuffleErr =
           if (n > recorded(q)) Some(s"$q: $n shuffles > budget ${recorded(q)}")
