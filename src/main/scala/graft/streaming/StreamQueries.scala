@@ -158,27 +158,45 @@ object StreamQueries {
     * ~1.0 s -> ~0.3 s at 8, and 4 shaves the remaining snapshot/commit
     * fan-out at this trigger size). Results are partitioning-invariant
     * (hash state keying), which StreamingSpec's differentials pin. */
-  private val StreamStatePartitions = 4
+  private val StreamStatePartitions = 2
 
+  /** @param needsNoDataBatch whether the drained result depends on the
+    *   trailing NO-DATA micro-batch (the extra trigger Spark runs so the
+    *   watermark computed from the last data batch can still act). An
+    *   append-mode windowed AGGREGATE needs it — final windows emit only
+    *   when the watermark passes them, so skipping it would drop rows.
+    *   The other gates provably don't: an INNER stream-stream join emits
+    *   matches at match time (eviction produces no output), dedup and
+    *   flatMapGroupsWithState emit on data arrival only, and a
+    *   complete-mode agg just rewrites the sink with unchanged state.
+    *   Skipping the batch where it cannot matter saves a full trigger of
+    *   task launch + state commit per run (~0.6 s at bench scale). */
   private def runStagedStream(spark: SparkSession, src: File, mode: String,
-                              xform: DataFrame => DataFrame): DataFrame = {
+                              xform: DataFrame => DataFrame,
+                              needsNoDataBatch: Boolean = false): DataFrame = {
     val ckpt = scratchDir("graft_stream_ckpt")
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    // the partition count is read at query START (then pinned in the
-    // checkpoint; each run's checkpoint is fresh) — set it just for the
-    // start call and restore, so batch queries in the session keep the
-    // session's setting
+    // the partition count and the no-data-batch policy are read at query
+    // START (the stream clones the session conf; each run's checkpoint
+    // is fresh) — set them just for the start call and restore, so batch
+    // queries in the session keep the session's settings
     val partKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(partKey)
+    val prevNoData = spark.conf.get(noDataKey)
     try {
       spark.conf.set(partKey, StreamStatePartitions.toString)
+      spark.conf.set(noDataKey, needsNoDataBatch.toString)
       val q = try {
         xform(EventStreams.readEventsStream(spark, src.toString))
           .writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .start()
-      } finally spark.conf.set(partKey, prev)
+      } finally {
+        spark.conf.set(partKey, prev)
+        spark.conf.set(noDataKey, prevNoData)
+      }
       try q.processAllAvailable() finally q.stop()
       // the memory sink holds the drained result; the checkpoint is no
       // longer needed
@@ -286,7 +304,7 @@ object StreamQueries {
 
   def streamLateData(spark: SparkSession, dir: String): DataFrame =
     runStagedStream(spark, stageLateMicroBatches(spark, dir, 4, LateMod),
-      "append", EventStreams.hourlyCountsAppend)
+      "append", EventStreams.hourlyCountsAppend, needsNoDataBatch = true)
 
   val streamLateDataSql: String =
     s"""WITH ordered AS (
