@@ -523,7 +523,9 @@ object Dedup {
         .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
                 col("lang"))
         .select(col("doc_id"),
-                md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h"))))
+                md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")),
+      eager = false)) // materialized by the hot-list aggregate, the first
+                      // action over it — an eager cut would add a whole job
 
   /** The Jaccard/containment pair machinery over an ALREADY-MATERIALIZED
     * hashed shingle table (doc_id, h) — the caller owns the lineage cut
@@ -539,7 +541,8 @@ object Dedup {
     // (measured 15% slower at sf0.1). A cluster pipeline persists this
     // table to storage for the same reason — it is also the reusable
     // artifact incremental dedup reads back.
-    val sh = Checkpoints.cut(shAll.join(hot, Seq("h"), "left_anti"))
+    val sh = Checkpoints.cut(shAll.join(hot, Seq("h"), "left_anti"),
+      eager = false) // materialized by the first consumer's action
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
