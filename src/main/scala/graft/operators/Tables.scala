@@ -107,12 +107,13 @@ object Tables {
    * hash for shingles, minhash, simhash and fingerprints.
    */
   def md5Long(c: Column): Column =
+    graft.functions.Md5Long60.md5Long60(c)
+
+  /** The pre-r10 composed form, kept as the differential oracle for the
+    * native expression (Md5LongSpec proves them bit-identical). */
+  private[graft] def md5LongComposed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Scala-side twin of [[md5Long]] for imperative (mapPartitions) paths. */
-  def md5LongOf(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars, need 15
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def md5LongOf(bytes: Array[Byte]): Long = graft.functions.Md5Long60.hash(bytes)
 }
