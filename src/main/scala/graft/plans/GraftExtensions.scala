@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HllSketchAgg, HolisticReduce}
+import graft.functions.{DotProduct, HllSketchAgg, HolisticReduce, Md5Long60}
 
 /**
  * Session extension installing graft's native functions into the SQL
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // graft_md5long(x): the 60-bit engine-portable hash every dedup/
+    // sampling operator keys on (== conv(substring(md5(x),1,15),16,10))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5long"),
+      (children: Seq[Expression]) => Md5Long60(children.head)))
     // graft_hll_sketch(hash): the native HLL register aggregate (256
     // registers as array<int>) — the mergeable-sketch UDAF from SQL.
     ext.injectFunction((
