@@ -24,7 +24,12 @@ object Bench {
     // spikes when two of three runs collided with load). The median of
     // 5 tolerates up to 2 spiked runs; dropping the worst run first
     // never moves it (sorted(2) either way), so no rejection step.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // 7 reps (was 5): the official run shares a box with unknown load —
+    // r9's artifact ran at load ~3.3 and read ~35% over the same code on
+    // a quiet box. A median of 7 tolerates 3 spiked reps; the suite is
+    // fast enough now (~70 s of medians) that the extra wall time stays
+    // far inside the envelope the r9 driver run already accepted.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "7").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // co-tenant context at run time, so a judge can down-weight noisy
     // totals from the artifact alone: 1-min load average + process count
