@@ -179,6 +179,38 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(t(spark, dir, "documents"))
 
+  /** LSH candidate pairs with their SHARED-BAND count (1..4) — the
+    * similarity-strength weight the weighted graph pass
+    * ([[Graph.graphSssp]]) turns into an edge cost. Identical bucket
+    * machinery and cap as [[minhashPairsFromBanded]]; the unweighted
+    * pair list is this one's projection (the `distinct()` there is the
+    * `groupBy` here). */
+  private[operators] def minhashWeightedPairsOf(docs: DataFrame): DataFrame =
+    bandedSignaturesOf(docs)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+                  y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+
+  /** Oracle CTE body ending in `wpairs(doc_a, doc_b, n_bands)` — the
+    * weighted twin of [[minhashPairsCtesFrom]]. */
+  private[operators] def minhashWeightedPairsCtesFrom(src: String): String =
+    s"""${bandedSignaturesCtesFrom(src)},
+       |bsz AS (
+       |  SELECT band, sig FROM bands
+       |  GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDocs),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_bands
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Oracle CTE body ending in `pairs(doc_a, doc_b)` with the identical
     * bucket cap, over any source relation. */
   private[operators] def minhashPairsCtesFrom(src: String): String =

@@ -188,6 +188,82 @@ object Graph {
     dist.select(col("doc_id"), col("dist").cast("int").as("dist"))
   }
 
+  // ------------------------------------------------------------- graph_sssp
+
+  /** Relaxation-round bound: costs are minimized over paths of at most
+    * this many edges (the same frontier bound BFS uses). */
+  private val SsspMaxHops = 4
+
+  /**
+   * Multi-source WEIGHTED shortest paths over the near-dup similarity
+   * graph [EXT] — the weighted refinement of [[graphBfs]]: edges cost
+   * `5 − shared_bands` (1 for pairs agreeing on all 4 LSH bands, 4 for
+   * marginal single-band candidates), so the distance is a total
+   * DISSIMILARITY budget — strong near-dup links propagate a flagged
+   * document's review radius much further than weak ones, which is how a
+   * contamination sweep actually wants to spread.
+   *
+   * Scale shape: bounded Bellman–Ford with a semi-naive frontier — each
+   * round joins the edge list against only the nodes whose cost IMPROVED
+   * last round, takes the per-target `min`, and merges by `min` into the
+   * settled table; shuffled data is proportional to the improved
+   * frontier, never the graph, and all costs are integers so `min` is
+   * associative and partitioning-independent. After R rounds the table
+   * is exactly "min cost over paths of ≤ R edges", which the oracle
+   * reproduces as a recursive CTE enumerating ≤ R-edge walks — like
+   * [[graphBfs]], the same algorithmic claim checked across paradigms.
+   */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame =
+    ssspOf(Dedup.minhashWeightedPairsOf(t(spark, dir, "documents")))
+
+  /** The bounded-relaxation loop over any weighted undirected pair list
+    * (doc_a, doc_b, n_bands) — factored for direct testing on crafted
+    * graphs, like [[bfsOf]]. Seeds are the nodes divisible by
+    * [[BfsSeedMod]]. */
+  private[operators] def ssspOf(wpairs: DataFrame): DataFrame = {
+    val w = (lit(5L) - col("n_bands")).as("w")
+    val edges = Checkpoints.cut(
+      wpairs.select(col("doc_a"), col("doc_b"), w)
+        .union(wpairs.select(col("doc_b").as("doc_a"),
+                             col("doc_a").as("doc_b"), w)))
+    val seeds = edges.select(col("doc_a").as("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(BfsSeedMod)) === 0)
+    var dist = Checkpoints.cut(seeds.withColumn("cost", lit(0L)))
+    var frontier = dist
+    for (_ <- 1 to SsspMaxHops) {
+      val cand = edges.join(frontier, edges("doc_a") === frontier("doc_id"))
+        .select(col("doc_b").as("doc_id"), (col("cost") + col("w")).as("cost"))
+        .groupBy(col("doc_id")).agg(min(col("cost")).as("cost"))
+      val improved = Checkpoints.cut(
+        cand.join(dist.withColumnRenamed("cost", "settled"),
+                  Seq("doc_id"), "left")
+          .filter(col("settled").isNull || col("cost") < col("settled"))
+          .select(col("doc_id"), col("cost")))
+      dist = Checkpoints.cut(dist.union(improved)
+        .groupBy(col("doc_id")).agg(min(col("cost")).as("cost")))
+      frontier = improved
+    }
+    dist
+  }
+
+  val graphSsspSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashWeightedPairsCtesFrom("documents")},
+       |edges AS (
+       |  SELECT doc_a, doc_b, CAST(5 - n_bands AS BIGINT) AS w FROM wpairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, CAST(5 - n_bands AS BIGINT) AS w FROM wpairs),
+       |seeds AS (
+       |  SELECT DISTINCT doc_a AS doc_id FROM edges
+       |  WHERE doc_a % $BfsSeedMod = 0),
+       |walk(doc_id, cost, hops) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM seeds
+       |  UNION
+       |  SELECT e.doc_b, w.cost + e.w, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+       |  WHERE w.hops < $SsspMaxHops)
+       |SELECT doc_id, CAST(MIN(cost) AS BIGINT) AS cost
+       |FROM walk GROUP BY 1""".stripMargin
+
   val graphBfsSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashPairsCtesFrom("documents")},
        |edges AS (

@@ -787,6 +787,25 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
                       2L -> 2, 4L -> 2, 5L -> 3, 6L -> 4))
   }
 
+  // -------------------------------------------------------------- graph_sssp
+
+  test("ssspOf: weighted min-cost paths — cheap 2-hop beats expensive " +
+       "1-hop, hop bound cuts the chain tail") {
+    import spark.implicits._
+    // seed 0. Edge costs are 5 - n_bands: (0,1) weak (cost 4);
+    // (0,2) and (2,1) strong (cost 1 each) -> node 1 costs 2 via node 2,
+    // not 4 direct. Chain 0-10-11-12-13-14 of strong edges: node 13 sits
+    // at 4 edges (cost 4, kept); node 14 at 5 edges (beyond the bound).
+    val wpairs = (Seq((0L, 1L, 1L), (0L, 2L, 4L), (2L, 1L, 4L)) ++
+        Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+          .map { case (a, b) => (a, b, 4L) })
+      .toDF("doc_a", "doc_b", "n_bands")
+    val got = Graph.ssspOf(wpairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 2L -> 1L, 1L -> 2L,
+                      10L -> 1L, 11L -> 2L, 12L -> 3L, 13L -> 4L))
+  }
+
   // ------------------------------------------------------------ events_trend
 
   test("eventsTrend: recovers an exact planted line (slope 2, intercept 3)") {
