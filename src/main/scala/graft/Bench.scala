@@ -18,17 +18,12 @@ object Bench {
     // first timed query doesn't absorb JVM/Spark initialization (~4 s)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // 5 runs per query, plain median: one-shot timings on a shared
+    // 7 samples per query, plain median: one-shot timings on a shared
     // machine fake multi-x regressions from co-tenant load spikes (a
-    // 0.9 s query has recorded 5.2 s, and medians-of-3 still absorbed
-    // spikes when two of three runs collided with load). The median of
-    // 5 tolerates up to 2 spiked runs; dropping the worst run first
-    // never moves it (sorted(2) either way), so no rejection step.
-    // 7 reps (was 5): the official run shares a box with unknown load —
-    // r9's artifact ran at load ~3.3 and read ~35% over the same code on
-    // a quiet box. A median of 7 tolerates 3 spiked reps; the suite is
-    // fast enough now (~70 s of medians) that the extra wall time stays
-    // far inside the envelope the r9 driver run already accepted.
+    // 0.9 s query has recorded 5.2 s). A median of 7 tolerates 3 spiked
+    // samples; dropping the worst first never moves it, so no rejection
+    // step. The samples come from 7 interleaved full-suite PASSES, not
+    // back-to-back reps — see the comment at passResults.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "7").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // co-tenant context at run time, so a judge can down-weight noisy
@@ -37,23 +32,38 @@ object Bench {
       try new java.io.File("/proc").listFiles.count(_.getName.forall(_.isDigit))
       catch { case _: Throwable => -1 }
     val loadStart = osBean.getSystemLoadAverage
-    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved reps (r11): run `runs` FULL-SUITE PASSES rather than
+    // `runs` back-to-back reps per query. Back-to-back reps put all of one
+    // query's samples inside the same ~10 s wall-clock window, so a
+    // co-tenant load burst lands on ALL of them and the median reads as a
+    // fake 3-5x regression (r10 BENCH_DETAIL: text_winnowing reps
+    // [1.8,3.8,3.6,3.7,3.7,0.9,0.6] — the fast mode IS the real cost).
+    // With passes, one burst contaminates one rep of many queries; the
+    // per-query median across passes sheds it. Pass order rotates each
+    // pass so no query is always adjacent to the same heavy neighbor.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
       // a failed query must read as a failure, not a fast timing: report
       // -1 and say so on stderr instead of timing the throw
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
-        // outside the timed window: drop this rep's lineage-cut blocks —
-        // ~800 executions in one JVM otherwise accumulate storage that
-        // inflates every later query (see Checkpoints.releaseAll)
-        graft.operators.Checkpoints.releaseAll(spark)
-        t
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      name -> times
+      // outside the timed window: drop this rep's lineage-cut blocks —
+      // ~800 executions in one JVM otherwise accumulate storage that
+      // inflates every later query (see Checkpoints.releaseAll)
+      graft.operators.Checkpoints.releaseAll(spark)
+      t
     }
+    val passResults: Seq[Seq[(String, Double)]] = (0 until runs).map { p =>
+      val rotated = named.drop(p * named.size / runs) ++
+        named.take(p * named.size / runs)
+      rotated.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    val byName = passResults.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
+    val allRuns: Seq[(String, Seq[Double])] =
+      named.map { case (name, _) => name -> byName(name).toSeq }
     val loadEnd = osBean.getSystemLoadAverage
     val results = allRuns.map { case (name, times) =>
       val median =

@@ -547,13 +547,24 @@ object Sketches {
     // estimates, materializing ~7x the table into the verification
     // aggregate — the literal-threshold conditional counts below verify
     // in ONE pass with zero joins (measured 2.0 s -> 0.5 s at sf0.1).
-    val sketch = ev
+    val rows = ev
       .select(col("value"),
         md5Long(concat_ws("", lit(QsSalt), col("event_id").cast("string")))
           .as("hk"))
       .orderBy(col("hk").asc, col("value").asc).limit(QsK)
       .collect()
-      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    // a fixture smaller than the deepest rank (max rq = ceil(0.99*QsK))
+    // must fail with a clear message, not an ArrayIndexOutOfBounds; a
+    // null value would NPE getDouble — name the row instead
+    val maxRank = QsPcts.map(_._2).max
+    require(rows.length >= maxRank,
+      s"quantile_sketch needs >= $maxRank events rows (deepest rank of " +
+        s"QsPcts at k=$QsK); the table has only ${rows.length}")
+    val sketch = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"quantile_sketch: null value/hash in bottom-k sample row $r")
+      (r.getDouble(0), r.getLong(1))
+    }.sortBy(identity)
     val est = QsPcts.map { case (p, rq, b) => (p, b, sketch(rq - 1)._1) }
     // one conditional-count pass over the full table: n_total plus each
     // estimate's true rank, the estimates baked in as literals

@@ -9,32 +9,67 @@ object Tables {
   /** Per-session logical-plan cache for testdata tables: every
     * `spark.read.parquet` re-lists files and re-reads footers (~50-150 ms
     * of driver time), and the Bench/Verify protocol rebuilds each query's
-    * DataFrame per rep — across a 158-query suite that listing cost alone
+    * DataFrame per rep — across a 159-query suite that listing cost alone
     * is tens of seconds. A DataFrame is an immutable logical plan, so
-    * reusing one per (session, dir, table) is safe; the WeakHashMap keys
-    * on the session so a stopped session's entries are collectable and a
-    * fresh session (new conf, e.g. the nanos flag) never sees stale
-    * plans. This mirrors what a real deployment gets from a catalog: the
-    * table's FileIndex is resolved once, not per query. */
+    * reusing one per (session, dir, table) is safe. Keyed by the
+    * session's UUID with bounded LRU eviction (r11): the earlier
+    * WeakHashMap keyed on the session, but its VALUES (DataFrames)
+    * strongly reference the session via `queryExecution.sparkSession`, so
+    * entries were never collectable — a stopped session's plans leaked
+    * for the JVM's lifetime, one per session ever created. Weak-keying
+    * cannot work when the value pins the key, so the fix is a BOUNDED
+    * LRU: at most [[MaxCachedSessions]] sessions are retained (harness
+    * JVMs hold a handful; suites that churn sessions evict the oldest
+    * and just re-resolve). Keyed by identity hash with an `eq` check on
+    * the stored session, so a recycled hash after GC can never serve a
+    * dead session's plans. This mirrors what a real deployment gets from
+    * a catalog: the table's FileIndex is resolved once, not per query. */
+  private val MaxCachedSessions = 8
+  private final case class SessionTables(
+      session: SparkSession,
+      tables: scala.collection.concurrent.TrieMap[(String, String), (Long, DataFrame)])
   private val tableCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), (Long, DataFrame)]]()
+    new java.util.LinkedHashMap[Integer, SessionTables](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer, SessionTables]): Boolean =
+        size > MaxCachedSessions
+    }
+
+  /** Cheap content signature of a parquet table path: top-level mtime
+    * combined with the directory listing's names, sizes and mtimes.
+    * Directory mtime alone has 1 s granularity on some filesystems, so a
+    * fixture rewritten within the same tick could be served a stale
+    * FileIndex; folding in per-file (name, length, mtime) catches any
+    * rewrite that changes a file name (Spark part-file names embed a
+    * fresh UUID per write) or size. */
+  private def tableSig(f: java.io.File): Long = {
+    val children = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    children.foldLeft(f.lastModified() ^ children.length.toLong) { (acc, c) =>
+      acc * 1000003L + c.getName.hashCode.toLong + c.length() + c.lastModified()
+    }
+  }
 
   /** Load one driver testdata table (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tableCache.synchronized {
-      tableCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
+      val key = Integer.valueOf(System.identityHashCode(spark))
+      val hit = tableCache.get(key)
+      if (hit != null && (hit.session eq spark)) hit.tables
+      else {
+        val fresh = SessionTables(spark,
+          scala.collection.concurrent.TrieMap.empty)
+        tableCache.put(key, fresh)
+        fresh.tables
+      }
     }
     val path = s"$dir/$name.parquet"
-    // one stat guards staleness: an overwrite of the .parquet dir bumps
-    // its mtime, so a rewritten fixture is never served a stale FileIndex
-    val mtime = new java.io.File(path).lastModified()
+    val sig = tableSig(new java.io.File(path))
     perSession.get((dir, name)) match {
-      case Some((m, df)) if m == mtime => df
+      case Some((s, df)) if s == sig => df
       case _ =>
         val df = spark.read.parquet(path)
-        perSession.put((dir, name), (mtime, df))
+        perSession.put((dir, name), (sig, df))
         df
     }
   }

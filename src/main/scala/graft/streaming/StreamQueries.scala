@@ -137,6 +137,7 @@ object StreamQueries {
     * [[staged]]); the CHECKPOINT must be fresh per run — reusing one
     * would resume a finished query and see no new files. */
   private def runStream(spark: SparkSession, dir: String, mode: String,
+                        needsNoDataBatch: Boolean,
                         xform: DataFrame => DataFrame): DataFrame = {
     // 3 chunks: the results of every runStream gate are chunk-count
     // invariant (complete-mode agg, global dedup, gap sessionization,
@@ -146,7 +147,7 @@ object StreamQueries {
     // remembered in batch 3). Only the late-data gate pins its chunk
     // count (its oracle replays the ntile(4) split verbatim).
     val src = stageMicroBatches(spark, dir, chunks = 3)
-    runStagedStream(spark, src, mode, xform)
+    runStagedStream(spark, src, mode, xform, needsNoDataBatch)
   }
 
   /** State-store partition count for the gated streams. A streaming
@@ -170,10 +171,15 @@ object StreamQueries {
     *   flatMapGroupsWithState emit on data arrival only, and a
     *   complete-mode agg just rewrites the sink with unchanged state.
     *   Skipping the batch where it cannot matter saves a full trigger of
-    *   task launch + state commit per run (~0.6 s at bench scale). */
+    *   task launch + state commit per run (~0.6 s at bench scale).
+    *   REQUIRED, no default (r11): a silently-inherited `false` on a
+    *   future append-mode windowed aggregate would drop its final
+    *   windows; forcing every gate author to state the policy (with the
+    *   proof in a comment, as the existing gates do) makes the omission
+    *   a compile error instead of a wrong answer. */
   private def runStagedStream(spark: SparkSession, src: File, mode: String,
                               xform: DataFrame => DataFrame,
-                              needsNoDataBatch: Boolean = false): DataFrame = {
+                              needsNoDataBatch: Boolean): DataFrame = {
     val ckpt = scratchDir("graft_stream_ckpt")
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // the partition count and the no-data-batch policy are read at query
@@ -208,7 +214,10 @@ object StreamQueries {
     * (complete-mode streaming aggregation) — must equal the batch GROUP
     * BY. */
   def streamHourlyCounts(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, dir, "complete", EventStreams.hourlyCounts)
+    // complete-mode agg: the no-data batch just rewrites the sink with
+    // unchanged state — safe to skip
+    runStream(spark, dir, "complete", needsNoDataBatch = false,
+      EventStreams.hourlyCounts)
 
   val streamHourlyCountsSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
@@ -224,7 +233,9 @@ object StreamQueries {
     * the lag-based batch sessionization minus each user's last session —
     * same strict-gap semantics, money as exact cents. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, dir, "append",
+    // flatMapGroupsWithState with no event-time timeout: emits on data
+    // arrival only, so the trailing no-data batch can produce nothing
+    runStream(spark, dir, "append", needsNoDataBatch = false,
       ev => EventStreams.sessionizeStateful(ev).toDF())
 
   /** Streaming exact dedup as a gated query: `dropDuplicates` on the
@@ -238,7 +249,9 @@ object StreamQueries {
     * the watermark-bounded production form is
     * [[EventStreams.dedupEvents]] (spec-gated). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, dir, "append",
+    // dedup emits each key's first arrival at arrival time; eviction
+    // (none here — unbounded state) produces no output
+    runStream(spark, dir, "append", needsNoDataBatch = false,
       ev => ev.select(col("user_id"), col("event_type"))
         .dropDuplicates(Seq("user_id", "event_type")))
 
@@ -261,7 +274,9 @@ object StreamQueries {
     * and emitted. Timestamps emitted as epoch micros so both engines
     * hash identical integers. */
   def streamAttribution(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, dir, "append", ev =>
+    // INNER stream-stream join: matches emit at match time; state
+    // eviction in the no-data batch produces no output
+    runStream(spark, dir, "append", needsNoDataBatch = false, ev =>
       EventStreams.viewPurchaseJoin(ev, ev)
         .select(col("user_id"), col("view_id"), col("purchase_id"),
                 unix_micros(col("view_ts")).as("view_us"),

@@ -6,8 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** `Tables.t` caches the resolved DataFrame per (session, dir, table) —
   * `spark.read.parquet` re-lists files and re-reads footers per call,
   * which the bench protocol pays per rep. The cache must never serve a
-  * stale FileIndex: an overwrite of the table path bumps the directory
-  * mtime, which is the staleness guard. */
+  * stale FileIndex: the staleness guard is a content signature over the
+  * table directory's listing (names + sizes + mtimes), so even a rewrite
+  * landing within the same 1 s mtime tick is caught — Spark part-file
+  * names embed a fresh UUID per write, which changes the signature
+  * regardless of timestamp granularity. (The pre-r11 guard was directory
+  * mtime alone; this spec needed a `Thread.sleep(1100)` to dodge the
+  * granularity hole the signature now closes — the sleep is gone, so
+  * this test IS the same-tick-rewrite regression test.) */
 class TableCacheSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -22,9 +28,8 @@ class TableCacheSpec extends AnyFunSuite {
       // same session + unchanged file -> the cached instance (no re-list)
       assert(graft.operators.Tables.t(spark, dir, "fixture") eq first)
 
-      // rewritten fixture: directory mtime changes, cache must miss.
-      // (some filesystems have 1 s mtime granularity — force a tick)
-      Thread.sleep(1100)
+      // rewritten fixture, possibly within the same mtime tick: the
+      // listing signature (fresh part-file UUIDs) must force a miss
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
         .write.mode("overwrite").parquet(s"$dir/fixture.parquet")
       val second = graft.operators.Tables.t(spark, dir, "fixture")
