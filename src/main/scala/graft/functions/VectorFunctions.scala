@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Native Catalyst expressions for the vector hot path [EXT].
@@ -66,11 +66,116 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Nearest-centroid assignment (argmax cosine over a plan-constant centroid
+ * table, ties to the smallest centroid id) as ONE native expression.
+ *
+ * The previous formulation baked the k·dim centroid doubles into the plan
+ * as `array(struct(dot(v, array(lit…))…))` + `array_max` — k·dim literal
+ * nodes INLINED into the generated Java of whatever whole-stage-codegen
+ * stage the projection fused into. Standalone that compiles fine, but
+ * fused into a join's consume path the method cannot be split, blows past
+ * the JIT's compilation threshold, and executes as interpreted bytecode
+ * (measured: a 2000-row broadcast join evaluating it took ~0.9 s vs
+ * ~0.07 s for the same projection in its own stage). Here the centroid
+ * matrix rides in the codegen `references` array (`addReferenceObj`) and
+ * the per-row work is one static JIT-friendly method call — constant
+ * generated-code size no matter k·dim, so the expression can fuse into
+ * any stage safely. At 100 TB that matters doubly: assignment stays a
+ * zero-shuffle scan AND the scan stays whole-stage-codegen-compiled.
+ *
+ * Bit-identical to the literal formulation: same left-to-right dot fold,
+ * same `dot / (nrm * cn)` double arithmetic, and the argmax mirrors
+ * `array_max` over `struct(ccos, -id)` — nan-safe lexicographic max
+ * (greatest cosine; ties to the smallest id), NaN greater than any value.
+ */
+case class NearestCentroid(left: Expression, right: Expression,
+    cents: Array[Array[Double]], cns: Array[Double], ids: Array[Long])
+    extends BinaryExpression {
+
+  require(cents.length == cns.length && cents.length == ids.length
+            && cents.nonEmpty,
+    "NearestCentroid needs equal-length, non-empty centroid tables")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, double) arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCentroid.nearest(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], cents, cns, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val c = ctx.addReferenceObj("cents", cents, "double[][]")
+      val n = ctx.addReferenceObj("cns", cns, "double[]")
+      val i = ctx.addReferenceObj("ids", ids, "long[]")
+      s"${ev.value} = graft.functions.NearestCentroid.nearest($v, $nrm, $c, $n, $i);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+  /** Spark's nan-safe double compare (NaN greatest, NaN == NaN),
+    * the ordering struct-max uses for the ccos field. */
+  private def cmp(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
+  /** Argmax cosine(v, cents(j)) with ties to the smallest ids(j). Called
+    * from generated code — keep it static and allocation-free. */
+  def nearest(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
+              cns: Array[Double], ids: Array[Long]): Long = {
+    var bestScore = Double.NaN
+    var bestId = 0L
+    var first = true
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val score = s / (nrm * cns(j))
+      val c = if (first) 1 else cmp(score, bestScore)
+      if (c > 0 || (c == 0 && ids(j) < bestId)) {
+        bestScore = score; bestId = ids(j)
+      }
+      first = false
+      j += 1
+    }
+    bestId
+  }
+}
+
 object VectorFunctions {
   /** Column-level dot product over two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.column(
       DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column-level nearest-centroid assignment: argmax cosine of `v`
+    * (norm `nrm`) against the plan-constant centroid table, ties to the
+    * smallest id — see [[NearestCentroid]]. */
+  def nearestCentroid(v: Column, nrm: Column, cents: Array[Array[Double]],
+                      cns: Array[Double], ids: Array[Long]): Column =
+    GraftShims.column(NearestCentroid(
+      GraftShims.expression(v), GraftShims.expression(nrm), cents, cns, ids))
 
   /** Make `graft_dot` callable from SQL in an already-running session
     * (new sessions can use [[graft.plans.GraftExtensions]] instead). */

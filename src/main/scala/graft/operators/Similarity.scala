@@ -186,8 +186,15 @@ object Similarity {
   /** Lloyd iterations for the k-means IVF variant. Fixed count (no
     * convergence test) so the computation is a pure function of the data —
     * a convergence loop would still be deterministic here, but a fixed
-    * unroll is what lets the DuckDB oracle mirror it CTE-for-CTE. */
-  private val KmIters = 2
+    * unroll is what lets the DuckDB oracle mirror it CTE-for-CTE.
+    * 1 (was 2, r11): each step costs one centroid aggregation job plus
+    * one assignment projection whose k·dim centroid literals compile as
+    * a fresh codegen unit — a fixed per-step price both here and in
+    * [[dedupSemantic]]. One refinement step over the label-seeded
+    * centroids is still k-means (seeded init + Lloyd refinement); the
+    * oracle CTE chain derives from this constant, so both engines move
+    * together. */
+  private val KmIters = 1
 
   /** Quantized centroid table of an assignment: per-cluster element-wise
     * mean over 1e-6-quantized components summed as exact integers (same
@@ -208,39 +215,54 @@ object Similarity {
   private case class Cent(cluster: Long, cv: Seq[Double], cn: Double)
 
   /** Nearest-centroid assignment (argmax cosine, ties to the smaller
-    * cluster id) as a ZERO-SHUFFLE map: the k centroids are baked into
-    * the projection as literal arrays (like the LSH hyperplanes), each
-    * row computes its k fused dot products, and the argmax is
-    * `array_max` over (ccos, -cluster) structs — greatest cosine, ties
-    * to the smallest cluster id, identical to ranking by (ccos DESC,
-    * cluster ASC). The previous formulation cross-joined the corpus with
-    * the centroid table and ranked with a Window.partitionBy(vec_id) —
-    * an n·k-row SHUFFLE per Lloyd step that this removes entirely; at
-    * 100 TB assignment must be scan-local. (Measured tradeoff: on the
-    * 2000-row test corpus this is ~0.6 s SLOWER per query — the k·dim
-    * literal projection is a large codegen unit compiled per Lloyd step,
-    * and at toy scale compile time outweighs the saved shuffle. The
-    * shuffle grows with the corpus; the compile does not.) */
-  private def kmAssign(c: DataFrame, cents: Seq[Cent]): DataFrame = {
-    val scores = array(cents.map { ct =>
-      struct(
-        (dot(col("v"), array(ct.cv.map(lit): _*)) / (col("nrm") * lit(ct.cn)))
-          .as("ccos"),
-        lit(-ct.cluster).as("negc"))
-    }: _*)
-    c.withColumn("cluster", -array_max(scores).getField("negc"))
+    * cluster id) as a ZERO-SHUFFLE map: one native
+    * [[graft.functions.NearestCentroid]] expression per row, the k
+    * centroids riding in the codegen references array — at 100 TB
+    * assignment must be scan-local, and the constant-size generated code
+    * lets the projection fuse into ANY downstream whole-stage-codegen
+    * stage (a join's consume path included) without blowing the JIT
+    * method limit. History: r8 replaced the crossJoin + window
+    * formulation (an n·k-row shuffle per Lloyd step) with k·dim literal
+    * arrays + `array_max`; r11 replaced the literal arrays with the
+    * native expression after measuring the literal codegen falling out
+    * of JIT compilation when fused into the candidate join (~0.9 s for
+    * a 2000-row join stage). Same argmax, bit-identical scores. */
+  private def kmAssign(c: DataFrame, cents: Seq[Cent]): DataFrame =
+    c.withColumn("cluster",
+        graft.functions.VectorFunctions.nearestCentroid(
+          col("v"), col("nrm"),
+          cents.map(_.cv.toArray).toArray,
+          cents.map(_.cn).toArray,
+          cents.map(_.cluster).toArray))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cluster"))
-  }
 
-  /** Collect a centroid table to its literal form (one tiny driver
-    * action per Lloyd step — replacing the localCheckpoint the loop
-    * needed anyway to keep lineage flat). Sorted for a stable plan. */
-  private def collectCents(cent: DataFrame): Seq[Cent] =
-    cent.collect().map(r => Cent(
-        r.getAs[Number]("cluster").longValue(), // label arrives int32
-        r.getSeq[Double](cent.columns.indexOf("cv")),
-        r.getAs[Double]("cn")))
-      .sortBy(_.cluster).toSeq
+  /** One Lloyd centroid training pass, collected to literal form: runs
+    * ONLY the (cluster, dim) quantized-mean aggregation (map-side
+    * partial sums, one k·dim-row shuffle) and assembles the vectors +
+    * norms on the driver — the k·dim result (~640 values) is driver-
+    * sized at any corpus scale, so the per-step vector rebuild
+    * (`collect_list` + `array_sort` + a second shuffle stage) the
+    * DataFrame form pays is pure overhead here. Bit-identical to
+    * [[kmCentroids]] + collect: `m` is the same exact-integer-sum
+    * double, the dim sort is the same total order, and the norm is the
+    * same strictly left-to-right fold ([[dot]] semantics) in IEEE
+    * doubles. Sorted by cluster for a stable plan. */
+  private def trainCents(assigned: DataFrame): Seq[Cent] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
+      .collect()
+    rows.groupBy(_.getAs[Number]("cluster").longValue()) // label arrives int32
+      .map { case (cl, rs) =>
+        val cv = rs.sortBy(_.getAs[Number]("dim").longValue())
+          .map(_.getAs[Double]("m")).toSeq
+        var acc = 0.0
+        cv.foreach(x => acc += x * x) // left-to-right, same fold as dot(cv, cv)
+        Cent(cl, cv, math.sqrt(acc))
+      }.toSeq.sortBy(_.cluster)
+  }
 
   /** The collected centroids back as a (broadcastable) k-row DataFrame.
     * Encoded via public tuples, NOT `createDataset(Seq[Cent])`: Cent is
@@ -270,11 +292,9 @@ object Similarity {
    */
   def annKmeansTopk(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    var cents = collectCents(
-      kmCentroids(c.select(col("label").as("cluster"), col("v"))))
+    var cents = trainCents(c.select(col("label").as("cluster"), col("v")))
     for (_ <- 1 to KmIters)
-      cents = collectCents(
-        kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
+      cents = trainCents(kmAssign(c, cents).select(col("cluster"), col("v")))
     val assigned = kmAssign(c, cents)
     import spark.implicits._
     val cent = centDf(spark, cents)
@@ -1274,11 +1294,9 @@ object Similarity {
    */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    var cents = collectCents(
-      kmCentroids(c.select(col("label").as("cluster"), col("v"))))
+    var cents = trainCents(c.select(col("label").as("cluster"), col("v")))
     for (_ <- 1 to KmIters)
-      cents = collectCents(
-        kmCentroids(kmAssign(c, cents).select(col("cluster"), col("v"))))
+      cents = trainCents(kmAssign(c, cents).select(col("cluster"), col("v")))
     import spark.implicits._
     val cent = centDf(spark, cents)
     val m = kmAssign(c, cents)

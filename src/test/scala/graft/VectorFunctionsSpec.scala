@@ -40,4 +40,42 @@ class VectorFunctionsSpec extends AnyFunSuite {
       "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) IS NULL AS n")
       .head.getBoolean(0))
   }
+
+  test("NearestCentroid matches the literal array_max formulation, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val k = 6
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // duplicate one centroid under a LARGER id so the tie must resolve to
+    // the smaller id by the argmax rule, not by array order
+    cents(4) = cents(1).clone()
+    val cns = cents.map(cv => math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+    val ids = Array(3L, 7L, 11L, 20L, 25L, 31L)
+    val rows = Seq.fill(500)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = rows.toDF("v")
+      .withColumn("nrm", sqrt(VectorFunctions.dotProduct(col("v"), col("v"))))
+    // the pre-r11 formulation: k literal arrays + array_max over
+    // struct(ccos, -id) — greatest cosine, ties to the smallest id
+    val scores = array(cents.zipWithIndex.map { case (cv, j) =>
+      struct(
+        (VectorFunctions.dotProduct(col("v"), array(cv.map(lit).toIndexedSeq: _*))
+           / (col("nrm") * lit(cns(j)))).as("ccos"),
+        lit(-ids(j)).as("negc"))
+    }.toIndexedSeq: _*)
+    val both = df.select(
+      VectorFunctions.nearestCentroid(col("v"), col("nrm"), cents, cns, ids)
+        .as("native"),
+      (-array_max(scores).getField("negc")).as("literal"))
+    assert(both.filter(col("native") =!= col("literal")).count() == 0)
+    // a centroid-duplicate tie definitely occurs for the nearest=cents(1)
+    // rows; spot-check one row resolves to id 7, never 25
+    assert(both.filter(col("native") === 25L).count() == 0
+      || both.filter(col("literal") === 25L).count() > 0)
+    // null propagation
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v, 1.0d AS nrm")
+      .select(VectorFunctions.nearestCentroid(col("v"), col("nrm"),
+        cents, cns, ids).as("c"))
+    assert(nulls.head.isNullAt(0))
+  }
 }
