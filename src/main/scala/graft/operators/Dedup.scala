@@ -821,16 +821,23 @@ object Dedup {
     df.join(ranked, Seq("ra", "rb"))
   }
 
-  /** One doubling round: pair each position's rank with the rank k
-    * positions later (−1 sentinel past the document end — ranks are
-    * ≥ 1, so truncated suffixes can never merge with full ones). */
-  private def pairAt(ranks: DataFrame, k: Int): DataFrame = {
-    val right = ranks.select(col("doc_id").as("d2"), (col("off") - k).as("o2"),
-                             col("r").as("rb"))
-    ranks.join(right,
-        col("doc_id") === col("d2") && col("off") === col("o2"), "left")
-      .select(col("doc_id"), col("n_toks"), col("off"), col("r").as("ra"),
-              coalesce(col("rb"), lit(-1L)).as("rb"))
+  /** One prefix-doubling round: pair each position's rank with the rank
+    * `k` positions later (−1 sentinel past the document end — real ranks
+    * are ≥ 1, so truncated suffixes can never merge with full ones) and
+    * dense-rank the pairs, doubling the ranked prefix length. The gated
+    * query's fixed window bottoms out before needing a round (see
+    * [[dedupSuffixArray]]); this is the path a full suffix-array build
+    * iterates log₂(n) times, kept live and spec-pinned
+    * (CorpusOps3Spec "doublingRound") for that downstream. Input and
+    * output schema: (doc_id, n_toks, off, r). */
+  private[graft] def doublingRound(ranks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val paired = ranks.select(col("doc_id"), col("n_toks"), col("off"),
+        col("r").as("ra"),
+        coalesce(lead(col("r"), k).over(w), lit(-1L)).as("rb"))
+    classRank(paired, "r")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r"))
   }
 
   /**
@@ -839,20 +846,24 @@ object Dedup {
    * built by prefix doubling (Manber–Myers): rank every suffix by its
    * leading bigram, then re-rank by (rank_k(p), rank_k(p+k)) so the
    * ranked prefix length doubles per round — log₂(W) global sort-rounds
-   * instead of hashing every window. Two fusions cut the round count
-   * without changing a single class:
+   * instead of hashing every window. For the FIXED [[SubstrW]]=10-token
+   * window classification the doubling recursion bottoms out at the base
+   * case (r11, was: one doubling round + an overlapping rank₄ triple):
    *
    *  - the base case ranks (token(p), token(p+1)) STRING pairs directly
    *    to rank₂ — dense rank is order-isomorphic under the monotonic
    *    vocab-rank map, so the separate vocabulary-ranking round the
    *    classic formulation starts with is a no-op;
-   *  - after rank₄, the OVERLAPPING triple (rank₄(p), rank₄(p+3),
-   *    rank₄(p+6)) classifies every [[SubstrW]]=10-token window exactly
-   *    (the three 4-token spans cover positions p..p+9 contiguously, so
-   *    triple-equality ⟺ 10-token equality) — replacing both the k=4
-   *    doubling round and the final rank-combine join. Further doubling
-   *    rounds extend this to the full SA at log₂(W) cost when the
-   *    downstream artifact needs total suffix order.
+   *  - five DISJOINT rank₂ spans tile a 10-token window exactly (bigrams
+   *    at p, p+2, p+4, p+6, p+8 cover tokens p..p+9 contiguously and
+   *    without overlap), so 5-tuple equality ⟺ 10-token equality —
+   *    replacing the k=2 doubling round AND the rank₄ triple with one
+   *    grouping, eliminating a whole dense-rank pass (distinct + range
+   *    exchange + offset job + rank join). Only 8-byte ranks cross the
+   *    classification shuffle, never window text — the suffix-array
+   *    scale argument at 100 TB. When a downstream needs total suffix
+   *    order, [[doublingRound]] iterates classRank to the full SA at
+   *    log₂(n) cost (spec-pinned live).
    *
    * Windows are duplicates iff their class has ≥ 2 members.
    *
@@ -862,55 +873,58 @@ object Dedup {
    * in Spark, the strongest cross-engine differential on the surface
    * (two different algorithms, one answer).
    *
-   * Scale shape: per round, one doc-partitioned window `lead` (documents
-   * are bounded, so a doc's positions always fit one task — no global or
-   * single-partition sort) plus one dense rank over the DISTINCT class
-   * table (shrinks as classes merge); mid-round lineage cuts are LAZY —
-   * the next round's rank-offset job materializes them, one job per
-   * round instead of two (durable under the reliable-checkpoint flag).
-   * Class ranking is the two-pass distributed dense rank (see
-   * [[classRank]]).
+   * Scale shape: bigram classes are computed ARRAY-SIDE before the
+   * explode (no window function anywhere in the gated plan), one dense
+   * rank over the DISTINCT bigram table assigns rank₂ (the two-pass
+   * distributed dense rank, see [[classRank]]), one doc-keyed
+   * aggregation reassembles each document's rank sequence (documents
+   * are bounded, so a doc's ranks always fit one task — no global or
+   * single-partition sort), and the window 5-tuples are again computed
+   * array-side. The post-rank lineage cut is LAZY — the assembly job
+   * materializes it.
    */
   def dedupSuffixArray(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .withColumn("n_toks", size(col("ts")).cast("long"))
-    val pos = d.select(col("doc_id"), col("n_toks"),
-                       posexplode(col("ts")).as(Seq("off", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
-    // rank₂ directly from the (token, next-token) string pair. The
-    // past-the-end sentinel must sort below and collide with no real
+    // rank2 directly from the (token, next-token) string pair, built
+    // ARRAY-SIDE (no doc-partitioned window pass anywhere in the plan).
+    // The past-the-end sentinel must sort below and collide with no real
     // token, including a pathological empty one: real next-tokens get a
     // constant U+0002 prefix (order-preserving), the sentinel is "".
-    val bigram = pos.select(col("doc_id"), col("n_toks"), col("off"),
-        col("tok").as("ra"),
-        coalesce(concat(lit("\u0002"), lead(col("tok"), 1).over(w)), lit(""))
-          .as("rb"))
+    val bigram = d.select(col("doc_id"), col("n_toks"),
+        posexplode(expr(
+          """transform(ts, (tk, i) -> struct(
+            |  tk AS ra,
+            |  IF(i + 2 <= size(ts), concat('\u0002', element_at(ts, i + 2)), '') AS rb))"""
+            .stripMargin)).as(Seq("off", "pr")))
+      .select(col("doc_id"), col("n_toks"), col("off"),
+              col("pr.ra"), col("pr.rb"))
     val rank2 = Checkpoints.cut(classRank(bigram, "r")
       .select(col("doc_id"), col("n_toks"), col("off"), col("r")),
       eager = false)
-    // one doubling round: rank₂ ⊕ rank₂@+2 → rank₄ (−1 sentinel past the
-    // document end — real ranks are ≥ 1)
-    val paired = rank2.select(col("doc_id"), col("n_toks"), col("off"),
-        col("r").as("ra"),
-        coalesce(lead(col("r"), 2).over(w), lit(-1L)).as("rb"))
-    val rank4 = Checkpoints.cut(classRank(paired, "r")
-      .select(col("doc_id"), col("n_toks"), col("off"), col("r")),
-      eager = false)
-    // overlapping rank₄ triple → 10-token window classes, full windows
-    // only (the off filter keeps exactly the windows where all three
-    // spans are real tokens, so no sentinel can reach a kept class)
-    val full = rank4.select(col("doc_id"), col("n_toks"), col("off"),
-        col("r").as("ra"),
-        lead(col("r"), 3).over(w).as("rb"),
-        lead(col("r"), 6).over(w).as("rc"))
-      .filter(col("off") <= col("n_toks") - SubstrW)
-    val dup = full.groupBy(col("ra"), col("rb"), col("rc"))
+    // reassemble each doc's rank sequence (struct sort == sort by off:
+    // off is the leading field), then tile every FULL 10-token window
+    // with its 5 disjoint bigram ranks, again array-side; the sequence
+    // upper bound keeps every subscript in bounds
+    val full = rank2.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("off"), col("r")))).as("prs"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(prs) >= $SubstrW
+           |  THEN transform(sequence(0, size(prs) - $SubstrW),
+           |    p -> struct(prs[p].r AS ra, prs[p+2].r AS rb, prs[p+4].r AS rc,
+           |                prs[p+6].r AS rd, prs[p+8].r AS re))
+           |  ELSE CAST(array() AS ARRAY<STRUCT<ra: BIGINT, rb: BIGINT,
+           |    rc: BIGINT, rd: BIGINT, re: BIGINT>>) END""".stripMargin))
+        .as("w"))
+      .select(col("doc_id"), col("w.ra"), col("w.rb"), col("w.rc"),
+              col("w.rd"), col("w.re"))
+    val tup = Seq("ra", "rb", "rc", "rd", "re")
+    val dup = full.groupBy(tup.map(col): _*)
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
-      .select(col("ra"), col("rb"), col("rc"))
-    val perDoc = full.join(dup, Seq("ra", "rb", "rc"))
+      .select(tup.map(col): _*)
+    val perDoc = full.join(dup, tup)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     d.select(col("doc_id"),
         greatest(lit(0L), col("n_toks") - (SubstrW - 1)).as("n_windows"))

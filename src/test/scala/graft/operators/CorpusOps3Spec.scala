@@ -747,6 +747,50 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("doublingRound: rank2 + one doubling round ranks every position by " +
+       "its 4-token prefix (class equality AND order vs brute force)") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 25L).map { id =>
+      val len = 3 + rnd.nextInt(20) // includes docs shorter than 4 tokens
+      (id, Seq.fill(len)(if (rnd.nextBoolean()) "aa" else "bb").mkString(" "),
+       "en")
+    }
+    val sub = writeDocs("doubling", docs)
+    import spark.implicits._
+    // base case: bigram dense rank (same construction as the gated query)
+    val d = Tables.t(spark, sub, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .withColumn("n_toks", size(col("ts")).cast("long"))
+    val bigram = d.select(col("doc_id"), col("n_toks"),
+        posexplode(expr(
+          """transform(ts, (tk, i) -> struct(
+            |  tk AS ra,
+            |  IF(i + 2 <= size(ts), concat('', element_at(ts, i + 2)), '') AS rb))"""
+            .stripMargin)).as(Seq("off", "pr")))
+      .select(col("doc_id"), col("n_toks"), col("off"),
+              col("pr.ra"), col("pr.rb"))
+    val rank2 = Dedup.classRank(bigram, "r")
+      .select(col("doc_id"), col("n_toks"), col("off"), col("r"))
+    val rank4 = Dedup.doublingRound(rank2, 2)
+    val got = rank4.select(col("doc_id"), col("off"), col("r")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute force: dense rank of the (up to) 4-token prefix of every
+    // suffix, truncated suffixes ordered by their padded string — the
+    // prefix-doubling invariant after one round
+    val toksOf = docs.map { case (id, text, _) => id -> text.split("\\s+").toSeq }.toMap
+    val suffixes = toksOf.toSeq.flatMap { case (id, ts) =>
+      ts.indices.map(p => (id, p, ts.slice(p, p + 4)))
+    }
+    // shorter prefixes sort before any extension (sentinel below all
+    // tokens): compare by the padded sequence with "" sentinels
+    val ordered = suffixes.map(_._3).distinct
+      .sortBy(pfx => pfx.padTo(4, "").mkString(""))
+    val rankOf = ordered.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
+    val expect = suffixes.map { case (id, p, pfx) => (id, p) -> rankOf(pfx) }.toMap
+    assert(got == expect)
+    assert(expect.values.toSet.size < suffixes.size, "vacuous: no merged classes")
+  }
+
   test("classRank: two-pass distributed dense rank equals the global-window " +
        "dense rank, incl. duplicate classes spanning partition boundaries") {
     import spark.implicits._
