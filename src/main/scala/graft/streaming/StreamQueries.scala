@@ -156,10 +156,10 @@ object StreamQueries {
     * every trigger, data or not) — a fixed cost a deployment sizes to
     * stream THROUGHPUT, not to the host's core count: 32 stores for a
     * 25k-row micro-batch is ~4x pure overhead (measured: addBatch
-    * ~1.0 s -> ~0.3 s at 8, and 4 shaves the remaining snapshot/commit
+    * ~1.0 s -> ~0.3 s at 8, and 1 shaves the remaining snapshot/commit
     * fan-out at this trigger size). Results are partitioning-invariant
     * (hash state keying), which StreamingSpec's differentials pin. */
-  private val StreamStatePartitions = 2
+  private val StreamStatePartitions = 1
 
   /** @param needsNoDataBatch whether the drained result depends on the
     *   trailing NO-DATA micro-batch (the extra trigger Spark runs so the
@@ -292,17 +292,21 @@ object StreamQueries {
 
   /** Watermark late-data gate: append-mode hourly counts over the
     * LATE-ARRIVAL staging ([[stageLateMicroBatches]]: every 101st event
-    * from batches 1–3 arrives in batch 4). The gated claim is Spark's
-    * watermark semantics end to end, deterministically:
+    * from batches 1–2 arrives in batch 3 — the minimum split where
+    * displaced rows cross a watermark that advanced without them; 4→3
+    * chunks in r11 shaves one trigger of fixed cost without weakening
+    * the claim, since the drop boundary stays strictly inside the
+    * displaced set, which StreamingSpec still asserts). The gated claim
+    * is Spark's watermark semantics end to end, deterministically:
     *
     *  - stateful operators carry TWO watermarks since the multi-operator
     *    fix (Spark 3.4+, SPARK-40925): the LATE-EVENTS filter uses the
     *    watermark in effect during the PREVIOUS micro-batch, while
     *    eviction/emission uses the current one. A displaced row arriving
-    *    in batch 4 is therefore DROPPED iff its hour window's end is
-    *    ≤ (max event time through batch 2) − 2 h — measured: 50 of 74
-    *    displaced rows dropped at sf0.01, exactly the batch-2 cut, not
-    *    the batch-3 one;
+    *    in batch 3 is therefore DROPPED iff its hour window's end is
+    *    ≤ (max event time through batch 1) − 2 h — the batch-1 cut, not
+    *    the batch-2 one (StreamingSpec's plain-Scala twin asserts the
+    *    boundary splits the displaced set: some dropped, some merged);
     *  - the filter predicate is on the WINDOW END (`window.end <= wm`,
     *    `WatermarkSupport.watermarkExpression`'s struct branch), not the
     *    row's event time — a late row whose open window still spans the
@@ -318,24 +322,24 @@ object StreamQueries {
   private val LateMod = 101
 
   def streamLateData(spark: SparkSession, dir: String): DataFrame =
-    runStagedStream(spark, stageLateMicroBatches(spark, dir, 4, LateMod),
+    runStagedStream(spark, stageLateMicroBatches(spark, dir, 3, LateMod),
       "append", EventStreams.hourlyCountsAppend, needsNoDataBatch = true)
 
   val streamLateDataSql: String =
     s"""WITH ordered AS (
       |  SELECT ts, event_id, event_type, value,
-      |    ntile(4) OVER (ORDER BY ts, event_id) AS mb
+      |    ntile(3) OVER (ORDER BY ts, event_id) AS mb
       |  FROM events),
       |wm_late AS (
       |  SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM ordered
-      |  WHERE mb <= 2 AND event_id % $LateMod <> 0),
+      |  WHERE mb <= 1 AND event_id % $LateMod <> 0),
       |final_wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
       |kept AS (
       |  SELECT ts, event_type, value FROM ordered
-      |  WHERE NOT (mb <= 3 AND event_id % $LateMod = 0)
+      |  WHERE NOT (mb <= 2 AND event_id % $LateMod = 0)
       |  UNION ALL
       |  SELECT o.ts, o.event_type, o.value FROM ordered o, wm_late
-      |  WHERE o.mb <= 3 AND o.event_id % $LateMod = 0
+      |  WHERE o.mb <= 2 AND o.event_id % $LateMod = 0
       |    AND date_trunc('hour', o.ts) + INTERVAL 1 HOUR > wm_late.wm)
       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
       |  event_type, COUNT(*) AS n_events,

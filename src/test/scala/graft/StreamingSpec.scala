@@ -104,10 +104,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("late-data gate: drop boundary follows the previous-batch watermark") {
     // Differential twin of the stream_late_data oracle, in plain Scala:
-    // every 101st event of batches 1-3 arrives in batch 4; the stateful
+    // every 101st event of batches 1-2 arrives in batch 3; the stateful
     // agg must drop exactly the displaced rows whose hour-window end is
     // <= the watermark in effect during the PREVIOUS micro-batch (max
-    // event time through batch 2, minus the 2 h delay) — Spark's
+    // event time through batch 1, minus the 2 h delay) — Spark's
     // two-watermark design (late-events filter vs eviction) — and the
     // sink must hold exactly the final-watermark-passed windows of the
     // surviving rows.
@@ -118,14 +118,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
               col("event_type"), col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .sortBy(e => (e._2, e._1))
-    // exact ntile(4): the first (N mod 4) buckets hold ceil(N/4) rows
-    val (q4, r4) = (evs.length / 4, evs.length % 4)
-    def ntile4(i: Int): Int =
-      if (i < r4 * (q4 + 1)) i / (q4 + 1) + 1
-      else (i - r4 * (q4 + 1)) / q4 + r4 + 1
-    val chunkOf = evs.zipWithIndex.map { case (e, i) => e._1 -> ntile4(i) }.toMap
-    def displaced(id: Long) = chunkOf(id) <= 3 && id % lateMod == 0
-    val wmLateUs = evs.filter(e => chunkOf(e._1) <= 2 && !displaced(e._1))
+    // exact ntile(3): the first (N mod 3) buckets hold ceil(N/3) rows
+    val (q3, r3) = (evs.length / 3, evs.length % 3)
+    def ntile3(i: Int): Int =
+      if (i < r3 * (q3 + 1)) i / (q3 + 1) + 1
+      else (i - r3 * (q3 + 1)) / q3 + r3 + 1
+    val chunkOf = evs.zipWithIndex.map { case (e, i) => e._1 -> ntile3(i) }.toMap
+    def displaced(id: Long) = chunkOf(id) <= 2 && id % lateMod == 0
+    val wmLateUs = evs.filter(e => chunkOf(e._1) <= 1 && !displaced(e._1))
       .map(_._2).max - 2 * hourUs
     val finalWmUs = evs.map(_._2).max - 2 * hourUs
     def winEnd(tsUs: Long) = (tsUs / hourUs) * hourUs + hourUs
