@@ -128,9 +128,17 @@ object Bench {
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // per-query max/min spread: >3 within one query's runs means load,
-    // not a regression — annotated so noisy entries are self-flagging
+    // not a regression — annotated so noisy entries are self-flagging.
+    // The FIRST pass's sample is excluded: every query's first execution
+    // pays one-time plan/codegen/JIT warmup by design (r11: with
+    // interleaved passes that cold sample landed in pass 1 for the whole
+    // suite and drowned the signal this metric exists for — genuine
+    // warm-mode flips). The median still includes it.
     val spreadJson = allRuns.collect {
-      case (k, ts) if !ts.contains(-1.0) && ts.min > 0 && ts.max / ts.min > 3.0 =>
+      case (k, ts0) if { val ts = ts0.drop(1)
+          ts.nonEmpty && !ts.contains(-1.0) && ts.min > 0 &&
+            ts.max / ts.min > 3.0 } =>
+        val ts = ts0.drop(1)
         "\"" + k + "\":" + fmt(ts.max / ts.min, 1)
     }.mkString("{", ",", "}")
     val oracleProv = oracleAt.map(t => s""","oracle_measured_at":$t""")

@@ -264,6 +264,87 @@ object Graph {
        |SELECT doc_id, CAST(MIN(cost) AS BIGINT) AS cost
        |FROM walk GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- graph_label_propagation
+
+  /** Fixed synchronous LPA round count: near-dup communities are shallow
+    * (cliques and short chains), so labels settle in 2-3 rounds; a
+    * social-graph deployment would run ~10 with an oscillation guard. */
+  private val LpaIters = 3
+
+  /**
+   * Community detection via synchronous label propagation over the
+   * near-dup similarity graph [EXT] — the standard cheap community pass
+   * (Raghavan et al. 2007) a pipeline runs to group template families /
+   * boilerplate clusters beyond connected components: where
+   * `dedup_components` merges anything reachable, LPA's neighbor-majority
+   * vote splits chains at their weak points while keeping cliques whole.
+   *
+   * Determinism (vanilla LPA is notoriously order-dependent): updates
+   * are SYNCHRONOUS (round k+1 reads only round k's labels) and the
+   * vote tie-break is total — max neighbor count, then smallest label —
+   * so the result is partitioning- and schedule-independent, and the
+   * DuckDB oracle replays the identical rounds as unrolled CTEs with a
+   * `row_number` vote.
+   *
+   * Scale shape: each round is ONE equi-join of the edge list against
+   * the label vector plus two aggregations ((node, label) vote counts,
+   * then per-node argmax) — the Pregel LPA dataflow, shuffling only
+   * (node, label, count) triples; rounds are a fixed unroll with lazy
+   * lineage cuts. Community sizes come from one final label aggregate.
+   */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
+    lpaOf(Dedup.dedupMinhashLsh(spark, dir))
+
+  /** The LPA loop over any undirected pair list (doc_a, doc_b) —
+    * factored for direct testing on crafted graphs. */
+  private[operators] def lpaOf(pairs: DataFrame): DataFrame = {
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var lab = Checkpoints.cut(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    for (_ <- 1 to LpaIters) {
+      // symmetric graph: every node has >= 1 neighbor, so the inner
+      // join keeps exactly the node set each round
+      val votes = edges.join(lab, edges("doc_a") === lab("doc_id"))
+        .select(col("doc_b").as("n_id"), col("label"))
+        .groupBy(col("n_id"), col("label")).agg(count(lit(1)).as("c"))
+      lab = Checkpoints.cut(votes
+        .groupBy(col("n_id").as("doc_id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("doc_id"), (-col("m.nl")).as("label")))
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "label")
+      .select(col("doc_id"), col("label"), col("csize"))
+  }
+
+  /** Oracle: identical synchronous rounds as unrolled CTEs; the argmax
+    * vote is `row_number() ... ORDER BY c DESC, label ASC`. */
+  val graphLabelPropSql: String = {
+    def round(k: Int): String =
+      s"""n$k AS (
+         |  SELECT e.doc_b AS doc_id, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN lab${k - 1} l ON l.doc_id = e.doc_a
+         |  GROUP BY 1, 2),
+         |lab$k AS (
+         |  SELECT doc_id, label FROM n$k
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                             ORDER BY c DESC, label ASC) = 1)"""
+        .stripMargin
+    s"""WITH ${Dedup.minhashPairsCtesFrom("documents")},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |lab0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |${(1 to LpaIters).map(round).mkString(",\n")},
+       |sizes AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM lab$LpaIters GROUP BY 1)
+       |SELECT l.doc_id, l.label, s.csize
+       |FROM lab$LpaIters l JOIN sizes s USING (label)""".stripMargin
+  }
+
   val graphBfsSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashPairsCtesFrom("documents")},
        |edges AS (

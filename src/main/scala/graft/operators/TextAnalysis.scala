@@ -865,6 +865,76 @@ object TextAnalysis {
        |  round(SUM(neglogp) / COUNT(*), 6) AS avg_neg_logp
        |FROM scored GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ collocations
+
+  /** Minimum corpus bigram count for a collocation candidate — the usual
+    * PMI guard against one-off pairs dominating the ranking. */
+  private val CollocMinCount = 5L
+
+  /**
+   * Collocation mining [EXT] — adjacent word pairs whose observed
+   * frequency beats independence: the phrase-detection pass (Mikolov et
+   * al. 2013's word2vec phrases, NLTK's collocation finder) a pipeline
+   * runs to promote "new york"-style units before tokenizer training.
+   *
+   * The association score is the PMI ratio kept EXACT in integers:
+   * `lift_pm = (n_ab · n_tot · 1000) div (n_a · n_b)` — the
+   * P(ab)/(P(a·)P(·b)) lift in per-mille, where the marginals are the
+   * bigram table's own row/column sums (the contingency-table
+   * convention, so Σn_a = Σn_b = n_tot exactly). log-PMI is monotone in
+   * it, so any PMI threshold/ranking is expressible downstream without
+   * ever leaving integer arithmetic (the cross-engine-hashable choice;
+   * ln() last-ulp drift is what per-mille integers exist to avoid).
+   * Overflow bound: n_ab·n_tot·1000 stays in int64 below ~3·10⁶ docs per
+   * partition-corpus; a 100 TB deployment scores per language shard (as
+   * here — the corpus IS one shard) or widens to DECIMAL(38,0).
+   *
+   * Scale shape: the corpus is shuffled ONCE (the (w1,w2) count
+   * aggregate with map-side combine); both marginals and the total
+   * derive from that vocabulary-sized pair table, not the corpus, and
+   * the final assembly joins pair-table-sized inputs (AQE broadcasts
+   * the small sides). The pair table is lineage-cut since four branches
+   * read it.
+   */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "documents")
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val co = Checkpoints.cut(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")),
+      eager = false)
+    val na = co.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val nb = co.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = co.agg(sum(col("n_ab")).as("n_tot"))
+    co.filter(col("n_ab") >= CollocMinCount)
+      .join(na, "w1").join(nb, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+              expr("(n_ab * n_tot * 1000) div (n_a * n_b)").as("lift_pm"))
+  }
+
+  val textCollocationsSql: String =
+    s"""WITH d AS (
+       |  SELECT string_split_regex(text, '\\s+') AS ts FROM documents),
+       |p AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, UNNEST(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2),
+       |co AS (SELECT w1, w2, COUNT(*) AS n_ab FROM p GROUP BY 1, 2),
+       |na AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM co GROUP BY 1),
+       |nb AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM co GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_tot FROM co)
+       |SELECT co.w1, co.w2, CAST(co.n_ab AS BIGINT) AS n_ab,
+       |  na.n_a, nb.n_b,
+       |  (CAST(co.n_ab AS BIGINT) * tot.n_tot * 1000) // (na.n_a * nb.n_b)
+       |    AS lift_pm
+       |FROM co JOIN na USING (w1) JOIN nb USING (w2) CROSS JOIN tot
+       |WHERE co.n_ab >= $CollocMinCount""".stripMargin
+
   // ----------------------------------------------------------- BPE merges
 
   /** Number of BPE merge rounds and the symbol-boundary separator (a

@@ -850,6 +850,37 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
                       10L -> 1L, 11L -> 2L, 12L -> 3L, 13L -> 4L))
   }
 
+  // ------------------------------------------- graph_label_propagation
+
+  test("lpaOf: synchronous label propagation matches a plain-Scala replay " +
+       "on a crafted clique+bridge graph (tie-break: max count, min label)") {
+    import spark.implicits._
+    // two 3-cliques {1,2,3} and {7,8,9} joined by a bridge 3-5-7, plus an
+    // isolated edge 20-21: cliques must keep their min label, the bridge
+    // node splits by the vote tie-break, the pair collapses to its min
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L),
+                  (8L, 9L), (3L, 5L), (5L, 7L), (20L, 21L))
+    val got = Graph.lpaOf(raw.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // plain-Scala synchronous replay, 3 rounds, same tie-break
+    val edges = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (n, ns) =>
+        val votes = ns.map(lab).groupBy(identity).map { case (l, os) => l -> os.size }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, os) => l -> os.size.toLong }
+    val expect = lab.map { case (n, l) => n -> (l, sizes(l)) }
+    assert(got == expect)
+    // activation: the crafted graph must actually exercise a contested
+    // vote (a node whose neighbors disagree) and a multi-community split
+    assert(expect.values.map(_._1).toSet.size >= 3, "vacuous: all one community")
+    assert(lab(5L) == 1L || lab(5L) == 7L, "bridge node saw no contest")
+  }
+
   // ------------------------------------------------------------ events_trend
 
   test("eventsTrend: recovers an exact planted line (slope 2, intercept 3)") {
