@@ -12,6 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Sessions.ramLocalDir("graft_bench_local"))
       .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
+      // The whole-stage-codegen class cache defaults to 100 entries; the
+      // 161-query suite compiles far more fragments than that, so with
+      // interleaved passes every query's codegen was evicted by the ~160
+      // queries between its reps and recompiled (+ re-JITed) each pass —
+      // measured ~26 s across the suite (94.4 vs 68 s totals). A
+      // deployment sizes this cache to its workload's plan count; 10k
+      // entries ≈ a few hundred MB ceiling, nothing at a 128 GiB heap.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor threads, codegen, and the parquet reader once so the

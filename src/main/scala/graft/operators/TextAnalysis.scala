@@ -885,9 +885,10 @@ object TextAnalysis {
    * it, so any PMI threshold/ranking is expressible downstream without
    * ever leaving integer arithmetic (the cross-engine-hashable choice;
    * ln() last-ulp drift is what per-mille integers exist to avoid).
-   * Overflow bound: n_ab·n_tot·1000 stays in int64 below ~3·10⁶ docs per
-   * partition-corpus; a 100 TB deployment scores per language shard (as
-   * here — the corpus IS one shard) or widens to DECIMAL(38,0).
+   * Overflow bound: n_ab·n_tot·1000 stays in int64 while the scored
+   * shard holds ≤ ~10⁸ bigram tokens (n_tot² · 1000 < 2⁶³); a 100 TB
+   * deployment scores per language/domain shard or widens to
+   * DECIMAL(38,0) — at this corpus the whole table is one safe shard.
    *
    * Scale shape: the corpus is shuffled ONCE (the (w1,w2) count
    * aggregate with map-side combine); both marginals and the total
