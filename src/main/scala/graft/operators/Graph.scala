@@ -321,6 +321,90 @@ object Graph {
 
   /** Oracle: identical synchronous rounds as unrolled CTEs; the argmax
     * vote is `row_number() ... ORDER BY c DESC, label ASC`. */
+  // ----------------------------------------------------------- graph_kcore
+
+  /** Core order and peeling-round bound: [[KcoreK]]=3 keeps nodes with
+    * ≥3 surviving neighbors; [[KcoreRounds]]=3 synchronous peels — the
+    * shallow near-dup graph settles immediately (a web/social graph
+    * would peel to fixpoint with a convergence check). */
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
+  /**
+   * Bounded k-core peeling over the near-dup similarity graph [EXT] —
+   * the density/cohesion diagnostic that separates CLONE CLUSTERS
+   * (cliques: every member keeps ≥k neighbors under peeling) from
+   * incidental similarity chains (pendant paths: peeled away): the
+   * survivors of 3-core peeling are the template families worth a
+   * one-per-cluster sampling decision, where plain components
+   * ([[Dedup]]'s `dedup_components`) cannot tell a chain from a clique.
+   *
+   * Each synchronous peel recomputes every surviving node's degree in
+   * the SURVIVING subgraph and drops nodes below k — deterministic
+   * (counts only, no tie-breaks needed). Output: survivors after
+   * [[KcoreRounds]] peels with their final in-subgraph degree.
+   *
+   * Scale shape: per round, TWO semi-joins of the edge list against the
+   * alive set (both endpoints must survive) and one count aggregate —
+   * shuffled data ∝ surviving edges, which only shrinks; rounds are a
+   * fixed unroll with lazy lineage cuts. The oracle unrolls the same
+   * peels as CTEs.
+   */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Dedup.dedupMinhashLsh(spark, dir))
+
+  /** The peeling loop over any undirected pair list (doc_a, doc_b) —
+    * factored for direct testing on crafted graphs. */
+  private[operators] def kcoreOf(pairs: DataFrame): DataFrame = {
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var alive = edges.select(col("doc_a").as("doc_id")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to KcoreRounds) {
+      deg = Checkpoints.cut(edges
+        .join(alive.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(alive.select(col("doc_id").as("doc_b")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("deg")))
+      alive = deg.filter(col("deg") >= KcoreK).select(col("doc_id"))
+    }
+    // final degree re-measured in the surviving subgraph, so the output
+    // is self-consistent: every reported deg counts only co-survivors
+    edges
+      .join(alive.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(alive.select(col("doc_id").as("doc_b")), "doc_b")
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KcoreK)
+  }
+
+  /** Oracle: identical synchronous peels as unrolled CTEs. */
+  val graphKcoreSql: String = {
+    def peel(k: Int): String =
+      s"""deg$k AS (
+         |  SELECT e.doc_a AS doc_id, COUNT(*) AS c
+         |  FROM edges e
+         |  JOIN alive${k - 1} a ON a.doc_id = e.doc_a
+         |  JOIN alive${k - 1} b ON b.doc_id = e.doc_b
+         |  GROUP BY 1),
+         |alive$k AS (SELECT doc_id FROM deg$k WHERE c >= $KcoreK)"""
+        .stripMargin
+    s"""WITH ${Dedup.minhashPairsCtesFrom("documents")},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |alive0 AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+       |${(1 to KcoreRounds).map(peel).mkString(",\n")},
+       |fin AS (
+       |  SELECT e.doc_a AS doc_id, COUNT(*) AS deg
+       |  FROM edges e
+       |  JOIN alive$KcoreRounds a ON a.doc_id = e.doc_a
+       |  JOIN alive$KcoreRounds b ON b.doc_id = e.doc_b
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(deg AS BIGINT) AS deg
+       |FROM fin WHERE deg >= $KcoreK""".stripMargin
+  }
+
   val graphLabelPropSql: String = {
     def round(k: Int): String =
       s"""n$k AS (

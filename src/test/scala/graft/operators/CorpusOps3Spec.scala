@@ -881,6 +881,34 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lab(5L) == 1L || lab(5L) == 7L, "bridge node saw no contest")
   }
 
+  // ----------------------------------------------------------- graph_kcore
+
+  test("kcoreOf: 3-core peeling keeps the clique, sheds pendant chains — " +
+       "plain-Scala synchronous-peel replay on a crafted graph") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (deg 3 each: survives 3-core) with a pendant chain
+    // 4-10-11 (peels: 11 then 10), a triangle {20,21,22} (deg 2: peels
+    // entirely under k=3), and a K4 missing one edge {30,31,32,33}
+    // without (32,33): degs 3,3,2,2 -> 32/33 peel, then 30/31 drop to 2
+    // -> whole cluster peels. Only the true K4 survives.
+    val raw = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+                  (4L,10L),(10L,11L),
+                  (20L,21L),(20L,22L),(21L,22L),
+                  (30L,31L),(30L,32L),(30L,33L),(31L,32L),(31L,33L))
+    val got = Graph.kcoreOf(raw.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala synchronous replay: 3 peels + final in-subgraph degree
+    val edges = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    var alive = edges.map(_._1).toSet
+    def degs(a: Set[Long]) = edges.filter(e => a(e._1) && a(e._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    for (_ <- 1 to 3) alive = degs(alive).filter(_._2 >= 3).keySet
+    val expect = degs(alive).filter(_._2 >= 3)
+    assert(got == expect)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "only the K4 should survive")
+    assert(got.values.forall(_ == 3L))
+  }
+
   // ------------------------------------------------------------ events_trend
 
   test("eventsTrend: recovers an exact planted line (slope 2, intercept 3)") {
