@@ -936,6 +936,68 @@ object TextAnalysis {
        |FROM co JOIN na USING (w1) JOIN nb USING (w2) CROSS JOIN tot
        |WHERE co.n_ab >= $CollocMinCount""".stripMargin
 
+  // ------------------------------------------------------- feature hashing
+
+  /** Hashed feature space size (a small power of two, so bucket = low 9
+    * hash bits and the sign bit is the next one up) and the per-doc
+    * sparse-signature size. */
+  private val FhBuckets = 512L
+  private val FhTopK = 8
+
+  /**
+   * Hashing-trick feature vectorization [EXT] — the Vowpal-Wabbit /
+   * fastText representation op: every token maps to one of [[FhBuckets]]
+   * buckets by hash, with a hash-derived ±1 sign so colliding features
+   * cancel in expectation instead of compounding (Weinberger et al.
+   * 2009); a document's vector is the signed bucket-count histogram.
+   * Emitted as each doc's TOP-[[FhTopK]] buckets by |weight| (ties to
+   * the smaller bucket) — the sparse signature a downstream linear
+   * model or nearest-neighbor index consumes. All integer arithmetic;
+   * bucket and sign come from disjoint bits of the shared 60-bit md5
+   * ([[Tables.md5Long]]), so the oracle reproduces every weight
+   * exactly (sign bit via `h // 512 % 2` ≡ bit 9).
+   *
+   * Scale shape: one (doc, bucket) count aggregate with map-side
+   * combine (the corpus' only shuffle of token-derived rows — 16 bytes
+   * per row past the scan), then a doc-partitioned top-k window over
+   * the ≤[[FhBuckets]]-per-doc aggregate — never a global sort.
+   */
+  def textHashedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5Long(col("tok"))
+    val fq = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+              pmod(h, lit(FhBuckets)).as("bucket"),
+              (lit(1L) - lit(2L) * pmod(shiftright(h, 9), lit(2L))).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(abs(col("weight")).desc, col("bucket").asc)
+    fq.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= FhTopK)
+  }
+
+  val textHashedFeaturesSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM tk),
+       |fq AS (
+       |  SELECT doc_id, h % $FhBuckets AS bucket,
+       |    CAST(SUM(1 - 2 * ((h // $FhBuckets) % 2)) AS BIGINT) AS weight
+       |  FROM hb GROUP BY 1, 2)
+       |SELECT doc_id, bucket, weight, rank FROM (
+       |  SELECT doc_id, bucket, weight,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY abs(weight) DESC, bucket ASC) AS rank
+       |  FROM fq WHERE weight <> 0)
+       |WHERE rank <= $FhTopK""".stripMargin
+
   // ----------------------------------------------------------- BPE merges
 
   /** Number of BPE merge rounds and the symbol-boundary separator (a
