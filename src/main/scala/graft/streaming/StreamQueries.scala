@@ -159,7 +159,8 @@ object StreamQueries {
     * ~1.0 s -> ~0.3 s at 8, and 1 shaves the remaining snapshot/commit
     * fan-out at this trigger size). Results are partitioning-invariant
     * (hash state keying), which StreamingSpec's differentials pin. */
-  private val StreamStatePartitions = 1
+  private val StreamStatePartitions =
+    sys.env.get("GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse(1)
 
   /** @param needsNoDataBatch whether the drained result depends on the
     *   trailing NO-DATA micro-batch (the extra trigger Spark runs so the
@@ -188,11 +189,17 @@ object StreamQueries {
     // queries in the session keep the session's settings
     val partKey = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // the checkpoint lives on throwaway local tmpfs — swap the checksummed
+    // local FS out of its commit path (measured ~30 ms/trigger of CRC
+    // shadow-file traffic across offset log + commit log + state deltas)
+    val cfmKey = "spark.sql.streaming.checkpointFileManagerClass"
     val prev = spark.conf.get(partKey)
     val prevNoData = spark.conf.get(noDataKey)
+    val prevCfm = spark.conf.getOption(cfmKey)
     try {
       spark.conf.set(partKey, StreamStatePartitions.toString)
       spark.conf.set(noDataKey, needsNoDataBatch.toString)
+      spark.conf.set(cfmKey, classOf[FastLocalCheckpointFileManager].getName)
       val q = try {
         xform(EventStreams.readEventsStream(spark, src.toString))
           .writeStream.format("memory").queryName(name)
@@ -202,11 +209,18 @@ object StreamQueries {
       } finally {
         spark.conf.set(partKey, prev)
         spark.conf.set(noDataKey, prevNoData)
+        prevCfm match {
+          case Some(v) => spark.conf.set(cfmKey, v)
+          case None => spark.conf.unset(cfmKey)
+        }
       }
       try q.processAllAvailable() finally q.stop()
       // the memory sink holds the drained result; the checkpoint is no
-      // longer needed
-      spark.table(name)
+      // longer needed. The sink's LocalTableScan would otherwise
+      // parallelize a few thousand driver-local rows across
+      // defaultParallelism (32) tasks for whatever action the caller
+      // runs — coalesce(1) keeps the drained-result read a 1-task stage.
+      spark.table(name).coalesce(1)
     } finally rm(ckpt)
   }
 
