@@ -127,8 +127,9 @@ case class NearestCentroid(left: Expression, right: Expression,
 
 object NearestCentroid {
   /** Spark's nan-safe double compare (NaN greatest, NaN == NaN),
-    * the ordering struct-max uses for the ccos field. */
-  private def cmp(x: Double, y: Double): Int = {
+    * the ordering struct-max/min uses for the score field (also the
+    * distance compare of [[PqAssign]]). */
+  def cmpNanSafe(x: Double, y: Double): Int = {
     val xn = java.lang.Double.isNaN(x)
     val yn = java.lang.Double.isNaN(y)
     if ((xn && yn) || (x == y)) 0
@@ -152,7 +153,7 @@ object NearestCentroid {
       var i = 0
       while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
       val score = s / (nrm * cns(j))
-      val c = if (first) 1 else cmp(score, bestScore)
+      val c = if (first) 1 else cmpNanSafe(score, bestScore)
       if (c > 0 || (c == 0 && ids(j) < bestId)) {
         bestScore = score; bestId = ids(j)
       }
@@ -160,6 +161,100 @@ object NearestCentroid {
       j += 1
     }
     bestId
+  }
+}
+
+/**
+ * Product-quantization code assignment — ALL subspaces' argmins in ONE
+ * native expression: for each of the `m` codebooks, the argmin squared-L2
+ * code of the corresponding subvector of `v` (ties to the smaller code),
+ * returned as an `array<bigint>` of `m` codes.
+ *
+ * Replaces the per-subspace `array_min(transform(bookLit, …))` stack —
+ * higher-order functions interpret a lambda per element and allocate a
+ * 16-struct array per row PER SUBSPACE (8 × 16 l2sq folds = 1024
+ * interpreted lambda frames per row). Here the codebooks ride in the
+ * codegen `references` array and the whole assignment is one static
+ * JIT-friendly triple loop — constant generated-code size, fuses into any
+ * whole-stage-codegen stage (same rationale as [[NearestCentroid]]).
+ *
+ * Bit-identical to the HOF form: squared-L2 accumulates (x−c)² strictly
+ * left-to-right from +0.0 over min(subDim, centroid length) elements, and
+ * the argmin mirrors `array_min` over `struct(d, code)` — nan-safe
+ * lexicographic min (smallest distance; ties to the smallest code; NaN
+ * greater than any value).
+ *
+ * Subvector m is `v[m·subDim … m·subDim+subDim)` — the [[Similarity]]
+ * `pqSub` slice — read in place; no slice allocation.
+ */
+case class PqAssign(child: Expression, books: Array[Array[Array[Double]]],
+    codes: Array[Array[Long]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(books.length == codes.length && books.nonEmpty &&
+            books.indices.forall(m => books(m).length == codes(m).length
+                                        && books(m).nonEmpty),
+    "PqAssign needs equal-shape, non-empty codebook/code tables")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> argument, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_assign"
+
+  override def nullSafeEval(a: Any): Any =
+    PqAssign.assign(a.asInstanceOf[ArrayData], books, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.addReferenceObj("books", books, "double[][][]")
+      val c = ctx.addReferenceObj("codes", codes, "long[][]")
+      s"${ev.value} = graft.functions.PqAssign.assign($v, $b, $c, $subDim);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqAssign {
+  /** Per-subspace argmin squared-L2 over the codebooks (ties to the
+    * smaller code, NaN-safe like `array_min`). Called from generated
+    * code — static, one result allocation. */
+  def assign(v: ArrayData, books: Array[Array[Array[Double]]],
+             codes: Array[Array[Long]], subDim: Int): ArrayData = {
+    val out = new Array[Long](books.length)
+    var m = 0
+    while (m < books.length) {
+      val book = books(m)
+      val off = m * subDim
+      var bestD = Double.NaN
+      var bestCode = 0L
+      var first = true
+      var j = 0
+      while (j < book.length) {
+        val cv = book(j)
+        val n = math.min(subDim, cv.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val t = v.getDouble(off + i) - cv(i)
+          d += t * t
+          i += 1
+        }
+        val c = if (first) -1 else NearestCentroid.cmpNanSafe(d, bestD)
+        if (c < 0 || (c == 0 && codes(m)(j) < bestCode)) {
+          bestD = d; bestCode = codes(m)(j)
+        }
+        first = false
+        j += 1
+      }
+      out(m) = bestCode
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -176,6 +271,12 @@ object VectorFunctions {
                       cns: Array[Double], ids: Array[Long]): Column =
     GraftShims.column(NearestCentroid(
       GraftShims.expression(v), GraftShims.expression(nrm), cents, cns, ids))
+
+  /** Column-level PQ code assignment: per-codebook argmin squared-L2
+    * codes of `v`'s subvectors as one `array<bigint>` — see [[PqAssign]]. */
+  def pqAssign(v: Column, books: Array[Array[Array[Double]]],
+               codes: Array[Array[Long]], subDim: Int): Column =
+    GraftShims.column(PqAssign(GraftShims.expression(v), books, codes, subDim))
 
   /** Make `graft_dot` callable from SQL in an already-running session
     * (new sessions can use [[graft.plans.GraftExtensions]] instead). */

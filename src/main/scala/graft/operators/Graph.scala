@@ -319,8 +319,6 @@ object Graph {
       .select(col("doc_id"), col("label"), col("csize"))
   }
 
-  /** Oracle: identical synchronous rounds as unrolled CTEs; the argmax
-    * vote is `row_number() ... ORDER BY c DESC, label ASC`. */
   // ----------------------------------------------------------- graph_kcore
 
   /** Core order and peeling-round bound: [[KcoreK]]=3 keeps nodes with
@@ -359,9 +357,8 @@ object Graph {
     val edges = Checkpoints.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var alive = edges.select(col("doc_a").as("doc_id")).distinct()
-    var deg: DataFrame = null
     for (_ <- 1 to KcoreRounds) {
-      deg = Checkpoints.cut(edges
+      val deg = Checkpoints.cut(edges
         .join(alive.select(col("doc_id").as("doc_a")), "doc_a")
         .join(alive.select(col("doc_id").as("doc_b")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
@@ -405,6 +402,8 @@ object Graph {
        |FROM fin WHERE deg >= $KcoreK""".stripMargin
   }
 
+  /** Oracle: identical synchronous rounds as unrolled CTEs; the argmax
+    * vote is `row_number() ... ORDER BY c DESC, label ASC`. */
   val graphLabelPropSql: String = {
     def round(k: Int): String =
       s"""n$k AS (

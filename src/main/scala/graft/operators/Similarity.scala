@@ -564,18 +564,17 @@ object Similarity {
       struct(array(cv.map(lit): _*).as("cv"), lit(code).as("c"))
     }: _*)
 
-  private def pqAssign(df: DataFrame, sv: Column, cents: Seq[(Long, Seq[Double])],
-                       out: String): DataFrame = {
-    val scores = transform(bookLit(cents), cb =>
-      struct(l2sq(sv, cb.getField("cv")).as("d"), cb.getField("c").as("c")))
-    df.withColumn(out, array_min(scores).getField("c"))
-  }
-
-  private def collectPqCents(cent: DataFrame): Seq[(Long, Seq[Double])] =
-    cent.collect().map(r => (
-        r.getAs[Number]("cluster").longValue(),
-        r.getSeq[Double](cent.columns.indexOf("cv"))))
-      .sortBy(_._1).toSeq
+  /** All-m PQ code assignment as ONE native projection column: the
+    * codebooks ride the codegen references array
+    * ([[graft.functions.PqAssign]]). Replaces the per-subspace
+    * `array_min(transform(bookLit, …))` stacks — 8 × 16 interpreted
+    * l2sq lambda folds per row — with one JIT-compiled triple loop;
+    * bit-identical argmin (same left-to-right (x−c)² fold, same
+    * nan-safe tie-to-smaller-code order). */
+  private def pqCodes(v: Column, books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    graft.functions.VectorFunctions.pqAssign(v,
+      books.map(_.map(_._2.toArray).toArray).toArray,
+      books.map(_.map(_._1).toArray).toArray, PqSubDim)
 
   /**
    * Product-quantization top-k [EXT] — the billion-scale ANN memory
@@ -626,24 +625,34 @@ object Similarity {
     * bit-identical to the oracle's per-subspace CTEs. */
   private def pqTrainBooks(cIn: DataFrame): Seq[Seq[(Long, Seq[Double])]] = {
     val base = cIn.select(col("vec_id"), col("v"))
-    val cent0 = base
+    // init codebooks: ONE (cluster, dim) quantized-mean aggregation,
+    // assembled on the driver — k·dim rows, driver-sized at any corpus
+    // scale. (The former collect_list+array_sort vector rebuild was a
+    // second shuffle stage per barrier — the [[trainCents]] scheme
+    // applied to PQ, r12.) Bit-identical: same exact-integer-sum m,
+    // same dim sort order.
+    val rows0 = base
       .select((col("vec_id") % PqK).cast("long").as("cluster"),
               posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
       .agg((sum(floor(col("x") * lit(1e6))).cast("double")
               / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
-      .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-                     s => s.getField("m")).as("cv"))
-    val c0 = collectPqCents(cent0)
+      .collect()
+    val c0 = rows0.groupBy(_.getAs[Number]("cluster").longValue())
+      .map { case (cl, rs) =>
+        (cl, rs.sortBy(_.getAs[Number]("dim").longValue())
+               .map(_.getAs[Double]("m")).toSeq) }
+      .toSeq.sortBy(_._1)
     val books0: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map(m =>
       c0.map { case (cl, cv) =>
         (cl, cv.slice(m * PqSubDim, (m + 1) * PqSubDim)) })
-    val asg1 = (0 until PqM).foldLeft(base) {
-      (df, m) => pqAssign(df, pqSub(m, col("v")), books0(m), s"c$m")
-    }
-    val cent1 = asg1
-      .select(array((0 until PqM).map(m => col(s"c$m")): _*).as("cs"),
+    // ONE Lloyd step: all 8 per-subspace argmin assignments in one
+    // native projection ([[pqCodes]]), all 8 codebooks re-estimated in
+    // ONE aggregation keyed by (subspace, code, dim-in-subspace) — the
+    // same partitions as per-subspace (code, dim), so every mean is
+    // bit-identical to the oracle's per-subspace CTEs.
+    val rows1 = base
+      .select(pqCodes(col("v"), books0).as("cs"),
               posexplode(col("v")).as(Seq("dim", "x")))
       .select(expr(s"dim div $PqSubDim").as("sub"),
               element_at(col("cs"),
@@ -653,25 +662,25 @@ object Similarity {
       .groupBy(col("sub"), col("cluster"), col("dim_in"))
       .agg((sum(floor(col("x") * lit(1e6))).cast("double")
               / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
-      .groupBy(col("sub"), col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("dim_in"), col("m")))),
-                     s => s.getField("m")).as("cv"))
       .collect()
     (0 until PqM).map { m =>
-      cent1.filter(_.getAs[Number]("sub").longValue() == m)
-        .map(r => (r.getAs[Number]("cluster").longValue(),
-                   r.getSeq[Double](2)))
-        .sortBy(_._1).toSeq
+      rows1.filter(_.getAs[Number]("sub").longValue() == m)
+        .groupBy(_.getAs[Number]("cluster").longValue())
+        .map { case (cl, rs) =>
+          (cl, rs.sortBy(_.getAs[Number]("dim_in").longValue())
+                 .map(_.getAs[Double]("m")).toSeq) }
+        .toSeq.sortBy(_._1)
     }
   }
 
-  /** Zero-shuffle PQ encode: 8 transform-over-literal-codebook argmin
-    * projections (see [[bookLit]]), keeping `keep` + the code columns. */
+  /** Zero-shuffle PQ encode: ONE native all-subspace argmin projection
+    * ([[pqCodes]]), fanned out to the `code{m}` columns the ADC lookup
+    * terms read. */
   private def pqEncode(base: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
                        keep: Seq[String]): DataFrame =
-    (0 until PqM).foldLeft(base) {
-      (df, m) => pqAssign(df, pqSub(m, col("v")), books(m), s"code$m")
-    }.select(keep.map(col) ++ (0 until PqM).map(m => col(s"code$m")): _*)
+    base.withColumn("cs", pqCodes(col("v"), books))
+      .select(keep.map(col) ++
+        (0 until PqM).map(m => element_at(col("cs"), m + 1).as(s"code$m")): _*)
 
   /** Per-query ADC lookup table as a plan expression over the literal
     * codebooks: an array of per-subspace MAPS code → <query subvector m,

@@ -942,6 +942,11 @@ object TextAnalysis {
     * hash bits and the sign bit is the next one up) and the per-doc
     * sparse-signature size. */
   private val FhBuckets = 512L
+  /** Sign bit = the bit just above the bucket bits: both engines take it
+    * as `h / FhBuckets mod 2`, so deriving the shift from the constant
+    * (rather than hardcoding 9) keeps Spark and the oracle coupled
+    * structurally if the bucket count ever changes. */
+  private val FhShift = java.lang.Long.numberOfTrailingZeros(FhBuckets)
   private val FhTopK = 8
 
   /**
@@ -969,7 +974,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"),
               pmod(h, lit(FhBuckets)).as("bucket"),
-              (lit(1L) - lit(2L) * pmod(shiftright(h, 9), lit(2L))).as("sgn"))
+              (lit(1L) - lit(2L) * pmod(shiftright(h, FhShift), lit(2L))).as("sgn"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("sgn")).as("weight"))
       .filter(col("weight") =!= 0)

@@ -78,4 +78,44 @@ class VectorFunctionsSpec extends AnyFunSuite {
         cents, cns, ids).as("c"))
     assert(nulls.head.isNullAt(0))
   }
+
+  test("PqAssign matches the per-subspace array_min HOF formulation, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val subDim = 8
+    val m = 4
+    val k = 6
+    // per-subspace codebooks; duplicate a centroid in subspace 2 under a
+    // LARGER code so the tie must resolve to the smaller code
+    val books = Array.fill(m)(Array.fill(k)(Array.fill(subDim)(rnd.nextDouble() * 2 - 1)))
+    books(2)(4) = books(2)(1).clone()
+    val codes = Array.fill(m)(Array(3L, 7L, 11L, 20L, 25L, 31L))
+    val rows = Seq.fill(400)(Array.fill(m * subDim)(rnd.nextDouble() * 2 - 1))
+    val df = rows.toDF("v")
+    // the pre-r12 formulation: per subspace, array_min over literal
+    // struct(l2sq, code) — smallest distance, ties to the smallest code
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, x) => acc + x)
+    val hofCodes = array((0 until m).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val scores = array(books(s).zipWithIndex.map { case (cv, j) =>
+        struct(l2sq(sub, array(cv.map(lit).toIndexedSeq: _*)).as("d"),
+               lit(codes(s)(j)).as("c"))
+      }.toIndexedSeq: _*)
+      array_min(scores).getField("c")
+    }: _*)
+    val both = df.select(
+      VectorFunctions.pqAssign(col("v"), books, codes, subDim).as("native"),
+      hofCodes.as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // the subspace-2 duplicate-centroid tie resolves to code 7, never 25
+    val s2 = both.select(element_at(col("native"), 3).as("c2"))
+    assert(s2.filter(col("c2") === 25L).count() == 0)
+    assert(s2.filter(col("c2") === 7L).count() > 0)
+    // null propagation
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+      .select(VectorFunctions.pqAssign(col("v"), books, codes, subDim).as("c"))
+    assert(nulls.head.isNullAt(0))
+  }
 }
