@@ -30,16 +30,15 @@ import Tables._
 object Dedup {
 
   /** Tokens of a document (synthetic testdata is single-space separated;
-    * `\s+` keeps it robust to real whitespace). */
-  private def toks(c: Column): Column = split(c, "\\s+")
+    * `\s+` semantics keep it robust to real whitespace) — the native
+    * byte-scan expression, bit-identical to `split(c, "\\s+")`
+    * (TextFunctionsSpec). */
+  private def toks(c: Column): Column = graft.functions.TextFunctions.wsTokens(c)
 
-  /** Distinct 3-word shingles of a token array, via indexed transform. */
+  /** Distinct 3-word shingles of a token array — native n-gram join,
+    * bit-identical to the indexed-transform HOF form (TextFunctionsSpec). */
   private def shingles3(ts: Column): Column =
-    array_distinct(filter(
-      transform(ts, (x, i) =>
-        when(i + 2 < size(ts), // 0-based: needs elements i, i+1, i+2
-          concat_ws(" ", x, element_at(ts, i + 2), element_at(ts, i + 3)))),
-      s => s.isNotNull))
+    array_distinct(graft.functions.TextFunctions.ngramsJoined(ts, 3))
 
   /** DuckDB twin of [[shingles3]] (1-based indexed lambda). */
   private val shingles3Sql: String =
@@ -745,12 +744,9 @@ object Dedup {
       .withColumn("n_windows",
         greatest(lit(0L), size(col("ts")).cast("long") - (SubstrW - 1)))
     val wins = d
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(ts) >= $SubstrW
-           |  THEN transform(sequence(1, size(ts) - ${SubstrW - 1}),
-           |         i -> array_join(slice(ts, i, $SubstrW), ' '))
-           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as("win"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), SubstrW))
+          .as("win"))
       .select(col("doc_id"), md5Long(col("win")).as("h"))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)

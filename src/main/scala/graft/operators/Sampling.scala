@@ -131,14 +131,11 @@ object Sampling {
     // only (doc_id, hash) and the split string is re-derived afterwards
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
-              split(col("text"), "\\s+").as("ts"))
+              graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
       .filter(col("split") =!= "valid")
     val grams = d.select(col("doc_id"),
-        explode(expr(
-          s"""CASE WHEN size(ts) >= $DecontamN
-             |  THEN transform(sequence(1, size(ts) - ${DecontamN - 1}),
-             |         i -> array_join(slice(ts, i, $DecontamN), ' '))
-             |  ELSE array() END""".stripMargin)).as("gram"))
+        explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), DecontamN))
+          .as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("h"))
       .distinct()
       .withColumn("split", splitCol(col("doc_id")))
@@ -358,11 +355,11 @@ object Sampling {
    */
   def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
     val feats = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("ts"))
+      .select(col("doc_id"), col("lang"),
+              graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), 2)).as("bg"))
       .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b"))
     val bucketCounts = feats.groupBy(col("b")).agg(
       count(lit(1)).as("c_raw"),

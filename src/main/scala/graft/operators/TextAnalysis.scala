@@ -17,13 +17,14 @@ import Tables._
  */
 object TextAnalysis {
 
-  /** Whitespace tokenizer. NOTE: like DuckDB's `string_split_regex`,
-    * Spark's `split` (limit -1) keeps the zero-length token produced by
-    * LEADING whitespace, so word counts on padded text run one high vs
-    * Gopher's strict semantics — a deliberate deviation kept IDENTICAL in
-    * both engines (the oracle tokenizes the same way) so every gated
-    * count/ratio stays bit-for-bit comparable. */
-  private def toks(c: Column): Column = split(c, "\\s+")
+  /** Whitespace tokenizer — the native byte-scan expression, bit-identical
+    * to `split(c, "\\s+")` (TextFunctionsSpec). NOTE: like DuckDB's
+    * `string_split_regex`, Java split semantics (limit -1) keep the
+    * zero-length token produced by LEADING whitespace, so word counts on
+    * padded text run one high vs Gopher's strict semantics — a deliberate
+    * deviation kept IDENTICAL in both engines (the oracle tokenizes the
+    * same way) so every gated count/ratio stays bit-for-bit comparable. */
+  private def toks(c: Column): Column = graft.functions.TextFunctions.wsTokens(c)
 
   /** Token counting: whitespace tokens, distinct tokens, a BPE-ish regex
     * token count (letter runs / digit runs / single other chars), and mean
@@ -446,9 +447,9 @@ object TextAnalysis {
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= WinK)
-      .select(col("doc_id"), size(col("ts")).as("n_tokens"), posexplode(expr(
-        s"transform(sequence(1, size(ts) - ${WinK - 1}), i -> array_join(slice(ts, i, $WinK), ' '))"))
-        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        posexplode(graft.functions.TextFunctions.ngramsJoined(col("ts"), WinK))
+          .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("n_tokens"), col("pos"), md5Long(col("gram")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinW - 1)
@@ -683,11 +684,8 @@ object TextAnalysis {
     val perDoc = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
       .select(col("doc_id"), col("lang"),
-        explode(filter(
-          transform(col("ts"), (x, i) =>
-            when(i + 1 < size(col("ts")),
-              concat_ws(" ", x, element_at(col("ts"), i + 2)))),
-          s => s.isNotNull)).as("bigram"))
+        explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), 2))
+          .as("bigram"))
       .groupBy(col("lang"), col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("n"))
     val vocab = perDoc
@@ -809,9 +807,8 @@ object TextAnalysis {
       .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
               toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2) // no bigrams in a 1-token doc
-      .select(col("doc_id"), col("split"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
-        .as("p"))
+      .select(col("doc_id"), col("split"),
+        explode(graft.functions.TextFunctions.bigramPairs(col("ts"))).as("p"))
       .select(col("doc_id"), col("split"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val trainBi = d.filter(col("split") === "train")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -901,9 +898,7 @@ object TextAnalysis {
     val pairs = t(spark, dir, "documents")
       .select(toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
-        .as("p"))
+      .select(explode(graft.functions.TextFunctions.bigramPairs(col("ts"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val co = Checkpoints.cut(
       pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")),

@@ -65,6 +65,15 @@ object StreamLab {
       "novalcl" -> Map(
         "spark.sql.streaming.stateStore.formatValidation.enabled" -> "false",
         "spark.sql.streaming.stateStore.compression.codec" -> "lz4"),
+      "retain1" -> Map(
+        "spark.sql.streaming.maxBatchesToRetainInMemory" -> "1"),
+      "snapmaint" -> Map(
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100",
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s"),
+      "all3" -> Map(
+        "spark.sql.streaming.maxBatchesToRetainInMemory" -> "1",
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100",
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s"),
       "baseline2" -> Map()
     )
     val picked = if (args.nonEmpty) combos.filter(c => args.contains(c._1)) else combos
