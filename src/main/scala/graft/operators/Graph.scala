@@ -444,4 +444,108 @@ object Graph {
        |  WHERE w.dist < $BfsMaxHops)
        |SELECT doc_id, CAST(MIN(dist) AS INT) AS dist
        |FROM walk GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ graph_hits
+
+  /** HITS rounds (one round = authority update + hub update); mutual
+    * reinforcement on a shallow bipartite graph settles in two. */
+  private val HitsRounds = 2
+
+  /** 1.0 in integer L1-normalization units. 1e6 (not PageRank's wider
+    * micro-unit budget) because the pre-normalization raw sums multiply
+    * a unit-scaled score by an edge weight and then by [[HitsScale]]
+    * inside the normalizing division: raw ≤ HitsScale·Σw, so
+    * raw·HitsScale ≤ 1e12·Σw — int64-safe through Σw ≈ 9e6 events per
+    * normalization domain. Beyond that (the 100 TB case) the same plan
+    * normalizes per shard and rescales hierarchically, exactly like the
+    * [[TextAnalysis]] collocation counts; DuckDB's hugeint SUM hides
+    * the bound, Spark's long SUM does not, so the bound is documented
+    * where it binds. */
+  private val HitsScale = 1000000L
+
+  /**
+   * HITS (hubs & authorities) over the bipartite user↔event-type
+   * interaction graph [EXT] — the classic Kleinberg iteration on a
+   * clickstream: event types that attract engaged users score as
+   * authorities, users whose activity concentrates on authoritative
+   * types score as hubs. In a training-data pipeline this is the
+   * interaction-graph twin of PageRank: a source-quality /
+   * account-weighting signal derived purely from structure.
+   *
+   * Scale shape: the graph is collapsed ONCE to weighted edges
+   * (user, type, count) — a map-side-combinable aggregate that shrinks
+   * the event log to the distinct interaction matrix. Each half-round
+   * is then one join + one sum-aggregate over those edges: the
+   * authority table is event-type-sized and BROADCAST back, so the
+   * user-side update never shuffles the edge list; the hub update
+   * aggregates by user — the same Pregel dataflow as
+   * [[graphPagerank]]. Normalization totals are one-row aggregates,
+   * crossJoin(broadcast(...)).
+   *
+   * Determinism: all arithmetic is int64 in [[HitsScale]] units with
+   * integer division (floor; all values non-negative), L1-normalized
+   * each half-round — associative, partitioning-independent,
+   * bit-identical in the oracle.
+   */
+  def graphHits(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(t(spark, dir, "events")
+      .groupBy(col("user_id").as("u"), col("event_type").as("i"))
+      .agg(count(lit(1)).as("w")))
+
+  /** HITS iteration on a weighted bipartite edge list (u, i, w) —
+    * factored for direct spec replay against a hand-computed graph.
+    *
+    * Each L1 normalization references its raw-sum table twice (once for
+    * the values, once for the total), so without a lineage cut the hub
+    * subtree would duplicate exponentially across rounds (3ⁿ plan
+    * copies — measured 76 exchanges at 2 rounds). The raw sums are
+    * type-sized / user-sized, so cutting them per half-round is the
+    * same per-iteration materialization [[graphKcore]] does per peel —
+    * and exactly what a Pregel implementation persists anyway. */
+  private[graft] def hitsOf(edges: DataFrame): DataFrame = {
+    val e = Checkpoints.cut(edges)
+    // hub0 = 1 unit per user
+    var hub = e.select(col("u")).distinct().withColumn("hub", lit(1L))
+    for (_ <- 1 to HitsRounds) {
+      val ar = Checkpoints.cut(e.join(hub, "u")
+        .groupBy(col("i")).agg(sum(col("hub") * col("w")).as("s")))
+      val auth = ar.crossJoin(broadcast(ar.agg(sum(col("s")).as("tot"))))
+        .select(col("i"), expr(s"(s * $HitsScale) div tot").as("auth"))
+      val hr = Checkpoints.cut(e.join(broadcast(auth), "i")
+        .groupBy(col("u")).agg(sum(col("auth") * col("w")).as("s")))
+      hub = hr.crossJoin(broadcast(hr.agg(sum(col("s")).as("tot"))))
+        .select(col("u"), expr(s"(s * $HitsScale) div tot").as("hub"))
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("n_types"))
+      .join(hub, "u")
+      .select(col("u").as("user_id"), col("n_types"),
+              col("hub").as("hub_units"))
+  }
+
+  /** Oracle: identical integer HITS, half-rounds unrolled as CTEs; the
+    * normalizing totals are scalar subqueries. DuckDB sums BIGINT into
+    * HUGEINT, so every normalized score is cast back to BIGINT. */
+  val graphHitsSql: String = {
+    def round(k: Int): String =
+      s"""ar$k AS (
+         |  SELECT e.i, SUM(h.hub * e.w) AS s
+         |  FROM e JOIN h${k - 1} h USING (u) GROUP BY 1),
+         |a$k AS (
+         |  SELECT i, CAST(s * $HitsScale // (SELECT SUM(s) FROM ar$k) AS BIGINT) AS auth
+         |  FROM ar$k),
+         |hr$k AS (
+         |  SELECT e.u, SUM(a.auth * e.w) AS s
+         |  FROM e JOIN a$k a USING (i) GROUP BY 1),
+         |h$k AS (
+         |  SELECT u, CAST(s * $HitsScale // (SELECT SUM(s) FROM hr$k) AS BIGINT) AS hub
+         |  FROM hr$k)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type AS i, COUNT(*) AS w
+       |  FROM events GROUP BY 1, 2),
+       |nt AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_types FROM e GROUP BY 1),
+       |h0 AS (SELECT u, CAST(1 AS BIGINT) AS hub FROM nt),
+       |${(1 to HitsRounds).map(round).mkString(",\n")}
+       |SELECT nt.u AS user_id, nt.n_types, h.hub AS hub_units
+       |FROM nt JOIN h$HitsRounds h USING (u)""".stripMargin
+  }
 }

@@ -513,6 +513,65 @@ object Similarity {
       |    (acc, x) -> acc + x) / len(v) AS mse
       |FROM d""".stripMargin
 
+  // --------------------------------------------------------- gram matrix
+
+  /** Component quantization scale for the Gram accumulation. Components
+    * are unit-norm-scaled (|x| < 1 in this corpus, and any production
+    * embedding normalizes first), so q ≤ 1e6 and a product ≤ 1e12 —
+    * int64-safe through ~9e6 vectors per partial sum. At 100 TB the
+    * partial aggregates re-aggregate hierarchically (per-shard Gram
+    * matrices are d²-row tables that SUM exactly), so the bound is
+    * per-shard, not global. */
+  private val GramScale = 1000000.0
+
+  /**
+   * Exact Gram matrix of the embedding corpus [EXT] — the Σ xxᵀ
+   * accumulation every PCA / whitening / OPQ-rotation fit starts from
+   * (d=64 → 2080 upper-triangle cells). This is the aggregation-side
+   * half of dimensionality reduction: at 100 TB the Gram matrix is the
+   * ONLY corpus-wide statistic the fit needs, and it reduces in one
+   * pass.
+   *
+   * Scale shape: quantize each component once, expand the d²/2 cell
+   * products MAP-SIDE via two positional explodes (the d² work is the
+   * required FLOPs of any Gram computation), and aggregate by (i, j)
+   * with map-side partial combine — the shuffle carries only
+   * 2080-cell partial sums per task, never the corpus. Zero joins.
+   *
+   * Determinism: products and sums are int64 in [[GramScale]]² units —
+   * associative and bit-identical cross-engine, where a double
+   * accumulation would be partitioning-order-dependent.
+   */
+  def embedGram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(GramScale) + lit(0.5)).cast("long")).as("q"))
+      .select(col("q"), posexplode(col("q")))
+      .select(col("pos").cast("long").as("i"), col("col").as("qi"),
+              posexplode(col("q")))
+      .filter(col("pos") >= col("i"))
+      .groupBy(col("i"), col("pos").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("qi") * col("col")).as("gram_q"))
+
+  /** Oracle: zip-unnest (value, index) then a per-vector self-join on
+    * the index pair — the relational spelling of the same cell
+    * products; DuckDB's HUGEINT sum is cast back to the int64 the
+    * Spark side is bounded to. */
+  val embedGramSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $GramScale + 0.5) AS BIGINT)) AS ql
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, unnest(ql) AS qv,
+       |         unnest(range(0, len(ql))) AS i
+       |  FROM q)
+       |SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram_q
+       |FROM x a JOIN x b USING (vec_id)
+       |WHERE b.i >= a.i GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- product quantization
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (the corpus

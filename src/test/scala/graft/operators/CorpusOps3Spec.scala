@@ -1001,4 +1001,61 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rankPm == evs.count(_._2 <= est) * 1000L / n, s"rank for p$pct")
     }
   }
+
+  // --------------------------------------------------------------- graph_hits
+
+  test("hitsOf: integer HITS replay on a crafted bipartite graph — " +
+       "hub mass concentrates on the authority-heavy user") {
+    import spark.implicits._
+    // user 3 does all its volume on y (the dominant type); user 2 only
+    // touches the minority type x; user 1 splits. Replayed exactly in
+    // plain Scala with the same 1e6-unit floor divisions.
+    val raw = Seq((1L, "x", 3L), (1L, "y", 1L), (2L, "x", 2L),
+                  (3L, "y", 5L), (3L, "z", 1L))
+    val got = Graph.hitsOf(raw.toDF("u", "i", "w")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // plain-Scala synchronous replay (2 rounds, scale 1e6, floor div —
+    // all values positive so Long./ is the floor)
+    val Scale = 1000000L
+    var hub = raw.map(_._1).distinct.map(_ -> 1L).toMap
+    for (_ <- 1 to 2) {
+      val ar = raw.groupBy(_._2).map { case (i, es) =>
+        i -> es.map(e => hub(e._1) * e._3).sum }
+      val at = ar.values.sum
+      val auth = ar.map { case (i, s) => i -> s * Scale / at }
+      val hr = raw.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2) * e._3).sum }
+      val ht = hr.values.sum
+      hub = hr.map { case (u, s) => u -> s * Scale / ht }
+    }
+    val nTypes = raw.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    assert(got == hub.map { case (u, h) => u -> (nTypes(u), h) })
+    // structure check: user 3 (all mass on the dominant authority y)
+    // must out-hub user 2 (minority type only)
+    assert(got(3L)._2 > got(1L)._2 && got(1L)._2 > got(2L)._2)
+  }
+
+  // --------------------------------------------------------------- embed_gram
+
+  test("embedGram: quantized Gram cells equal the plain-Scala double loop") {
+    import spark.implicits._
+    val sub = s"$dir/gram"
+    val vecs = Seq(
+      1L -> Array(0.5f, -0.25f, 0.1f),
+      2L -> Array(-0.3f, 0.2f, 0.9f),
+      3L -> Array(0.0f, 0.75f, -0.6f))
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val got = Similarity.embedGram(spark, sub).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+                (r.getLong(2), r.getLong(3))).toMap
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val expect = (for { i <- 0 to 2; j <- i to 2 } yield
+      (i.toLong, j.toLong) ->
+        (vecs.size.toLong, q.map(v => v(i) * v(j)).sum)).toMap
+    assert(got == expect)
+    // diagonal of an exact Gram is the quantized squared norms
+    assert(got((0L, 0L))._2 == q.map(v => v(0) * v(0)).sum)
+  }
 }
