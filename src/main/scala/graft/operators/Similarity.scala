@@ -114,31 +114,10 @@ object Similarity {
     * associative, so the centroid — and every downstream cosine — is
     * bit-identical under any partitioning and in the DuckDB oracle. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    // centroid per label: element-wise quantized mean — explode to
-    // (label, dim, x), exact integer partial-agg, rebuild ordered by dim.
-    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
-              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-                     s => s.getField("m")).as("cv"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     import org.apache.spark.sql.expressions.Window
-    // probe: rank centroids per query, keep NProbe labels
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("ccos").desc, col("label").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("qn"), col("label"),
-              cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("ccos"))
-      .withColumn("crnk", row_number().over(wq))
-      .filter(col("crnk") <= NProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    val c = corpus(spark, dir)
     // search only the probed clusters (equi-join on label)
-    val scored = c.join(broadcast(probes), Seq("label"))
+    val scored = c.join(broadcast(ivfProbes(c)), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
               cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
@@ -149,9 +128,37 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
-  val annIvfTopkSql: String =
-    s"""WITH $corpusSql, $queriesSqlCte,
-       |cent AS (
+  /** The IVF coarse level, shared by [[annIvfTopk]] and
+    * [[annFilteredTopk]]: per-label quantized-mean centroids (element-wise
+    * explode → exact integer partial-agg → rebuild ordered by dim), then
+    * each query ranks centroids by cosine and keeps its [[NProbe]] probed
+    * labels. Output (q_id, qv, qn, label) — one row per (query, probe). */
+  private def ivfProbes(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                     s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("label"),
+              cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("ccos"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+  }
+
+  /** DuckDB twin of [[ivfProbes]] — `cent`/`cent2`/`probes` CTE chain on
+    * top of `corpus` + `qs`. */
+  private val ivfProbesSqlCtes: String =
+    s"""cent AS (
        |  SELECT label, list(m ORDER BY dim) AS cv
        |  FROM (
        |    SELECT label, dim,
@@ -169,11 +176,83 @@ object Similarity {
        |           row_number() OVER (PARTITION BY q_id
        |             ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, label ASC) AS crnk
        |    FROM qs CROSS JOIN cent2)
-       |  WHERE crnk <= $NProbe),
+       |  WHERE crnk <= $NProbe)""".stripMargin
+
+  val annIvfTopkSql: String =
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |$ivfProbesSqlCtes,
        |scored AS (
        |  SELECT q_id, c.vec_id AS neighbor_id,
        |         ${dotSql("qv", "v")} / (qn * c.nrm) AS cos
        |  FROM corpus c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+
+  // ------------------------------------------------------ filtered search
+
+  /** Metadata predicate for the filtered search: corpus language. 'fr' is
+    * ~13% of the synthetic corpus — selective enough that the pre-filter
+    * visibly changes the result set, common enough that every probed list
+    * still holds candidates. */
+  private val FilterLang = "fr"
+
+  /**
+   * Metadata-filtered vector search [EXT] — top-k under a structured
+   * predicate on a SEPARATE metadata table (`documents.lang`, joined on
+   * vec_id = doc_id), the shape every production vector store must serve
+   * ("nearest neighbors among French documents"). This is strict
+   * PRE-filtering: the predicate is applied to the candidate set before
+   * ranking, so recall over the allowed subset is never sacrificed — the
+   * post-filter alternative (search first, filter the top-k) silently
+   * returns < k or misses allowed neighbors entirely when the predicate is
+   * selective.
+   *
+   * Scale shape: the probe stage is [[ivfProbes]] unchanged (centroids
+   * don't depend on the predicate); the allowed-id set is a projection of
+   * the metadata scan (doc_id + the predicate column only — column
+   * pruning keeps the text out) applied to the corpus as a LEFT SEMI join
+   * before scoring. At this selectivity Spark broadcasts the allowed set;
+   * at 100 TB with a billion-row allowed list the same plan degrades
+   * gracefully to a shuffled semi-join or an AQE-injected bloom filter —
+   * the declarative form is what lets Catalyst pick. Only probed-list ∩
+   * allowed rows ever reach the cosine.
+   *
+   * Determinism: same quantized centroids and L2R-fold cosines as
+   * [[annIvfTopk]]; ties break (cos DESC, neighbor_id ASC).
+   */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val allowed = t(spark, dir, "documents")
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("vec_id"))
+    val scored = c.join(allowed, Seq("vec_id"), "left_semi")
+      .join(broadcast(ivfProbes(c)), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Oracle: identical probe CTEs; the pre-filter is an IN-subquery
+    * (DuckDB's semi-join spelling) against the same metadata projection. */
+  val annFilteredTopkSql: String =
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |$ivfProbesSqlCtes,
+       |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = '$FilterLang'),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "v")} / (qn * c.nrm) AS cos
+       |  FROM corpus c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id
+       |  WHERE c.vec_id IN (SELECT vec_id FROM allowed)),
        |ranked AS (
        |  SELECT q_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
@@ -554,23 +633,114 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
            sum(col("qi") * col("col")).as("gram_q"))
 
-  /** Oracle: zip-unnest (value, index) then a per-vector self-join on
-    * the index pair — the relational spelling of the same cell
-    * products; DuckDB's HUGEINT sum is cast back to the int64 the
-    * Spark side is bounded to. */
-  val embedGramSql: String =
-    s"""WITH q AS (
+  /** Oracle CTEs shared by [[embedGramSql]] and [[embedPcaProjectSql]]:
+    * zip-unnest (value, index) then a per-vector self-join on the index
+    * pair — the relational spelling of the same cell products; DuckDB's
+    * HUGEINT sum is cast back to the int64 the Spark side is bounded to.
+    * `gq` (quantized vectors) and `gram` (upper-triangle cells) are the
+    * reusable pieces. */
+  private val gramSqlCtes: String =
+    s"""gq AS (
        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * $GramScale + 0.5) AS BIGINT)) AS ql
        |  FROM embeddings),
-       |x AS (
+       |gx AS (
        |  SELECT vec_id, unnest(ql) AS qv,
        |         unnest(range(0, len(ql))) AS i
-       |  FROM q)
-       |SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       |  CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram_q
-       |FROM x a JOIN x b USING (vec_id)
-       |WHERE b.i >= a.i GROUP BY 1, 2""".stripMargin
+       |  FROM gq),
+       |gram AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram_q
+       |  FROM gx a JOIN gx b USING (vec_id)
+       |  WHERE b.i >= a.i GROUP BY 1, 2)""".stripMargin
+
+  val embedGramSql: String =
+    s"""WITH $gramSqlCtes
+       |SELECT i, j, n_vecs, gram_q FROM gram""".stripMargin
+
+  // -------------------------------------------------- PCA power iteration
+
+  /** Power-iteration rounds for the leading principal direction. Fixed
+    * unroll (like [[KmIters]]) so the oracle can mirror the iteration
+    * CTE-for-CTE; three rounds on a 64×64 Gram are enough to make the
+    * projection a real dominant-direction score without convergence
+    * tests that a relational twin cannot express. */
+  private val PcaRounds = 3
+
+  /**
+   * PCA fit + transform [EXT] — the downstream half of [[embedGram]]:
+   * power-iterate the collected Gram matrix to the leading principal
+   * direction, then project every embedding onto it. This is the
+   * fit/transform split every 100 TB dimensionality-reduction pass has:
+   * the FIT consumes only the d²-cell Gram (driver-side on 2080 cells —
+   * the same k-row collect-and-rebroadcast pattern as the IVF centroids
+   * and PQ codebooks; the matrix never grows with the corpus), and the
+   * TRANSFORM is a zero-shuffle map-side projection with the direction
+   * baked into the plan as a literal.
+   *
+   * Determinism: the iteration is exact integer arithmetic — BigInt
+   * matrix-vector products renormalized to [[GramScale]] units by
+   * TRUNCATED division (toward zero; `BigInt./` here, `//` on HUGEINT in
+   * DuckDB — verified to agree on negatives), from the all-ones start.
+   * Sign is pinned by the deterministic start; no eigensolver wobble.
+   * The projection is a strict L2R integer fold: |q·v| ≤ d·10¹² ≪ 2⁶³.
+   */
+  def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val cells = embedGram(spark, dir).collect()
+    val d = (cells.map(_.getLong(0)).max + 1).toInt
+    val g = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      g(i)(j) = r.getLong(3); g(j)(i) = r.getLong(3)
+    }
+    val one = BigInt(GramScale.toLong)
+    var v = Array.fill(d)(one)
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < d) { acc += BigInt(g(i)(j)) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(_.abs).max
+      // all-zero Gram has no principal direction; keep v (oracle-inert:
+      // the synthetic and crafted corpora always have signal)
+      if (m.signum != 0) v = w.map(x => x * one / m)
+    }
+    val vLit = array(v.toIndexedSeq.map(x => lit(x.toLong)): _*)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(GramScale) + lit(0.5)).cast("long")).as("q"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
+                  lit(0L), (acc, x) => acc + x).as("pc1_q"))
+  }
+
+  /** Oracle: the Gram CTEs, mirrored to a full matrix, then the identical
+    * integer power iteration unrolled round-for-round in HUGEINT (BIGINT
+    * products overflow at Gram-cell × unit scale), truncated-dividing by
+    * the max |component| each round; the projection re-joins the
+    * quantized components against the final direction. */
+  val embedPcaProjectSql: String = {
+    def round(k: Int): String =
+      s"""w$k AS (
+         |  SELECT g.i, SUM(CAST(g.gram_q AS HUGEINT) * v.v) AS w
+         |  FROM gfull g JOIN v${k - 1} v ON v.j = g.j GROUP BY 1),
+         |v$k AS (
+         |  SELECT i AS j, w * ${GramScale.toLong} // (SELECT MAX(abs(w)) FROM w$k) AS v
+         |  FROM w$k)""".stripMargin
+    s"""WITH $gramSqlCtes,
+       |gfull AS (
+       |  SELECT i, j, gram_q FROM gram
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, gram_q FROM gram WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j, CAST(${GramScale.toLong} AS HUGEINT) AS v FROM gfull),
+       |${(1 to PcaRounds).map(round).mkString(",\n")}
+       |SELECT gx.vec_id, e.label, CAST(SUM(gx.qv * CAST(v.v AS BIGINT)) AS BIGINT) AS pc1_q
+       |FROM gx JOIN v$PcaRounds v ON v.j = gx.i
+       |JOIN embeddings e ON e.vec_id = gx.vec_id
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   // ------------------------------------------------- product quantization
 

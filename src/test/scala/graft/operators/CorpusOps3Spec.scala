@@ -1037,6 +1037,91 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --------------------------------------------------------------- embed_gram
 
+  // ------------------------------------------------------ ann_filtered_topk
+
+  test("annFilteredTopk: strict pre-filter — only lang='fr' neighbors, " +
+       "nearer non-matching vectors excluded, exact ranking among allowed") {
+    import spark.implicits._
+    val sub = s"$dir/filtered"
+    val langs = Map(0L -> "en", 1L -> "fr", 2L -> "en", 3L -> "fr",
+                    4L -> "fr", 5L -> "en", 6L -> "fr", 7L -> "en",
+                    8L -> "fr", 9L -> "en")
+    langs.toSeq.sortBy(_._1)
+      .map { case (id, l) => (id, s"doc $id", l, "synthetic", 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    def e(is: Int*): Array[Float] = {
+      val a = Array.fill(4)(0.0f); is.foreach(i => a(i) = 1.0f); a
+    }
+    // two labels only, so NProbe=2 probes everything and the expected
+    // ranking is brute force over the allowed set (the probe machinery
+    // itself is pinned by the annIvfTopk specs — shared ivfProbes code)
+    Seq(
+      (0L, e(0), 0),          // the query under scrutiny
+      (1L, e(0), 0),          // fr: exact twin -> rank 1, cos 1
+      (2L, { val a = e(0); a(1) = 0.05f; a }, 0), // en: nearer than 3 but FILTERED
+      (3L, e(0, 1), 0),       // fr: 45 degrees, cos 1/sqrt(2)
+      (4L, e(1), 1),          // fr: orthogonal, cos 0
+      (5L, { val a = e(0); a.map(_ * 2f) }, 0),   // en: cos 1 but FILTERED
+      (6L, e(0, 2), 1),       // fr: 45 degrees, ties 3 -> id break after 3
+      (7L, e(3), 1),          // en
+      (8L, { val a = e(0); a.map(-_) }, 0),       // fr: cos -1, last
+      (9L, e(2), 1))          // en
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val rows = Similarity.annFilteredTopk(spark, sub).collect()
+    val fr = langs.filter(_._2 == "fr").keySet
+    assert(rows.forall(r => fr(r.getAs[Long]("neighbor_id"))),
+           "every neighbor must satisfy the predicate")
+    val q0 = rows.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id")))
+    assert(q0.toSeq == Seq(1 -> 1L, 2 -> 3L, 3 -> 6L, 4 -> 4L, 5 -> 8L))
+    val cosByRnk = rows.filter(_.getAs[Long]("q_id") == 0L)
+      .map(r => r.getAs[Int]("rnk") -> r.getAs[Double]("cos")).toMap
+    assert(math.abs(cosByRnk(1) - 1.0) < 1e-12)
+    assert(math.abs(cosByRnk(2) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(cosByRnk(2) - cosByRnk(3)) < 1e-15) // exact tie, id break
+  }
+
+  // ------------------------------------------------------ embed_pca_project
+
+  test("embedPcaProject: projection replays the integer power iteration " +
+       "and ranks the dominant-axis vectors first") {
+    import spark.implicits._
+    val sub = s"$dir/pca"
+    // 4 vectors hug axis 0 (the dominant direction), 1 sits on axis 1,
+    // 1 mixes in a negative axis-0 component
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.1f, 0.0f),
+      2L -> Array(0.9f, -0.1f, 0.1f),
+      3L -> Array(1.1f, 0.0f, -0.1f),
+      4L -> Array(0.95f, 0.05f, 0.05f),
+      5L -> Array(0.0f, 1.0f, 0.2f),
+      6L -> Array(-0.8f, 0.1f, 0.3f))
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val got = Similarity.embedPcaProject(spark, sub).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // plain-Scala replay: quantize, Gram, 3 power rounds with truncated
+    // division (BigInt `/` truncates toward zero, like DuckDB `//`)
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val g = Array.tabulate(3, 3)((i, j) => q.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(3)(BigInt(1000000L))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(3)(i => (0 until 3).map(j => BigInt(g(i)(j)) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => x * 1000000L / m)
+    }
+    val expect = vecs.map { case (id, _) => id }.zip(
+      q.map(qv => (0 until 3).map(i => qv(i) * v(i).toLong).sum)).toMap
+    assert(got == expect)
+    // the direction is dominated by axis 0: axis-0 vectors project with
+    // large |pc1|, the axis-1 vector small, the negated vector negative
+    assert(got(5L).abs < got(1L).abs && got(6L).sign != got(1L).sign)
+  }
+
   test("embedGram: quantized Gram cells equal the plain-Scala double loop") {
     import spark.implicits._
     val sub = s"$dir/gram"
