@@ -820,4 +820,90 @@ object Events {
       |              / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS intercept,
       |  n_points * sxy - sx * sy > 0 AS rising
       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------ k-anonymity
+
+  /** Minimum distinct users per released equivalence class. */
+  private val KAnon = 5
+
+  /**
+   * k-anonymity release gate with one-level time generalization [EXT] —
+   * the privacy pass a telemetry/training-corpus release runs before
+   * aggregate counts leave the boundary: a cell may be published only if
+   * it covers ≥ k distinct users. Cells are first formed at the fine
+   * quasi-identifier (event_type, calendar hour); cells that fail k are
+   * NOT dropped outright but GENERALIZED — their events re-aggregated at
+   * (event_type, calendar DAY), the standard local-recoding ladder step —
+   * and released at day granularity if the merged cell now clears k, else
+   * emitted with released=false so the suppression volume is itself
+   * auditable. (On the synthetic corpus the hour level saturates as the
+   * scale factor grows — denser data is genuinely easier to release;
+   * both branches are density-pinned by the crafted spec.)
+   *
+   * Scale shape: two hash aggregations plus one semi-join of the event
+   * scan against the (small) failing-cell list — shuffled bytes ∝ number
+   * of classes for the aggs; the failing-cell side broadcasts. Distinct-
+   * user counts are Spark's two-phase partial distinct — no row ever
+   * carries more than the QI + user id.
+   *
+   * Determinism: counts and thresholds only — no floats, no ties.
+   */
+  def eventsKanon(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd HH:00").as("win"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"),
+              col("user_id"))
+    // fine feeds BOTH the pass rows and the failing-cell list: without a
+    // lineage cut the corpus aggregation subtree executes twice (the same
+    // shared-subplan materialization every iterative Graph query does) —
+    // the cells table is classes-sized, the cut is free
+    val fine = Checkpoints.cut(e.groupBy(col("event_type"), col("win"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users")))
+    val pass = fine.filter(col("n_users") >= KAnon)
+      .select(col("event_type"), col("win"), lit("hour").as("granularity"),
+              col("n_events"), col("n_users"), lit(true).as("released"))
+    val failing = fine.filter(col("n_users") < KAnon)
+      .select(col("event_type"), col("win"))
+    val coarse = e
+      .join(broadcast(failing), Seq("event_type", "win"), "left_semi")
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("day").as("win"),
+              lit("day").as("granularity"), col("n_events"), col("n_users"),
+              (col("n_users") >= KAnon).as("released"))
+    pass.unionByName(coarse)
+  }
+
+  /** Oracle: identical ladder as CTEs; the semi-join is an equi-join on
+    * the failing (event_type, win) cells — unique group keys, so the join
+    * never duplicates an event. */
+  val eventsKanonSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS win,
+       |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+       |  FROM events),
+       |fine AS (
+       |  SELECT event_type, win, COUNT(*) AS n_events,
+       |         COUNT(DISTINCT user_id) AS n_users
+       |  FROM e GROUP BY 1, 2),
+       |pass AS (
+       |  SELECT event_type, win, 'hour' AS granularity,
+       |         n_events, n_users, TRUE AS released
+       |  FROM fine WHERE n_users >= $KAnon),
+       |coarse AS (
+       |  SELECT e.event_type, e.day AS win, 'day' AS granularity,
+       |         COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+       |  FROM e
+       |  JOIN (SELECT event_type, win FROM fine WHERE n_users < $KAnon) f
+       |    ON f.event_type = e.event_type AND f.win = e.win
+       |  GROUP BY 1, 2)
+       |SELECT event_type, win, granularity, n_events, n_users, released
+       |FROM pass
+       |UNION ALL
+       |SELECT event_type, win, granularity, n_events,
+       |       n_users, n_users >= $KAnon AS released
+       |FROM coarse""".stripMargin
 }

@@ -1827,4 +1827,95 @@ object TextAnalysis {
        |SELECT doc_id, lang, n_chars, n_distinct_chars, ent_sum_fp,
        |  round(ln(n_chars) - ent_sum_fp / $EntScale.0 / n_chars, 6) AS entropy_nats
        |FROM e""".stripMargin
+
+  // ---------------------------------------------------------- vocab growth
+
+  /** Corpus-order deciles for the growth curve. */
+  private val VgBuckets = 10L
+
+  /**
+   * Vocabulary growth curve (Heaps' law) [EXT] — cumulative distinct
+   * token types vs cumulative tokens over the corpus in ingestion order,
+   * bucketed into deciles. The saturation diagnostic a corpus build
+   * watches: a new shard that stops contributing new types is duplicated
+   * or template-generated; a type count growing ∝ tokens signals noise
+   * (OCR garbage, random ids). Corpus position is the doc_id's place in
+   * the [min, max] id span — identical to the raw id for dense ids, and
+   * well-behaved for ingestion ids with gaps or per-shard offsets (the
+   * sf1 rig's 1e6-offset copies land one copy per decile).
+   *
+   * Scale shape: "first occurrence of each type" is ONE aggregation —
+   * min(doc_id) per token, map-side combinable (min is associative), the
+   * only corpus-sized shuffle. Bucketing the firsts and the per-doc token
+   * volumes are two more aggregations onto [[VgBuckets]] rows, and the
+   * cumulative sums run on that decile table — an unpartitioned window
+   * over exactly 10 rows, size-invariant at any corpus scale.
+   *
+   * Determinism: counts and integer bucket arithmetic only.
+   */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+    // one-row id-span stats, referenced by two branches — cut so the
+    // scan runs once, not once per branch. Position within [min, max] of
+    // the id span, NOT raw id / count: identical for dense ids, and
+    // robust to ingestion ids with gaps or per-shard offsets
+    val n = Checkpoints.cut(d.agg(min(col("doc_id")).as("mn"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span")))
+    val bucketOf = least(lit(VgBuckets - 1),
+      expr(s"(first_doc - mn) * $VgBuckets div span"))
+    val newTypes = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(n))
+      .select(bucketOf.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val tokVol = d
+      .select(col("doc_id"),
+              size(filter(toks(col("text")), _ =!= "")).cast("long").as("nt"))
+      .crossJoin(broadcast(n))
+      .select(least(lit(VgBuckets - 1),
+                    expr(s"(doc_id - mn) * $VgBuckets div span")).as("bucket"),
+              col("nt"))
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left join from the token volumes: every decile has tokens, but a
+    // saturated vocabulary contributes zero NEW types in later deciles —
+    // those rows are the signal, not droppable
+    tokVol.join(broadcast(newTypes), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+              coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+              sum(col("n_tokens")).over(w).as("cum_tokens"),
+              sum(col("new_types")).over(w).as("cum_types"))
+  }
+
+  /** Oracle: identical firsts/volume CTEs; the cumulative sums are the
+    * same 10-row running window. */
+  val textVocabGrowthSql: String =
+    s"""WITH n AS (SELECT MIN(doc_id) AS mn,
+       |                  MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |firsts AS (
+       |  SELECT tok, MIN(doc_id) AS first_doc
+       |  FROM tok WHERE tok <> '' GROUP BY 1),
+       |nt AS (
+       |  SELECT LEAST(${VgBuckets - 1}, (first_doc - mn) * $VgBuckets // span) AS bucket,
+       |         COUNT(*) AS new_types
+       |  FROM firsts, n GROUP BY 1),
+       |tv AS (
+       |  SELECT LEAST(${VgBuckets - 1}, (doc_id - mn) * $VgBuckets // span) AS bucket,
+       |         CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+       |                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents, n GROUP BY 1)
+       |SELECT tv.bucket, tv.n_tokens,
+       |  COALESCE(nt.new_types, 0) AS new_types,
+       |  CAST(SUM(tv.n_tokens) OVER (ORDER BY tv.bucket
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY tv.bucket
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+       |FROM tv LEFT JOIN nt USING (bucket)""".stripMargin
 }

@@ -1037,6 +1037,72 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --------------------------------------------------------------- embed_gram
 
+  // ----------------------------------------------------------- events_kanon
+
+  test("eventsKanon: hour cells release at k; failing cells generalize to " +
+       "day and release or suppress by the MERGED distinct-user count") {
+    import spark.implicits._
+    val sub = s"$dir/kanon"
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
+    def ns(offSec: Long) = (base + offSec) * 1000000000L
+    val evs =
+      // type x, hour 00: five distinct users -> released at hour level
+      (0 until 5).map(u => (u.toLong, ns(u * 60L), u.toLong, "x", 1.0, "{}")) ++
+      // type x, hours 01 and 02: 2+2 users, all on 2024-01-01 -> both fail,
+      // day merge has only 4 distinct users -> SUPPRESSED day row
+      Seq((10L, ns(3600), 10L, "x", 1.0, "{}"),
+          (11L, ns(3660), 11L, "x", 1.0, "{}"),
+          (12L, ns(7200), 12L, "x", 1.0, "{}"),
+          (13L, ns(7260), 13L, "x", 1.0, "{}")) ++
+      // type y, 2024-01-02 hours 05 and 06: 3+3 users sharing user 22 ->
+      // both hours fail, day merge reaches exactly k=5 -> RELEASED day row
+      Seq((20L, ns(86400 + 5 * 3600), 20L, "y", 1.0, "{}"),
+          (21L, ns(86400 + 5 * 3600 + 60), 21L, "y", 1.0, "{}"),
+          (22L, ns(86400 + 5 * 3600 + 120), 22L, "y", 1.0, "{}"),
+          (23L, ns(86400 + 6 * 3600), 22L, "y", 1.0, "{}"),
+          (24L, ns(86400 + 6 * 3600 + 60), 23L, "y", 1.0, "{}"),
+          (25L, ns(86400 + 6 * 3600 + 120), 24L, "y", 1.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val got = Events.eventsKanon(spark, sub).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+                (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      ("x", "2024-01-01 00:00", "hour") -> ((5L, 5L, true)),
+      ("x", "2024-01-01", "day")        -> ((4L, 4L, false)),
+      ("y", "2024-01-02", "day")        -> ((6L, 5L, true))))
+  }
+
+  // ------------------------------------------------------ text_vocab_growth
+
+  test("textVocabGrowth: new-type deciles and cumulative curve match a " +
+       "hand-computed corpus; saturated deciles emit zero, not nothing") {
+    import spark.implicits._
+    // 10 docs -> one per decile. Vocabulary saturates after doc 3.
+    val texts = Seq("a b", "a c", "b c a", "d", "a a", "b", "c d", "a",
+                    "b c", "d a")
+    val sub = writeDocs("vg", texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en") })
+    val rows = TextAnalysis.textVocabGrowth(spark, sub).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    val nTok = texts.map(_.split("\\s+").count(_.nonEmpty).toLong)
+    val newT = Array.fill(10)(0L)
+    val seen = collection.mutable.Set[String]()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      t.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        if (seen.add(w)) newT(i) += 1 } }
+    var (ct, cy) = (0L, 0L)
+    val expect = (0 until 10).map { i =>
+      ct += nTok(i); cy += newT(i)
+      (i.toLong, nTok(i), newT(i), ct, cy)
+    }
+    assert(rows.toSeq == expect)
+    assert(rows.map(_._3).count(_ == 0L) >= 4) // saturation rows present
+    assert(rows.last._5 == 4L) // vocabulary is exactly {a,b,c,d}
+  }
+
   // ------------------------------------------------------ ann_filtered_topk
 
   test("annFilteredTopk: strict pre-filter — only lang='fr' neighbors, " +
