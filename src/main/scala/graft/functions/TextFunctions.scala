@@ -96,11 +96,11 @@ case class NgramsJoined(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_ngrams"
 
   override def nullSafeEval(a: Any): Any =
-    NgramsJoined.eval(a.asInstanceOf[ArrayData], n)
+    NgramsJoined.compute(a.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.NgramsJoined.eval($a, $n);")
+      s"${ev.value} = graft.functions.NgramsJoined.compute($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -112,8 +112,12 @@ object NgramsJoined {
   /** Space-joined n-token windows (empty result below n tokens); null
     * elements are skipped by `concatWs` exactly like `concat_ws` /
     * `array_join` in the HOF forms this replaces. Called from generated
-    * code. */
-  def eval(ts: ArrayData, n: Int): ArrayData = {
+    * code — named `compute`, NOT `eval`: a companion method named `eval`
+    * collides with `Expression.eval(InternalRow)`, so Scala emits no
+    * static forwarder and janino fails to resolve the call, silently
+    * disabling whole-stage codegen for every plan containing this
+    * expression (the fallback is a per-plan WARN, not an error). */
+  def compute(ts: ArrayData, n: Int): ArrayData = {
     val len = ts.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
@@ -144,11 +148,11 @@ case class BigramPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_bigram_pairs"
 
   override def nullSafeEval(a: Any): Any =
-    BigramPairs.eval(a.asInstanceOf[ArrayData])
+    BigramPairs.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.BigramPairs.eval($a);")
+      s"${ev.value} = graft.functions.BigramPairs.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -156,8 +160,9 @@ case class BigramPairs(child: Expression) extends UnaryExpression {
 
 object BigramPairs {
   /** Adjacent (w1, w2) token pairs as struct rows (empty below 2
-    * tokens). Called from generated code. */
-  def eval(ts: ArrayData): ArrayData = {
+    * tokens). Called from generated code — named `compute`, not `eval`
+    * (see [[NgramsJoined.compute]] for the forwarder-clash rationale). */
+  def compute(ts: ArrayData): ArrayData = {
     val len = ts.numElements()
     if (len < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - 1)
