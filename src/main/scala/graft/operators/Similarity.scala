@@ -135,14 +135,7 @@ object Similarity {
     * labels. Output (q_id, qv, qn, label) — one row per (query, probe). */
   private def ivfProbes(c: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
-              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-                     s => s.getField("m")).as("cv"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val cent = labelCentroids(c)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wq = Window.partitionBy(col("q_id"))
@@ -155,9 +148,22 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("qn"), col("label"))
   }
 
-  /** DuckDB twin of [[ivfProbes]] — `cent`/`cent2`/`probes` CTE chain on
-    * top of `corpus` + `qs`. */
-  private val ivfProbesSqlCtes: String =
+  /** Per-label quantized-mean centroid table (label, cv, cn): element-wise
+    * explode → exact integer partial-agg → rebuild ordered by dim, with
+    * L2 norms. Shared by [[ivfProbes]] and [[evalClustering]]. */
+  private def labelCentroids(c: DataFrame): DataFrame =
+    c.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(floor(col("x") * lit(1e6))).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                     s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** DuckDB twin of [[labelCentroids]] — `cent`/`cent2` CTE chain on top
+    * of `corpus`. */
+  private val centSqlCtes: String =
     s"""cent AS (
        |  SELECT label, list(m ORDER BY dim) AS cv
        |  FROM (
@@ -169,7 +175,12 @@ object Similarity {
        |          FROM corpus)
        |    GROUP BY label, dim)
        |  GROUP BY label),
-       |cent2 AS (SELECT label, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM cent),
+       |cent2 AS (SELECT label, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM cent)""".stripMargin
+
+  /** DuckDB twin of [[ivfProbes]] — the probe ranking on top of the
+    * centroid CTEs. */
+  private val ivfProbesSqlCtes: String =
+    s"""$centSqlCtes,
        |probes AS (
        |  SELECT q_id, qv, qn, label FROM (
        |    SELECT q_id, qv, qn, label,
@@ -259,6 +270,87 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
        |FROM ranked WHERE rnk <= $K""".stripMargin
+
+  // ------------------------------------------------------- clustering eval
+
+  /** Silhouette quantization: integer micro-units so the per-label mean
+    * is an exact associative integer sum + ONE double division. */
+  private val SilScale = 1000000L
+
+  /**
+   * Clustering-quality evaluation [EXT] — simplified silhouette of the
+   * corpus labeling (the centroid-based variant: a = cosine distance to
+   * the own-label centroid, b = min distance to any other centroid,
+   * s = (b−a)/max(a,b)). The eval-family gate for every clustering this
+   * library produces (IVF lists, k-means, SemDeDup clusters): per-label
+   * mean silhouette and the count of negative-silhouette (misassigned)
+   * vectors. Simplified silhouette is the standard scale substitute for
+   * the O(n²) exact one — per vector it needs only the k centroids.
+   *
+   * Scale shape: the centroid fit is the shared [[labelCentroids]]
+   * aggregation; the k-row table is collected and baked into the
+   * projection as literals (the IVF-centroid / PQ-codebook pattern), so
+   * the evaluation itself is a ZERO-join map over the corpus — k dot
+   * products per row inside codegen — followed by one label rollup.
+   * At a k where literal baking stops making sense the same arithmetic
+   * becomes a broadcast join on the centroid table.
+   *
+   * Determinism: centroids are quantized-integer means (bit-identical
+   * re-derived in the oracle), distances fold L2R, the min over other
+   * centroids is order-independent, and per-vector s quantizes to
+   * [[SilScale]] units before the label sum.
+   */
+  def evalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = labelCentroids(c).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.length >= 2, "silhouette needs >= 2 clusters")
+    val withD = c.select(col("vec_id") +: col("label") +:
+      cents.toIndexedSeq.map { case (li, cv, cn) =>
+        (lit(1.0) - dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn)))
+          .as(s"d_$li")
+      }: _*)
+    val da = cents.tail.foldLeft(
+      when(col("label") === cents.head._1, col(s"d_${cents.head._1}"))) {
+        case (acc, (li, _, _)) => acc.when(col("label") === li, col(s"d_$li"))
+      }
+    val db = least(cents.toIndexedSeq.map { case (li, _, _) =>
+      when(col("label") === li, lit(Double.MaxValue)).otherwise(col(s"d_$li"))
+    }: _*)
+    withD.select(col("label"), da.as("da"), db.as("db"))
+      .select(col("label"), expr(
+        s"CAST(round((db - da) / greatest(da, db) * $SilScale) AS LONG)").as("s_fp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(sum(col("s_fp")).cast("double") / SilScale.toDouble
+                   / count(lit(1)), 6).as("mean_silhouette"),
+           sum(when(col("s_fp") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
+
+  /** Oracle: same centroid CTEs re-derived relationally (bit-identical —
+    * integer-quantized means, single double division, L2R dots), a/b as
+    * conditional MINs over the corpus × centroid cross join, identical
+    * micro-unit rounding before the label rollup. */
+  val evalClusteringSql: String =
+    s"""WITH $corpusSql, $centSqlCtes,
+       |d AS (
+       |  SELECT c.vec_id, c.label AS lbl, t.label AS cl,
+       |         1 - ${dotSql("v", "cv")} / (nrm * cn) AS dist
+       |  FROM corpus c CROSS JOIN cent2 t),
+       |ab AS (
+       |  SELECT vec_id, lbl,
+       |         MIN(CASE WHEN cl = lbl THEN dist END) AS da,
+       |         MIN(CASE WHEN cl <> lbl THEN dist END) AS db
+       |  FROM d GROUP BY 1, 2),
+       |s AS (
+       |  SELECT lbl AS label,
+       |         CAST(round((db - da) / GREATEST(da, db) * $SilScale) AS BIGINT) AS s_fp
+       |  FROM ab)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(SUM(s_fp) AS BIGINT) / $SilScale.0 / COUNT(*), 6) AS mean_silhouette,
+       |  CAST(SUM(CASE WHEN s_fp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+       |FROM s GROUP BY 1""".stripMargin
 
   // -------------------------------------------------------------- k-means
 

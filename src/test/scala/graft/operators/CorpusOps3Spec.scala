@@ -1037,6 +1037,58 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --------------------------------------------------------------- embed_gram
 
+  // -------------------------------------------------------- eval_clustering
+
+  test("evalClustering: plain-Scala silhouette replay; the misassigned " +
+       "vector drives its label's negative count") {
+    import spark.implicits._
+    val sub = s"$dir/silh"
+    def e(i: Int, s: Float = 1.0f): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = s; a
+    }
+    // label 0 = axis-0 cluster with one vector that actually sits on
+    // axis 1 (misassigned); label 1 = tight axis-1 cluster. All values
+    // exact binary fractions so quantization has no edge cases.
+    val vecs = Seq(
+      (1L, e(0), 0), (2L, e(0, 0.5f), 0), (3L, e(1), 0),
+      (4L, e(1), 1), (5L, e(1, 0.25f), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val got = Similarity.evalClustering(spark, sub).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // exact replay: quantized centroid means, strict L2R dots
+    val byLabel = vecs.groupBy(_._3)
+    val cents = byLabel.map { case (l, vs) =>
+      val cv = (0 until 4).map(i => vs.map(v =>
+        math.floor(v._2(i).toDouble * 1e6)).sum / (vs.size * 1e6)).toArray
+      l -> (cv, math.sqrt(cv.zip(cv).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)))
+    }
+    def dist(v: Array[Float], l: Int): Double = {
+      val (cv, cn) = cents(l)
+      val dv = v.map(_.toDouble)
+      val nrm = math.sqrt(dv.zip(dv).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _))
+      1.0 - dv.zip(cv).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _) / (nrm * cn)
+    }
+    val sFp = vecs.map { case (_, v, l) =>
+      val da = dist(v, l)
+      val db = cents.keys.filter(_ != l).map(dist(v, _)).min
+      l -> math.round((db - da) / math.max(da, db) * 1e6)
+    }
+    val expect = sFp.groupBy(_._1).map { case (l, ss) =>
+      l -> ((ss.size.toLong,
+             BigDecimal(ss.map(_._2).sum / 1e6 / ss.size)
+               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+             ss.count(_._2 < 0).toLong))
+    }
+    assert(got == expect)
+    assert(got(0)._3 == 1L && got(1)._3 == 0L) // vec 3 is the misassignment
+    assert(got(1)._2 > 0.5)                    // tight cluster scores high
+  }
+
   // ----------------------------------------------------------- events_kanon
 
   test("eventsKanon: hour cells release at k; failing cells generalize to " +
