@@ -318,9 +318,15 @@ object Similarity {
     val db = least(cents.toIndexedSeq.map { case (li, _, _) =>
       when(col("label") === li, lit(Double.MaxValue)).otherwise(col(s"d_$li"))
     }: _*)
+    // degenerate geometry (a vector ON both its own and the nearest other
+    // centroid, or a zero centroid making a distance NaN) has an undefined
+    // silhouette — pinned to 0 identically in BOTH engines, since Spark's
+    // CAST(NaN AS LONG) yields 0 silently while DuckDB's errors
     withD.select(col("label"), da.as("da"), db.as("db"))
       .select(col("label"), expr(
-        s"CAST(round((db - da) / greatest(da, db) * $SilScale) AS LONG)").as("s_fp"))
+        s"""CASE WHEN greatest(da, db) <= 0 OR isnan(greatest(da, db)) THEN 0L
+           |ELSE CAST(round((db - da) / greatest(da, db) * $SilScale) AS LONG)
+           |END""".stripMargin).as("s_fp"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
            round(sum(col("s_fp")).cast("double") / SilScale.toDouble
@@ -345,7 +351,10 @@ object Similarity {
        |  FROM d GROUP BY 1, 2),
        |s AS (
        |  SELECT lbl AS label,
-       |         CAST(round((db - da) / GREATEST(da, db) * $SilScale) AS BIGINT) AS s_fp
+       |         CASE WHEN GREATEST(da, db) <= 0 OR isnan(GREATEST(da, db))
+       |              THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(round((db - da) / GREATEST(da, db) * $SilScale) AS BIGINT)
+       |         END AS s_fp
        |  FROM ab)
        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |  round(CAST(SUM(s_fp) AS BIGINT) / $SilScale.0 / COUNT(*), 6) AS mean_silhouette,
@@ -695,6 +704,13 @@ object Similarity {
     * per-shard, not global. */
   private val GramScale = 1000000.0
 
+  /** The [[GramScale]] component quantizer, shared by the Gram fit and
+    * the PCA projection — one definition so the fit and the transform
+    * can never desynchronize. */
+  private def gramQuantize(embedding: Column): Column =
+    transform(embedding.cast("array<double>"),
+      x => floor(x * lit(GramScale) + lit(0.5)).cast("long"))
+
   /**
    * Exact Gram matrix of the embedding corpus [EXT] — the Σ xxᵀ
    * accumulation every PCA / whitening / OPQ-rotation fit starts from
@@ -715,8 +731,7 @@ object Similarity {
    */
   def embedGram(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
-      .select(transform(col("embedding").cast("array<double>"),
-        x => floor(x * lit(GramScale) + lit(0.5)).cast("long")).as("q"))
+      .select(gramQuantize(col("embedding")).as("q"))
       .select(col("q"), posexplode(col("q")))
       .select(col("pos").cast("long").as("i"), col("col").as("qi"),
               posexplode(col("q")))
@@ -779,6 +794,7 @@ object Similarity {
    */
   def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
     val cells = embedGram(spark, dir).collect()
+    require(cells.nonEmpty, "embed_pca_project needs a non-empty embeddings table")
     val d = (cells.map(_.getLong(0)).max + 1).toInt
     val g = Array.ofDim[Long](d, d)
     cells.foreach { r =>
@@ -801,8 +817,7 @@ object Similarity {
     val vLit = array(v.toIndexedSeq.map(x => lit(x.toLong)): _*)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        transform(col("embedding").cast("array<double>"),
-          x => floor(x * lit(GramScale) + lit(0.5)).cast("long")).as("q"))
+        gramQuantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("label"),
         aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
                   lit(0L), (acc, x) => acc + x).as("pc1_q"))

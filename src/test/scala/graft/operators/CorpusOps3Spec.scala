@@ -1035,8 +1035,6 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 > got(1L)._2 && got(1L)._2 > got(2L)._2)
   }
 
-  // --------------------------------------------------------------- embed_gram
-
   // -------------------------------------------------------- eval_clustering
 
   test("evalClustering: plain-Scala silhouette replay; the misassigned " +
@@ -1239,6 +1237,8 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     // large |pc1|, the axis-1 vector small, the negated vector negative
     assert(got(5L).abs < got(1L).abs && got(6L).sign != got(1L).sign)
   }
+
+  // --------------------------------------------------------------- embed_gram
 
   test("embedGram: quantized Gram cells equal the plain-Scala double loop") {
     import spark.implicits._
