@@ -271,6 +271,61 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
        |FROM ranked WHERE rnk <= $K""".stripMargin
 
+  // -------------------------------------------------------- hard negatives
+
+  /**
+   * Hard-negative mining [EXT] — for each query vector, the top-k most
+   * cosine-similar corpus vectors with a DIFFERENT label: the
+   * contrastive-training data op (DPR/SimCSE-style) that makes embedding
+   * models learn boundaries instead of easy contrasts. "Similar but
+   * semantically different" is exactly what a random negative sampler
+   * never finds and what dominates contrastive-loss gradients.
+   *
+   * Scale shape: the exact baseline — query set broadcast against one
+   * corpus scan with the label-inequality predicate applied BEFORE
+   * ranking (same shape as [[annBruteforceTopk]]; at 100 TB the
+   * candidate stage swaps to the probed-list equi-join of
+   * [[annIvfTopk]], probing extra lists since hard negatives live near
+   * cluster boundaries). Top-k per query is a partitioned window.
+   *
+   * Determinism: same L2R cosines; ties break (cos DESC, neg_id ASC).
+   */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+              col("label").as("neg_label"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("q_label"), col("rnk"),
+              col("neg_id"), col("neg_label"), col("cos"))
+  }
+
+  /** Oracle: label-carrying query CTE, label-inequality join, identical
+    * ranking. */
+  val annHardNegativesSql: String =
+    s"""WITH $corpusSql,
+       |qh AS (
+       |  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |  FROM corpus WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, q_label, c.vec_id AS neg_id, c.label AS neg_label,
+       |         ${dotSql("qv", "v")} / (qh.qn * c.nrm) AS cos
+       |  FROM corpus c JOIN qh ON c.label <> qh.q_label),
+       |ranked AS (
+       |  SELECT q_id, q_label, neg_id, neg_label, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, q_label, CAST(rnk AS INT) AS rnk, neg_id, neg_label, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+
   // ------------------------------------------------------- clustering eval
 
   /** Silhouette quantization: integer micro-units so the per-label mean

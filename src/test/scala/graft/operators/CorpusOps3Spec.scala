@@ -1035,6 +1035,37 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 > got(1L)._2 && got(1L)._2 > got(2L)._2)
   }
 
+  // ----------------------------------------------------- ann_hard_negatives
+
+  test("annHardNegatives: the near-identical OTHER-label vector ranks " +
+       "first; same-label twins are never mined") {
+    import spark.implicits._
+    val sub = s"$dir/hardneg"
+    def e(is: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(4)(0.0f); is.foreach { case (i, s) => a(i) = s }; a
+    }
+    Seq(
+      (0L, e(0 -> 1.0f), 0),              // the query
+      (1L, e(0 -> 1.0f), 0),              // exact twin, SAME label -> excluded
+      (2L, e(1 -> 1.0f), 0),              // same label -> excluded
+      (6L, e(0 -> 0.9f, 1 -> 0.1f), 1),   // near-dup, OTHER label -> the hard negative
+      (8L, e(1 -> 1.0f), 1),              // orthogonal negative
+      (9L, e(2 -> 1.0f), 2))              // orthogonal negative, third label
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val rows = Similarity.annHardNegatives(spark, sub).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    // only other-label vectors are mined, labels reported faithfully
+    assert(rows.forall(r => r.getAs[Int]("neg_label") != r.getAs[Int]("q_label")))
+    assert(rows.forall(_.getAs[Int]("q_label") == 0))
+    val ids = rows.map(_.getAs[Long]("neg_id")).toSeq
+    assert(!ids.contains(1L) && !ids.contains(2L), s"same-label leaked: $ids")
+    // the boundary vector is the top hard negative, orthogonals follow
+    assert(ids.take(3) == Seq(6L, 8L, 9L))
+    assert(rows.head.getAs[Double]("cos") > 0.99)
+  }
+
   // -------------------------------------------------------- eval_clustering
 
   test("evalClustering: plain-Scala silhouette replay; the misassigned " +
