@@ -272,14 +272,21 @@ object Sketches {
    * sketch made visible at the query level: hourly HLL registers are
    * built once (the [[hllDistinct]] register dataflow keyed by hour),
    * then every 3-hour window's sketch is the register-wise MAX of its
-   * hours — a window max over a dense (type, hour, bucket) grid, no
-   * re-scan of the raw events per window. This is exactly why sketches
+   * hours. SPARSE slide (r13): each present hourly register row is
+   * replicated into the ≤ SlideHours+1 window-end hours it is visible
+   * in (the same explode idiom the exact column already uses), then a
+   * two-level max-per-(window,bucket) / sum-over-buckets aggregate.
+   * No dense hours × types × buckets grid, no window function, no
+   * left join: work ∝ PRESENT registers × 3, not ∝ the full grid —
+   * the r12 dense-grid plan did ~m× the needed work when most
+   * (hour, bucket) cells were empty (2.6× the oracle at sf0.1).
+   * Absent cells never materialize; `zeros = m − n_buckets` recovers
+   * them exactly as [[hllDistinct]] does. This is exactly why sketches
    * beat exact distinct at 100 TB: hourly registers are tiny (256 per
    * type), merge is associative, and any window/rollup combination is
    * post-hoc register algebra. The exact windowed distinct alongside
-   * (via the standard replicate-each-event-into-its-visible-windows
-   * explode — zero joins) is the verification column that would not
-   * survive at scale.
+   * (the same replicate-into-visible-windows explode over raw events)
+   * is the verification column that would not survive at scale.
    *
    * Determinism: identical to [[hllDistinct]] — integer registers,
    * exact integer harmonic sums, one double division + ln correction
@@ -301,19 +308,17 @@ object Sketches {
                 .otherwise(lit(HllW + 1) - length(bin(col("w")))).as("rho"))
     val regsHourly = hashed.groupBy(col("event_type"), col("hnum"), col("bucket"))
       .agg(max(col("rho")).as("m_j"))
-    val hours = regsHourly.agg(min(col("hnum")).as("mn"), max(col("hnum")).as("mx"))
-      .select(explode(sequence(col("mn"), col("mx"))).as("hnum"))
-    // explicit broadcast() so the tiny pre-aggregated sides never depend
-    // on AQE runtime estimation to avoid a shuffled cross product
-    val grid = hours
-      .crossJoin(broadcast(regsHourly.select(col("event_type")).distinct()))
-      .crossJoin(broadcast(spark.range(HllM).select(col("id").as("bucket"))))
-    import org.apache.spark.sql.expressions.Window
-    val wSlide = Window.partitionBy(col("event_type"), col("bucket"))
-      .orderBy(col("hnum")).rangeBetween(-SlideHours, 0)
-    val slid = grid.join(regsHourly, Seq("event_type", "hnum", "bucket"), "left")
-      .withColumn("m_w", max(col("m_j")).over(wSlide))
-    val g = slid.filter(col("m_w").isNotNull)
+    // No mx clip on the sketch side: a register exists for a window iff an
+    // event fell in it, so the final INNER join with `exact` (which is
+    // clipped at the last observed hour) drops the ≤ SlideHours phantom
+    // windows past mx for free — one fewer exchange + events scan than a
+    // broadcast-bound filter here.
+    val merged = regsHourly
+      .select(col("event_type"), col("bucket"), col("m_j"),
+              explode(sequence(col("hnum"), col("hnum") + SlideHours)).as("hnum"))
+      .groupBy(col("event_type"), col("hnum"), col("bucket"))
+      .agg(max(col("m_j")).as("m_w"))
+    val g = merged
       .groupBy(col("event_type"), col("hnum"))
       .agg(count(lit(1)).as("n_buckets"),
            sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllW + 1} - m_w AS INT))"))
@@ -326,9 +331,9 @@ object Sketches {
         round(when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0,
                    lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
                 .otherwise(col("e_raw")), 6))
-    // derive the hour bound INSIDE the plan (mirrors the SQL twin's mx
-    // aggregate): constructing this DataFrame must not run a Spark job,
-    // and an empty events table yields an empty result instead of an NPE
+    // hour upper bound, derived INSIDE the plan (no job at construction,
+    // empty input → empty result); broadcast so the clip is map-side —
+    // windows sliding past the last observed hour don't exist.
     val bounds = broadcast(ev.agg(max(col("hnum")).as("mx")))
     val exact = ev
       .select(col("event_type"), col("user_id"),
@@ -358,25 +363,16 @@ object Sketches {
        |         MAX(CASE WHEN w = 0 THEN ${HllW + 1}
        |                  ELSE ${HllW + 1} - length(bin(w)) END) AS m_j
        |  FROM b GROUP BY 1, 2, 3),
-       |hrs AS (
-       |  SELECT unnest(range(CAST(MIN(hnum) AS BIGINT), CAST(MAX(hnum) AS BIGINT) + 1)) AS hnum
-       |  FROM r),
-       |grid AS (
-       |  SELECT t.event_type, hrs.hnum, bk.bucket
-       |  FROM hrs
-       |  CROSS JOIN (SELECT DISTINCT event_type FROM r) t
-       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS bucket) bk),
        |slid AS (
-       |  SELECT g.event_type, g.hnum, g.bucket,
-       |         MAX(r.m_j) OVER (PARTITION BY g.event_type, g.bucket ORDER BY g.hnum
-       |                          RANGE BETWEEN $SlideHours PRECEDING AND CURRENT ROW) AS m_w
-       |  FROM grid g
-       |  LEFT JOIN r ON r.event_type = g.event_type AND r.hnum = g.hnum
-       |              AND r.bucket = g.bucket),
+       |  SELECT event_type, g AS hnum, bucket, MAX(m_j) AS m_w
+       |  FROM (SELECT event_type, bucket, m_j,
+       |               unnest(range(hnum, hnum + ${SlideHours + 1})) AS g
+       |        FROM r) x
+       |  GROUP BY 1, 2, 3),
        |gg AS (
        |  SELECT event_type, hnum, COUNT(*) AS n_buckets,
        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(${HllW + 1} - m_w AS INT)) AS BIGINT) AS s_present
-       |  FROM slid WHERE m_w IS NOT NULL GROUP BY 1, 2),
+       |  FROM slid GROUP BY 1, 2),
        |e AS (
        |  SELECT event_type, hnum,
        |         $HllM - n_buckets AS zeros,
