@@ -64,27 +64,45 @@ object Bench {
       graft.operators.Checkpoints.releaseAll(spark)
       t
     }
-    // Load guard (r12): sample the 1-min load average at the START of each
-    // pass. A pass that began under co-tenant load (> LoadThresh) is kept
-    // (the median tolerates it) but counted, and one EXTRA clean-start
-    // pass per dirty one (capped) is appended so the median always has
-    // `runs` samples whose wall-clock window wasn't known-contaminated.
-    // The per-pass loads land in the artifact's env block, so a judge can
-    // see whether spread_gt3x entries line up with a recorded burst.
+    // Load guard (r12, hardened r13): sample the 1-min load average at the
+    // START of each pass. A pass that began under co-tenant load
+    // (> LoadThresh) is kept (the median tolerates it) but counted, and
+    // one EXTRA pass per dirty one (capped) is appended. Before pass 1
+    // and before each extra, wait (bounded) for the load to drain, so the
+    // suite starts quiet when it can and the extras genuinely replace
+    // contaminated samples rather than adding more; an extra that still
+    // starts loaded after the wait is itself recorded in pass_loads, and
+    // dirty_passes is computed over ALL recorded passes (planned +
+    // extras), so the artifact never understates contamination. The
+    // per-pass loads land in the env block, so a judge can see whether
+    // spread_gt3x entries line up with a recorded burst.
     val LoadThresh = 3.0
+    def awaitQuiet(maxWaitSec: Int): Unit = {
+      var waited = 0
+      while (osBean.getSystemLoadAverage > LoadThresh && waited < maxWaitSec) {
+        Thread.sleep(10000); waited += 10
+      }
+    }
     val passLoads = scala.collection.mutable.Buffer.empty[Double]
     def runPass(p: Int): Seq[(String, Double)] = {
       passLoads += osBean.getSystemLoadAverage
-      val rotated = named.drop(p * named.size / runs) ++
-        named.take(p * named.size / runs)
+      // modular rotation: extra passes (p >= runs) re-use the rotation of
+      // the planned slot they replace instead of all degenerating to the
+      // pass-0 order (p*size/runs lands past size for p >= runs)
+      val off = (p % runs) * named.size / runs
+      val rotated = named.drop(off) ++ named.take(off)
       rotated.map { case (name, fn) => name -> timeOne(name, fn) }
     }
+    awaitQuiet(120)
     val planned = (0 until runs).map(runPass)
-    val dirty = passLoads.count(_ > LoadThresh)
+    val plannedDirty = passLoads.count(_ > LoadThresh)
     val maxExtra = 2
-    val extraPasses = math.min(dirty, maxExtra)
+    val extraPasses = math.min(plannedDirty, maxExtra)
     val passResults: Seq[Seq[(String, Double)]] =
-      planned ++ (0 until extraPasses).map(i => runPass(runs + i))
+      planned ++ (0 until extraPasses).map { i =>
+        awaitQuiet(60); runPass(runs + i)
+      }
+    val dirty = passLoads.count(_ > LoadThresh)
     val byName = passResults.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
     val allRuns: Seq[(String, Seq[Double])] =
       named.map { case (name, _) => name -> byName(name).toSeq }

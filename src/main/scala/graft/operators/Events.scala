@@ -847,6 +847,17 @@ object Events {
    * carries more than the QI + user id.
    *
    * Determinism: counts and thresholds only — no floats, no ties.
+   *
+   * RELEASE-BOUNDARY CONTRACT: this output is the release AUDIT table,
+   * not the publishable release itself. Rows with released=false carry
+   * their exact sub-k n_events/n_users so the suppression volume is
+   * auditable — they MUST be filtered out (or their counts nulled)
+   * before any row leaves the trust boundary, or the gate leaks the very
+   * counts it suppresses. Likewise granularity='day' rows aggregate ONLY
+   * the events of that day's k-FAILING hours (the local-recoding
+   * remainder), not the full calendar day — hours that already cleared k
+   * release at granularity='hour' and are not double-counted into the
+   * day cell, so a day row is NOT a full-day total.
    */
   def eventsKanon(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)

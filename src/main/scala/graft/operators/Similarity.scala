@@ -361,17 +361,31 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     require(cents.length >= 2, "silhouette needs >= 2 clusters")
+    // den = 0 (a zero vector or a zero centroid) must yield NaN distance
+    // EXPLICITLY: Spark's ANSI double division ERRORS on /0 and DuckDB's
+    // returns NULL — neither is the shared degenerate-geometry contract
+    // (NaN, so the isnan pin below fires identically in both engines).
     val withD = c.select(col("vec_id") +: col("label") +:
       cents.toIndexedSeq.map { case (li, cv, cn) =>
-        (lit(1.0) - dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn)))
+        val den = col("nrm") * lit(cn)
+        when(den === 0.0, lit(Double.NaN))
+          .otherwise(lit(1.0) - dot(col("v"), typedLit(cv)) / den)
           .as(s"d_$li")
       }: _*)
     val da = cents.tail.foldLeft(
       when(col("label") === cents.head._1, col(s"d_${cents.head._1}"))) {
         case (acc, (li, _, _)) => acc.when(col("label") === li, col(s"d_$li"))
       }
+    // own-label sentinel is NaN, not Double.MaxValue: Spark's least()
+    // ranks NaN above every finite double, so the sentinel is skipped
+    // whenever ANY other-centroid distance is finite — and when they are
+    // ALL NaN (zero centroids in degenerate geometry), db itself is NaN,
+    // which the isnan pin below catches. That is exactly DuckDB's
+    // NULL-excluded conditional MIN (NaN sorts greatest there too), so
+    // both engines pin the same rows; a MaxValue sentinel would instead
+    // leak s_fp ≈ +1e6 on the Spark side in the all-NaN case.
     val db = least(cents.toIndexedSeq.map { case (li, _, _) =>
-      when(col("label") === li, lit(Double.MaxValue)).otherwise(col(s"d_$li"))
+      when(col("label") === li, lit(Double.NaN)).otherwise(col(s"d_$li"))
     }: _*)
     // degenerate geometry (a vector ON both its own and the nearest other
     // centroid, or a zero centroid making a distance NaN) has an undefined
@@ -397,7 +411,8 @@ object Similarity {
     s"""WITH $corpusSql, $centSqlCtes,
        |d AS (
        |  SELECT c.vec_id, c.label AS lbl, t.label AS cl,
-       |         1 - ${dotSql("v", "cv")} / (nrm * cn) AS dist
+       |         CASE WHEN nrm * cn = 0 THEN CAST('nan' AS DOUBLE)
+       |              ELSE 1 - ${dotSql("v", "cv")} / (nrm * cn) END AS dist
        |  FROM corpus c CROSS JOIN cent2 t),
        |ab AS (
        |  SELECT vec_id, lbl,

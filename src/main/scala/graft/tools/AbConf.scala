@@ -8,9 +8,19 @@ import org.apache.spark.sql.SparkSession
   * times each query with the session default vs with the override. */
 object AbConf {
   def main(args: Array[String]): Unit = {
-    val reps = args(0).toInt
-    val Array(key, v) = args(1).split("=", 2)
+    def usage(why: String): Nothing = {
+      System.err.println(s"AbConf: $why\nusage: AbConf <reps> <confKey=val> <query>...")
+      sys.exit(2)
+    }
+    if (args.length < 3) usage("expected at least 3 args")
+    val reps = args(0).toIntOption.getOrElse(usage(s"reps '${args(0)}' is not an int"))
+    val (key, v) = args(1).split("=", 2) match {
+      case Array(k, value) => (k, value)
+      case _               => usage(s"'${args(1)}' is not of the form confKey=val")
+    }
     val queries = args.drop(2)
+    queries.find(!graft.SparkEntry.queries.contains(_))
+      .foreach(q => usage(s"unknown query '$q'"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +33,10 @@ object AbConf {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val base = spark.conf.get(key)
+    // getOption: conf keys with no registered session default (e.g. an
+    // unset optional conf) would make conf.get throw a confusing
+    // NoSuchElementException; treat "unset" as the base arm instead.
+    val base = spark.conf.getOption(key)
     def time(n: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
@@ -35,7 +48,8 @@ object AbConf {
     val acc = collection.mutable.Map.empty[(String, Boolean), Vector[Double]]
       .withDefaultValue(Vector())
     for (_ <- 1 to reps; n <- queries; on <- Seq(false, true)) {
-      spark.conf.set(key, if (on) v else base)
+      if (on) spark.conf.set(key, v)
+      else base.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       acc((n, on)) = acc((n, on)) :+ time(n)
     }
     for (n <- queries) {

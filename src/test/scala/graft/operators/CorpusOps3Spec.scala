@@ -1118,6 +1118,30 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1)._2 > 0.5)                    // tight cluster scores high
   }
 
+  test("evalClustering: degenerate geometry (a zero OTHER centroid, k=2) " +
+       "pins every silhouette to 0 — the NaN sentinel never leaks +1e6") {
+    import spark.implicits._
+    val sub = s"$dir/silhdegen"
+    def e(i: Int, s: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = s; a
+    }
+    // label 1's two vectors cancel: its quantized centroid is exactly the
+    // zero vector (cn = 0), so EVERY distance to it is 0/0 = NaN. With
+    // k=2 that NaN is the only other-centroid distance for label 0 — the
+    // case where a Double.MaxValue own-label sentinel in least() would
+    // survive and leak s_fp ~ +1e6 on the Spark side while DuckDB's
+    // NULL-excluded MIN returns NaN and pins 0. The NaN sentinel makes
+    // both engines pin every row.
+    Seq((1L, e(0, 1.0f), 0), (2L, e(0, 0.5f), 0),
+        (3L, e(1, 1.0f), 1), (4L, e(1, -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sub/embeddings.parquet")
+    val got = Similarity.evalClustering(spark, sub).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(0 -> ((2L, 0.0, 0L)), 1 -> ((2L, 0.0, 0L))))
+  }
+
   // ----------------------------------------------------------- events_kanon
 
   test("eventsKanon: hour cells release at k; failing cells generalize to " +
