@@ -548,4 +548,73 @@ object Graph {
        |SELECT nt.u AS user_id, nt.n_types, h.hub AS hub_units
        |FROM nt JOIN h$HitsRounds h USING (u)""".stripMargin
   }
+
+  // ------------------------------------------------------- link prediction
+
+  /**
+   * Common-neighbor link prediction [EXT] — for every NON-adjacent
+   * document pair sharing at least one neighbor in the near-dup graph:
+   * the common-neighbor count and the resource-allocation index
+   * (Σ 1/deg(m) over shared neighbors m, Zhou et al.) in integer
+   * micro-units. In a dedup pipeline these are the "missed edge"
+   * candidates: two documents each near-dup to a third but not (yet) to
+   * each other — exactly where a banded LSH loses recall — so the top
+   * RA-scored non-edges are the audit list for a second-pass exact
+   * comparison. RA is used instead of Adamic–Adar (1/ln deg)
+   * deliberately: `1e6 div deg` is exact integer arithmetic,
+   * bit-identical across engines, where ln is libm.
+   *
+   * Scale shape: one wedge self-join of the symmetric edge list on the
+   * middle node, one anti-join against the edge set, one pair rollup —
+   * all equi-joins on document ids. The wedge set is Σ deg(m)² over
+   * middle nodes, the classic quadratic hazard, bounded here exactly
+   * like the triangle count: [[Dedup]]'s MaxBucketDocs cap bounds every
+   * degree at the LSH stage, and a web-scale deployment would orient
+   * wedges by degree (same plan shape, smaller wedge set).
+   *
+   * Determinism: counts and integer division only.
+   */
+  def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val e = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val deg = e.groupBy(col("doc_a").as("mid")).agg(count(lit(1)).as("deg"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a")
+                          && col("e1.doc_a") < col("e2.doc_b"))
+      .select(col("e1.doc_a").as("u"), col("e1.doc_b").as("mid"),
+              col("e2.doc_b").as("v"))
+    // link PREDICTION: drop pairs that are already edges (pairs is
+    // canonical doc_a < doc_b, same orientation as the u < v wedges)
+    val cand = wedges.join(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")),
+      Seq("u", "v"), "left_anti")
+    cand.join(deg, "mid")
+      .groupBy(col("u").as("doc_a"), col("v").as("doc_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+           sum(expr(s"$PrOne div deg")).as("ra_fp"))
+  }
+
+  /** Oracle: identical wedge/anti-join/rollup chain over the shared LSH
+    * pair CTEs. */
+  val graphCommonNeighborsSql: String =
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT doc_a AS mid, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |wdg AS (
+       |  SELECT e1.doc_a AS u, e1.doc_b AS mid, e2.doc_b AS v
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.doc_b = e2.doc_a AND e1.doc_a < e2.doc_b),
+       |cand AS (
+       |  SELECT u, mid, v FROM wdg
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                    WHERE p.doc_a = wdg.u AND p.doc_b = wdg.v))
+       |SELECT u AS doc_a, v AS doc_b,
+       |       CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       |       CAST(SUM($PrOne // deg) AS BIGINT) AS ra_fp
+       |FROM cand JOIN deg USING (mid)
+       |GROUP BY 1, 2""".stripMargin
 }

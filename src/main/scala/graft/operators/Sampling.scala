@@ -321,6 +321,143 @@ object Sampling {
        |  FROM h)
        |WHERE rnk <= $PerStratum""".stripMargin
 
+  // ------------------------------------------------- weighted sampling
+
+  /** Weighted-sample size, hash salt, and the u-quantum (u is drawn as
+    * an exact rational k/[[WScale]], k ∈ 1..WScale). */
+  private val WeightedK = 100
+  private val WSalt = "graft_wsample_v1:"
+  private val WScale = 1000000L
+
+  /**
+   * Deterministic weighted sampling without replacement [EXT] — priority
+   * sampling (Duffield–Lund–Thorup): each document draws u ∈ (0,1] from
+   * its salted md5 hash and gets priority q = w/u with weight
+   * w = n_chars; the [[WeightedK]] largest priorities are the sample.
+   * Inclusion probability is ∝ min(1, w/τ) — long documents (more
+   * training tokens) are proportionally more likely to be kept, the
+   * standard size-weighted corpus subsample. Chosen over the
+   * Efraimidis–Spirakis exponential form (key = −ln u / w) DELIBERATELY:
+   * u is the exact rational (h mod [[WScale]] + 1)/[[WScale]], so
+   * q = w·[[WScale]]/(h mod [[WScale]] + 1) is one IEEE division of two
+   * exact integers — correctly rounded, bit-identical across engines —
+   * whereas ln/pow is libm and engine-dependent at the last ulp, exactly
+   * where a rank boundary could flip.
+   *
+   * Scale shape: priority is a pure per-row map; top-K by priority is
+   * `TakeOrderedAndProject` — a map-side K-heap per partition and a
+   * single K-row reduce, ZERO full shuffle at any corpus size. This (not
+   * the window-rank form) is why priority sampling is the streaming /
+   * petabyte weighted-sample primitive: the sketch is mergeable.
+   */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              (md5Long(concat(lit(WSalt), col("doc_id").cast("string")))
+                 % WScale + 1L).as("u_q"))
+      .withColumn("priority",
+        (col("n_chars") * WScale).cast("double") / col("u_q").cast("double"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(WeightedK)
+
+  /** Oracle: identical integer-rational priorities, same ORDER BY cut. */
+  val sampleWeightedSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         CAST(('0x' || substring(md5('$WSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $WScale + 1 AS u_q
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, CAST(u_q AS BIGINT) AS u_q,
+       |       CAST(n_chars * $WScale AS DOUBLE) / CAST(u_q AS DOUBLE) AS priority
+       |FROM p
+       |ORDER BY priority DESC, doc_id ASC
+       |LIMIT $WeightedK""".stripMargin
+
+  // --------------------------------------------------- domain KL divergence
+
+  /** Hashed-unigram space size and the nano-nat fixed-point scale for
+    * per-bucket KL terms. */
+  private val KlBuckets = 512L
+  private val KlScale = 1000000000L
+
+  /**
+   * Per-source KL divergence from the corpus token distribution [EXT] —
+   * the domain-shift meter a mixing pass reads before setting weights:
+   * KL(p_source ‖ p_corpus) over add-one-smoothed hashed-unigram
+   * distributions. A source with high KL is lexically far from the
+   * blend (a code dump in a prose corpus, a language outlier); mixing
+   * recipes cap or re-weight by exactly this quantity, and decontam
+   * audits watch it drift between snapshots. Shares [[dsirImportance]]'s
+   * featurization (md5-hashed buckets) and its fixed-point-quantize-
+   * then-integer-sum determinism: each (source, bucket) KL term
+   * p·ln(p/q) is quantized ONCE to nano-nats, so the per-source total is
+   * an exact integer sum — never a float fold whose order could differ.
+   *
+   * Scale shape: ONE corpus-scan aggregate to (source, bucket) counts;
+   * everything after (corpus marginals, totals, the sources × 512
+   * smoothing grid, the term table) is arithmetic on that KB-sized
+   * result — the dense grid here is sketch-sized (sources × buckets),
+   * intrinsic to smoothing, and independent of corpus size. No join
+   * ever carries text.
+   */
+  def mixKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("source"),
+              explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+      .select(col("source"), (md5Long(col("tok")) % KlBuckets).as("b"))
+    // four consumers below — cut so the scan+hash pass runs once
+    val sb = Checkpoints.cut(
+      toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb")),
+      eager = false)
+    val qb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+    val ns = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+    val nAll = broadcast(sb.agg(sum(col("c_sb")).as("n")))
+    val grid = ns.crossJoin(
+      broadcast(spark.range(KlBuckets).select(col("id").as("b"))))
+    val terms = grid
+      .join(sb, Seq("source", "b"), "left").na.fill(0L, Seq("c_sb"))
+      .join(broadcast(qb), Seq("b"), "left").na.fill(0L, Seq("c_b"))
+      .crossJoin(nAll)
+      .select(col("source"), col("n_s"), expr(
+        s"""CAST(round(((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + $KlBuckets AS DOUBLE))
+           |  * ln((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + $KlBuckets AS DOUBLE))
+           |       / (CAST(c_b + 1 AS DOUBLE) / CAST(n + $KlBuckets AS DOUBLE))))
+           |  * $KlScale) AS LONG)""".stripMargin).as("term_fp"))
+    terms.groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term_fp")).as("kl_fp"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("kl_fp"),
+              round(col("kl_fp").cast("double") / KlScale.toDouble, 6)
+                .as("kl_nats"))
+  }
+
+  /** Oracle: identical smoothing grid and nano-nat quantization. */
+  val mixKlDivergenceSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $KlBuckets AS b
+       |  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)),
+       |sb AS (SELECT source, b, COUNT(*) AS c_sb FROM tok GROUP BY 1, 2),
+       |qb AS (SELECT b, SUM(c_sb) AS c_b FROM sb GROUP BY 1),
+       |ns AS (SELECT source, SUM(c_sb) AS n_s FROM sb GROUP BY 1),
+       |tot AS (SELECT SUM(c_sb) AS n FROM sb),
+       |grid AS (
+       |  SELECT ns.source, ns.n_s, gb.b
+       |  FROM ns CROSS JOIN (SELECT unnest(range(0, $KlBuckets)) AS b) gb),
+       |terms AS (
+       |  SELECT g.source, g.n_s,
+       |    CAST(round(((CAST(COALESCE(s.c_sb, 0) + 1 AS DOUBLE) / CAST(g.n_s + $KlBuckets AS DOUBLE))
+       |      * ln((CAST(COALESCE(s.c_sb, 0) + 1 AS DOUBLE) / CAST(g.n_s + $KlBuckets AS DOUBLE))
+       |           / (CAST(COALESCE(q.c_b, 0) + 1 AS DOUBLE) / CAST(tot.n + $KlBuckets AS DOUBLE))))
+       |      * $KlScale) AS BIGINT) AS term_fp
+       |  FROM grid g
+       |  LEFT JOIN sb s ON s.source = g.source AND s.b = g.b
+       |  LEFT JOIN qb q ON q.b = g.b
+       |  CROSS JOIN tot)
+       |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       |       CAST(SUM(term_fp) AS BIGINT) AS kl_fp,
+       |       round(CAST(SUM(term_fp) AS DOUBLE) / $KlScale, 6) AS kl_nats
+       |FROM terms GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------- DSIR importance weighting
 
   /** Hashed-feature space size, the target slice, and the fixed-point

@@ -203,6 +203,57 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
        |FROM ranked WHERE rnk <= $K""".stripMargin
 
+  // --------------------------------------------------------- range search
+
+  /** Cosine radius for [[annRangeSearch]]: the synthetic embeddings are
+    * near-uniform on the sphere (max observed query cosine ≈ 0.40 at
+    * sf0.01/sf0.1), so 0.25 is the radius that keeps the result set
+    * non-trivial (~23 rows at sf0.01, ~83 at sf0.1) while staying
+    * selective; a clustered production corpus would sit near 0.9. */
+  private val RangeCos = 0.25
+
+  /**
+   * Range (radius) vector search [EXT] — the fixed-threshold complement
+   * of top-k: ALL probed-cluster neighbors with cosine ≥ [[RangeCos]],
+   * however many there are. Top-k answers "the best k matches"; range
+   * search answers "everything this similar" — the primitive behind
+   * duplicate sweeps ("every vector within ε"), recall audits, and
+   * density estimates, where a fixed k silently truncates dense
+   * neighborhoods and pads sparse ones.
+   *
+   * Scale shape: the coarse stage is [[ivfProbes]] unchanged (broadcast
+   * centroid literals, NProbe probed lists per query); scoring touches
+   * only probed-cluster rows via the equi-join on `label`, and the
+   * threshold filter fuses into the scoring projection inside
+   * whole-stage codegen — no window, no rank, no per-query sort at all,
+   * which is precisely what makes range search CHEAPER than top-k at
+   * 100 TB. Output size is data-dependent (dense neighborhoods return
+   * more); a production sweep bounds it by tightening ε per density
+   * tier, not by re-introducing a k.
+   *
+   * Determinism: quantized-integer centroids, L2R-fold dots, one IEEE
+   * division per cosine — bit-identical across engines, so the ≥
+   * threshold cut can never straddle an engine difference.
+   */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    c.join(broadcast(ivfProbes(c)), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+      .filter(col("cos") >= RangeCos)
+  }
+
+  /** Oracle: identical probe CTEs, the same threshold in place of the
+    * rank window. */
+  val annRangeSearchSql: String =
+    s"""WITH $corpusSql, $queriesSqlCte,
+       |$ivfProbesSqlCtes
+       |SELECT q_id, c.vec_id AS neighbor_id,
+       |       ${dotSql("qv", "v")} / (qn * c.nrm) AS cos
+       |FROM corpus c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id
+       |WHERE ${dotSql("qv", "v")} / (qn * c.nrm) >= $RangeCos""".stripMargin
+
   // ------------------------------------------------------ filtered search
 
   /** Metadata predicate for the filtered search: corpus language. 'fr' is
