@@ -756,6 +756,74 @@ object Similarity {
        |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
        |FROM b GROUP BY bucket""".stripMargin
 
+  // ------------------------------------------------------ multi-probe LSH
+
+  /**
+   * Multi-probe LSH search [EXT] (Lv et al., VLDB 2007) — the recall
+   * lever that does NOT cost more tables: each query searches its own
+   * sign-bucket PLUS the [[NPlanes]] Hamming-1 buckets (one sign bit
+   * flipped), because a near neighbor that disagrees on exactly one
+   * hyperplane lands exactly one bit away. Single-probe LSH must add
+   * whole hash tables (memory ∝ tables) to recover that recall;
+   * multi-probe adds probe JOINS instead (work ∝ probes) — the standard
+   * trade on a storage-bound corpus.
+   *
+   * Scale shape: the corpus is bucketed ONCE by the 8-bit signature (a
+   * zero-shuffle map, the [[annLshBuckets]] layout); each query explodes
+   * into its 9 probe buckets and the candidate set arrives via an
+   * equi-join on the bucket id — only probed buckets are ever scored,
+   * ~9/256 of the corpus at uniform occupancy. Exact cosine rescoring +
+   * per-query top-[[K]] with the family's deterministic tiebreak.
+   *
+   * Determinism: signatures are exact sign tests on md5-derived plane
+   * literals; cosines are L2R folds; ranking ties break on neighbor_id.
+   */
+  def annMultiprobeLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+      .withColumn("bucket", lshBucket(col("v")))
+    val probes = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array((lit(-1) +: (0 until NPlanes).map(lit(_))): _*)).as("flip"),
+        col("bucket"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        when(col("flip") === -1, col("bucket"))
+          .otherwise(expr(s"bucket ^ shiftleft(1L, flip)")).as("bucket"))
+    val scored = c.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Oracle: identical bucket table, the probe set as an unnested flip
+    * list, identical rescoring and rank cut. */
+  val annMultiprobeLshSql: String = {
+    val flips = (-1 until NPlanes).mkString("[", ", ", "]")
+    s"""WITH $corpusSql,
+       |b AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM corpus),
+       |qp AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |         CASE WHEN flip = -1 THEN bucket
+       |              ELSE xor(bucket, CAST(1 AS BIGINT) << flip) END AS bucket
+       |  FROM b, unnest($flips::INT[]) AS t(flip)
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "b.v")} / (qn * b.nrm) AS cos
+       |  FROM b JOIN qp ON b.bucket = qp.bucket AND b.vec_id <> qp.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+  }
+
   // --------------------------------------------------------- quantization
 
   /**

@@ -1918,4 +1918,108 @@ object TextAnalysis {
        |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY tv.bucket
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
        |FROM tv LEFT JOIN nt USING (bucket)""".stripMargin
+
+  // -------------------------------------------------------- RAKE keywords
+
+  /** RAKE stopword delimiters (the [[textQuality]] list), the phrase
+    * length cap, the keyword count, and the score fixed-point scale. */
+  private val RakeStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val RakeMaxLen = 4
+  private val RakeTopK = 50
+  private val RakeScale = 1000000L
+
+  /**
+   * RAKE keyword extraction [EXT] (Rose et al. 2010) — corpus-level
+   * keyword phrases for topic labeling / corpus cards: candidate
+   * phrases are maximal stopword-delimited token runs (capped at
+   * [[RakeMaxLen]] words — RAKE's standard guard against run-on
+   * candidates), each word w scores deg(w)/freq(w) where freq counts
+   * occurrences in candidates and deg sums the lengths of the phrases
+   * containing it (co-occurrence degree, favoring words that appear in
+   * longer collocations), and a phrase scores the sum of its word
+   * scores. Top-[[RakeTopK]] distinct phrases by score.
+   *
+   * Scale shape: phrase segmentation is ONE pass — posexplode + a
+   * per-document running stopword count (window partitioned by doc_id,
+   * never global) assigns each token its phrase group; everything
+   * downstream (phrase table, word freq/deg, the score join) operates
+   * on vocabulary-sized aggregates, and the final cut is a
+   * TakeOrdered over distinct phrases. No join carries document text.
+   *
+   * Determinism: freq/deg are exact counts; each word score is ONE
+   * integer floor-division in [[RakeScale]] units; phrase scores are
+   * exact integer sums of those; ties break on the phrase string.
+   */
+  def textRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toksPos = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(RakeStops: _*))
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+    val phrases = toksPos.filter(!col("is_stop") && col("tok") =!= "")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                     s => s.getField("tok")).as("ws"))
+      .filter(size(col("ws")).between(1, RakeMaxLen))
+      .select(concat_ws(" ", col("ws")).as("phrase"), col("ws"),
+              size(col("ws")).as("len"))
+    // freq/deg over EVERY phrase instance; scores summed once per
+    // phrase TYPE (the word list is recoverable from the phrase string,
+    // so the type table never carries arrays)
+    val words = phrases.select(col("phrase"), col("len"), explode(col("ws")).as("w"))
+    val wordScore = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), expr(s"deg * $RakeScale div freq").as("ws_fp"))
+    val ptypes = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    ptypes
+      .select(col("phrase"), col("n_occurrences"),
+              explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, "w")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(sum(col("ws_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase").asc)
+      .limit(RakeTopK)
+      .select(col("phrase"), col("n_occurrences"), col("score_fp"),
+              round(col("score_fp").cast("double") / RakeScale, 6).as("score"))
+  }
+
+  /** Oracle: parallel-unnest positions, the same running stopword-count
+    * segmentation, identical integer scoring. */
+  val textRakeKeywordsSql: String = {
+    val stops = RakeStops.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |tp AS (
+       |  SELECT doc_id, pos, tok, tok IN $stops AS is_stop
+       |  FROM (SELECT doc_id, unnest(ts) AS tok,
+       |               unnest(generate_series(1, len(ts))) AS pos
+       |        FROM d)),
+       |tg AS (
+       |  SELECT doc_id, pos, tok, is_stop,
+       |         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM tp),
+       |ph AS (
+       |  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase, COUNT(*) AS len
+       |  FROM tg WHERE NOT is_stop AND tok <> ''
+       |  GROUP BY doc_id, grp
+       |  HAVING COUNT(*) BETWEEN 1 AND $RakeMaxLen),
+       |wrd AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w FROM ph),
+       |wsc AS (
+       |  SELECT w, (CAST(SUM(len) AS BIGINT) * $RakeScale) // COUNT(*) AS ws_fp
+       |  FROM wrd GROUP BY 1),
+       |pt AS (SELECT phrase, COUNT(*) AS n_occurrences FROM ph GROUP BY 1),
+       |pw AS (
+       |  SELECT pt.phrase, pt.n_occurrences,
+       |         unnest(string_split(pt.phrase, ' ')) AS w
+       |  FROM pt),
+       |sc AS (
+       |  SELECT phrase, n_occurrences, CAST(SUM(ws_fp) AS BIGINT) AS score_fp
+       |  FROM pw JOIN wsc USING (w) GROUP BY 1, 2)
+       |SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences, score_fp,
+       |       round(CAST(score_fp AS DOUBLE) / $RakeScale, 6) AS score
+       |FROM sc ORDER BY score_fp DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
+  }
 }

@@ -24,6 +24,16 @@ class CorpusOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(dir))
   }
 
+  private def writeDocs(name: String, docs: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val sub = s"$dir/$name"
+    docs.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+              lit("synthetic").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    sub
+  }
+
   // --------------------------------------------------------- sample_weighted
 
   test("sampleWeighted: exact plain-Scala priority replay — top-100 set, " +
@@ -117,6 +127,61 @@ class CorpusOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect.toMap)
     // link PREDICTION: no candidate is an existing edge
     assert(got.keys.forall(k => !edgeSet.contains(k)))
+  }
+
+  // ----------------------------------------------------- ann_multiprobe_lsh
+
+  test("annMultiprobeLsh: exact plain-Scala replay — probe set is the " +
+       "Hamming-1 ball, candidates rescored exactly, same top-k") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def bucket(v: Array[Double]): Long =
+      (0 until 8).map { j =>
+        val h = Similarity.planes(j).toArray
+        if (dot(v, h) > 0) 1L << j else 0L
+      }.sum
+    val bucketOf = vecs.map { case (id, v) => id -> bucket(v) }.toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    val expect = vecs.filter(_._1 < 8).flatMap { case (q, qv) =>
+      val ball = (Set(bucketOf(q)) ++ (0 until 8).map(j => bucketOf(q) ^ (1L << j)))
+      vecs.filter { case (n, _) => n != q && ball(bucketOf(n)) }
+        .map { case (n, nv) => (q, n, dot(qv, nv) / (nrm(q) * nrm(n))) }
+        .sortBy { case (_, n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((_, n, c), i) => (q, i + 1, n, c) }
+    }.toSet
+    val got = Similarity.annMultiprobeLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    // every returned neighbor really is within Hamming distance 1
+    assert(got.forall { case (q, _, n, _) =>
+      java.lang.Long.bitCount(bucketOf(q) ^ bucketOf(n)) <= 1 })
+  }
+
+  // ----------------------------------------------------- text_rake_keywords
+
+  test("textRakeKeywords: hand-computed RAKE scores on a crafted corpus — " +
+       "longer collocations outrank their sub-phrases") {
+    val sub = writeDocs("rake", Seq(
+      (1L, "deep learning of deep learning models", "en"),
+      (2L, "learning rate and deep models", "en")))
+    // phrases: [deep learning], [deep learning models], [learning rate],
+    // [deep models]; freq deep=3 learning=3 models=2 rate=1;
+    // deg deep=7 learning=7 models=5 rate=2
+    val got = TextAnalysis.textRakeKeywords(spark, sub).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    val byPhrase = got.toMap
+    assert(byPhrase == Map(
+      "deep learning models" -> ((1L, 2333333L + 2333333L + 2500000L)),
+      "deep models"          -> ((1L, 2333333L + 2500000L)),
+      "deep learning"        -> ((1L, 2333333L + 2333333L)),
+      "learning rate"        -> ((1L, 2333333L + 2000000L))))
+    // output order is the rank order
+    assert(got.map(_._1).toSeq == Seq(
+      "deep learning models", "deep models", "deep learning", "learning rate"))
   }
 
   // ------------------------------------------------------- ann_range_search
