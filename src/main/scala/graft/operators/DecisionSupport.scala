@@ -451,7 +451,18 @@ object DecisionSupport {
    * and the share ratio compare identically everywhere.
    */
   def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val pq = t(spark, dir, "lineitem")
+    // ONE exchange feeds the whole nested-aggregate chain: pre-partition
+    // the (3-column) fact projection on the part key, so the (part,supp)
+    // aggregate, the per-part re-aggregate AND the pq⋈pt join all
+    // inherit HashPartitioning(l_partkey) — the fair-share computation
+    // needs part-locality anyway. Replaces the 3-exchange stack whose
+    // per-stage AQE launch cost dominated this query's ~1.0 s at sf0.1
+    // (r14 floor decomposition); only the dimension-sized per-supplier
+    // rollup below re-shuffles.
+    val byPart = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .repartition(col("l_partkey"))
+    val pq = byPart
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q"))
     val pt = pq.groupBy(col("l_partkey").as("pk"))

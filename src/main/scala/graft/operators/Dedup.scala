@@ -63,6 +63,82 @@ object Dedup {
       |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ url
+
+  /**
+   * URL-canonicalization dedup [EXT] — the cheapest first pass every web
+   * corpus runs BEFORE content dedup: group fetches whose URLs differ
+   * only in scheme, host case, a `www.` prefix, query string, fragment,
+   * or a trailing slash. Canonicalization is pure string expressions
+   * (strip scheme → strip `#…` → strip `?…` → lowercase host, drop
+   * `www.` → drop one trailing `/`), so at 100 TB it pushes down to the
+   * scan and the ONLY data movement is one hash aggregate on the
+   * canonical key — the same shape (and plan budget) as [[dedupExact]].
+   *
+   * The testdata carries no URL column, so each document's raw URL is
+   * DERIVED deterministically from (doc_id, source) with the messiness
+   * knobs the canonicalizer must erase (scheme/case/www/query/fragment/
+   * slash varied by doc_id residues); the derivation is the shared
+   * fixture, identical expression-for-expression in the oracle — the
+   * operator under test is the canonicalize-and-group.
+   */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val host0 = concat(col("source"), lit(".example.com"))
+    val host = when(col("doc_id") % 3 === 0, upper(host0))
+      .when(col("doc_id") % 3 === 1, concat(lit("WWW."), host0))
+      .otherwise(host0)
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+      lit("://"), host,
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+           concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+    val noScheme = regexp_replace(url, "^[A-Za-z]+://", "")
+    val noFrag = regexp_replace(regexp_replace(noScheme, "#.*$", ""),
+                                "\\?.*$", "")
+    val rawHost = regexp_extract(noFrag, "^[^/]*", 0)
+    val canon = concat(
+      regexp_replace(lower(rawHost), "^www\\.", ""),
+      regexp_replace(regexp_extract(noFrag, "/.*$", 0), "/$", ""))
+    docs.select(col("doc_id"), url.as("url"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+           count(lit(1)).as("n_fetches"),
+           countDistinct(col("url")).as("n_raw_variants"))
+  }
+
+  /** Oracle: the same raw-URL derivation and canonicalization chain. */
+  val dedupUrlSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(source || '.example.com')
+      |          WHEN doc_id % 3 = 1 THEN 'WWW.' || source || '.example.com'
+      |          ELSE source || '.example.com' END) ||
+      |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(nf, '^[^/]*')), '^www\.', '') ||
+      |    regexp_replace(regexp_extract(nf, '/.*$'), '/$', '') AS canonical_url
+      |  FROM (SELECT doc_id, url,
+      |          regexp_replace(regexp_replace(regexp_replace(url,
+      |            '^[A-Za-z]+://', ''), '#.*$', ''), '\?.*$', '') AS nf
+      |        FROM raw))
+      |SELECT canonical_url, MIN(doc_id) AS rep_doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_fetches,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+      |FROM canon GROUP BY 1""".stripMargin
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash parameters: 16 hash functions in 4 bands of 4 rows.

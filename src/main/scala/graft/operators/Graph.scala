@@ -564,13 +564,16 @@ object Graph {
    * deliberately: `1e6 div deg` is exact integer arithmetic,
    * bit-identical across engines, where ln is libm.
    *
-   * Scale shape: one wedge self-join of the symmetric edge list on the
-   * middle node, one anti-join against the edge set, one pair rollup —
-   * all equi-joins on document ids. The wedge set is Σ deg(m)² over
-   * middle nodes, the classic quadratic hazard, bounded here exactly
-   * like the triangle count: [[Dedup]]'s MaxBucketDocs cap bounds every
-   * degree at the LSH stage, and a web-scale deployment would orient
-   * wedges by degree (same plan shape, smaller wedge set).
+   * Scale shape: group each middle node's neighbor set ONCE and explode
+   * its i<j combinations — exactly the C(deg, 2) wedges, with no deg²
+   * self-join probe rows ever materialized (the earlier self-join
+   * generated Σ deg(m)² matches and then filtered half away). Note that
+   * degree-ORIENTATION, the triangle-count trick, does NOT apply here:
+   * a triangle has three wedge witnesses so any one suffices, but a
+   * common-neighbor count needs EVERY wedge exactly once — direct
+   * combination enumeration over the adjacency list is the web-scale
+   * shape. Degrees stay bounded by [[Dedup]]'s MaxBucketDocs LSH cap,
+   * so the collected neighbor list is small by construction.
    *
    * Determinism: counts and integer division only.
    */
@@ -580,15 +583,19 @@ object Graph {
     val e = Checkpoints.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val deg = e.groupBy(col("doc_a").as("mid")).agg(count(lit(1)).as("deg"))
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a")
-                          && col("e1.doc_a") < col("e2.doc_b"))
-      .select(col("e1.doc_a").as("u"), col("e1.doc_b").as("mid"),
-              col("e2.doc_b").as("v"))
-    // link PREDICTION: drop pairs that are already edges (pairs is
-    // canonical doc_a < doc_b, same orientation as the u < v wedges)
+    val wedges = e
+      .groupBy(col("doc_b").as("mid"))
+      .agg(sort_array(collect_list(col("doc_a"))).as("ns"))
+      .select(col("mid"), explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + 2, size(col("ns"))),
+                  y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("mid"), col("p.v").as("v"))
+    // link PREDICTION: drop wedge pairs that are already edges. The edge
+    // set is derived from the checkpointed e (canonical doc_a < doc_b
+    // half) so the LSH pipeline behind `pairs` executes exactly once.
     val cand = wedges.join(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")),
+      e.filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a").as("u"), col("doc_b").as("v")),
       Seq("u", "v"), "left_anti")
     cand.join(deg, "mid")
       .groupBy(col("u").as("doc_a"), col("v").as("doc_b"))

@@ -661,6 +661,111 @@ object TextAnalysis {
        |       ELSE 'poor' END AS lm_band
        |FROM scored GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------- perplexity filtering
+
+  /** Sample size for the perplexity-percentile cut: bottom-K docs by
+    * salted md5 — the same mergeable KMV shape as
+    * [[Sketches.quantileSketch]]'s bottom-k, so the cut costs ONE
+    * `TakeOrderedAndProject` (zero shuffles) at any corpus size. */
+  private val PplSampleK = 256
+  private val PplSalt = "pplcut1"
+
+  /**
+   * Perplexity-based quality filtering [EXT] — the CCNet/KenLM corpus
+   * pattern: train a smoothed LM on the reference split, score every
+   * document's perplexity exp(mean −ln p(w)), cut the corpus into
+   * head/middle/tail at the empirical perplexity terciles, keep
+   * head+middle. The LM is the add-one-smoothed unigram model
+   * [[textUnigramLm]] trains (same vocabulary aggregate, train split via
+   * [[Sampling.splitCol]]); what this operator adds is the
+   * DISTRIBUTION-relative cut — CCNet's insight that the threshold must
+   * come from the scored corpus itself, not a fixed constant.
+   *
+   * Scale shape: vocabulary aggregate (map-side combine, broadcast back)
+   * → one scoring pass over the exploded corpus → per-doc re-aggregate —
+   * the textUnigramLm plan — then the tercile cutoffs come from a
+   * bottom-[[PplSampleK]]-by-md5 document sample: a
+   * `TakeOrderedAndProject` whose per-partition partials merge on the
+   * driver (k rows), exactly the quantile-sketch/centroid
+   * collect-and-rebroadcast pattern. The final keep/band projection is
+   * zero-shuffle over the checkpointed per-doc scores with the cutoffs
+   * baked in as literals. No global sort, no window, nothing
+   * corpus-sized ever leaves the executors.
+   *
+   * Float playbook: per-doc mean −ln p is rounded to 6 decimals BEFORE
+   * exp, and the perplexity again after, so band comparisons see
+   * bit-identical doubles in both engines. Sample ranking ties break on
+   * the md5 key; cutoff comparisons are <= on the rounded values.
+   */
+  def qualityPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+              explode(toks(col("text"))).as("tok"))
+    val vocab = d.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t_total"),
+                           count(lit(1)).as("v_size"))
+    val nl = round(sum(col("neglogp")) / count(lit(1)), 6)
+    val scored = Checkpoints.cut(
+      d.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .withColumn("neglogp",
+          -log((col("c0") + 1).cast("double") /
+               (col("t_total") + col("v_size")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(exp(nl), 6).as("ppl")))
+    val samp = scored
+      .select(col("ppl"),
+        md5Long(concat_ws("", lit(PplSalt), col("doc_id").cast("string")))
+          .as("hk"))
+      .orderBy(col("hk").asc).limit(PplSampleK)
+      .collect()
+    require(samp.nonEmpty, "quality_perplexity: empty documents corpus")
+    val sk = samp.map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    val n = sk.length
+    // tercile ranks ceil(n/3), ceil(2n/3) — exact terciles when the
+    // corpus is smaller than the sample (n = corpus size there)
+    val c1 = sk((n + 2) / 3 - 1)._1
+    val c2 = sk((2 * n + 2) / 3 - 1)._1
+    scored.select(col("doc_id"), col("n_tokens"), col("ppl"),
+      when(col("ppl") <= c1, "head").when(col("ppl") <= c2, "middle")
+        .otherwise("tail").as("ppl_band"),
+      (col("ppl") <= lit(c2)).as("keep"))
+  }
+
+  /** Oracle: same LM, same rounding, same bottom-k-by-md5 sample and
+    * tercile ranks — the cutoffs come from scalar subqueries instead of
+    * driver literals. */
+  val qualityPerplexitySql: String =
+    s"""WITH d AS (SELECT doc_id, ${Sampling.splitSqlExpr} AS split,
+       |                  string_split_regex(text, '\\s+') AS ts FROM documents),
+       |tok AS (SELECT doc_id, split, unnest(ts) AS tok FROM d),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM tok WHERE split = 'train' GROUP BY 1),
+       |totals AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab),
+       |scored AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    round(exp(round(SUM(-ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+       |                            / (tt.t_total + tt.v_size))) / COUNT(*), 6)), 6) AS ppl
+       |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+       |  GROUP BY t.doc_id),
+       |samp AS (
+       |  SELECT ppl,
+       |    CAST(('0x' || substring(md5('$PplSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+       |  FROM scored ORDER BY hk ASC LIMIT $PplSampleK),
+       |ranked AS (
+       |  SELECT ppl, row_number() OVER (ORDER BY ppl ASC, hk ASC) AS r,
+       |         COUNT(*) OVER () AS n
+       |  FROM samp),
+       |cuts AS (SELECT
+       |  (SELECT ppl FROM ranked WHERE r = (n + 2) // 3) AS c1,
+       |  (SELECT ppl FROM ranked WHERE r = (2 * n + 2) // 3) AS c2)
+       |SELECT doc_id, n_tokens, ppl,
+       |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_band,
+       |  ppl <= c2 AS keep
+       |FROM scored CROSS JOIN cuts""".stripMargin
+
   /** Top bigrams kept per lang. */
   private val VocabTopK = 20
 
