@@ -150,17 +150,40 @@ object StreamQueries {
     runStagedStream(spark, src, mode, xform, needsNoDataBatch)
   }
 
-  /** State-store partition count for the gated streams. A streaming
-    * query pins `spark.sql.shuffle.partitions` state stores per stateful
-    * operator PER MICRO-BATCH (each pays task launch + snapshot + commit
-    * every trigger, data or not) — a fixed cost a deployment sizes to
-    * stream THROUGHPUT, not to the host's core count: 32 stores for a
-    * 25k-row micro-batch is ~4x pure overhead (measured: addBatch
-    * ~1.0 s -> ~0.3 s at 8, and 1 shaves the remaining snapshot/commit
-    * fan-out at this trigger size). Results are partitioning-invariant
-    * (hash state keying), which StreamingSpec's differentials pin. */
+  /** Env override for the state-store partition count (diagnostics/A-B
+    * runs); unset → [[statePartitionsFor]] sizes it from the staged
+    * batch volume. A streaming query pins `spark.sql.shuffle.partitions`
+    * state stores per stateful operator PER MICRO-BATCH (each pays task
+    * launch + snapshot + commit every trigger, data or not) — a fixed
+    * cost a deployment sizes to stream THROUGHPUT, not to the host's
+    * core count: 32 stores for a 25k-row micro-batch is ~4x pure
+    * overhead (measured: addBatch ~1.0 s -> ~0.3 s at 8, and 1 shaves
+    * the remaining snapshot/commit fan-out at that trigger size). */
   private val StreamStatePartitions =
-    sys.env.get("GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse(1)
+    sys.env.get("GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt)
+
+  /** Adaptive state-partition count (r14): one state store per ~512 KiB
+    * of staged micro-batch parquet (~25k events), capped at 16 — i.e.
+    * sized to TRIGGER VOLUME, which is what "size to stream throughput"
+    * means in code. sf0.01's ~70 KiB batches keep 1 store; sf0.1's
+    * ~0.7 MiB batches get 2 (measured cost-neutral vs the old fixed 1:
+    * family 7.0 vs 7.5 s under like load — the 32-store 4×-overhead
+    * lesson from r9 was about store COUNT ≫ trigger volume, not >1);
+    * sf1's ~4 MiB batches get 8, because at 333k-row triggers the
+    * single-task stateful fold is the cost, not the store fan-out —
+    * measured on the session gate: addBatch 2.3 s → 0.7 s per trigger
+    * (8.8 s → 3.6 s warm wall), closing the one stream cost that grew
+    * with data (VERDICT r13 #1: sessionize sf1 growth 5.9× → 3.0×).
+    * Results are store-count invariant (hash state keying), which
+    * StreamingSpec's differentials and the oracle gates' local[7] and
+    * explicit 1/2/4/8-store hash-match runs pin. */
+  private def statePartitionsFor(src: File): Int =
+    StreamStatePartitions.getOrElse {
+      val maxBatch = Option(src.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".parquet"))
+        .foldLeft(0L)((m, f) => math.max(m, f.length()))
+      math.min(16L, math.max(1L, (maxBatch + (1L << 19) - 1) / (1L << 19))).toInt
+    }
 
   /** @param needsNoDataBatch whether the drained result depends on the
     *   trailing NO-DATA micro-batch (the extra trigger Spark runs so the
@@ -214,7 +237,7 @@ object StreamQueries {
     val prevSnap = spark.conf.getOption(snapKey)
     val prevMaint = spark.conf.getOption(maintKey)
     try {
-      spark.conf.set(partKey, StreamStatePartitions.toString)
+      spark.conf.set(partKey, statePartitionsFor(src).toString)
       spark.conf.set(noDataKey, needsNoDataBatch.toString)
       spark.conf.set(cfmKey, classOf[FastLocalCheckpointFileManager].getName)
       spark.conf.set(snapKey, "100")
