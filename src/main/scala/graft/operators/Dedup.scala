@@ -423,6 +423,65 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |GROUP BY lang""".stripMargin
 
+  /** Quality-keeper packing base: best-doc argmax is ONE integer max of
+    * `score * 2^24 - doc_id`, exact while doc_id < 2^24 (~16.7M; the
+    * fixtures top out at 500k — a 100 TB corpus would widen to two
+    * packed longs or a struct max, same plan). */
+  private val QPack = 16777216L
+
+  /**
+   * Quality-aware canonical selection [EXT]: production near-dup
+   * pipelines do NOT keep the minimum-id duplicate ([[dedupApply]]'s
+   * policy) — they keep the BEST one (longest, highest quality score),
+   * because crawl duplicates differ in truncation and boilerplate. Per
+   * LSH component: the argmax-quality member, its score, and the size.
+   * Score is the integer heuristic `n_stopwords * 1000 + n_tokens`
+   * (stopword-bearing, longer docs win; deterministic — no floats),
+   * ties broken toward the smaller doc_id.
+   *
+   * Scale shape: the component table is O(duplicate docs) — corpus-tiny
+   * — so scoring joins broadcast; the argmax is a single integer MAX
+   * per component (score and id packed into one long), no window, no
+   * self-join. Cites [[componentsOf]] for the CC loop shape.
+   */
+  def dedupBestQuality(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+      .select(col("doc_id"), col("rep_doc_id"), col("component_size"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val score = t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"),
+        (size(filter(col("ts"), x => x.isin(stop: _*))) * 1000 +
+          size(col("ts"))).cast("long").as("score"))
+    comp.join(score, Seq("doc_id"))
+      .groupBy(col("rep_doc_id"), col("component_size"))
+      .agg(max(col("score") * QPack - col("doc_id")).as("packed"))
+      .select(col("rep_doc_id"), col("component_size").as("n_docs"),
+        expr(s"(packed + ${QPack - 1}) div $QPack").as("best_score"),
+        (expr(s"(packed + ${QPack - 1}) div $QPack") * QPack
+           - col("packed")).as("best_doc_id"))
+  }
+
+  /** Oracle: the recursive-CTE components plus the identical packed
+    * integer argmax. */
+  val dedupBestQualitySql: String =
+    s"""$componentsCtes,
+       |qs AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |                    x -> x IN ('the','a','of','and','to','in','is'))) * 1000
+       |      + len(string_split_regex(text, '\\s+')) AS score
+       |  FROM documents),
+       |pk AS (
+       |  SELECT c.rep_doc_id, c.component_size,
+       |         MAX(qs.score * $QPack - qs.doc_id) AS packed
+       |  FROM comp c JOIN qs ON qs.doc_id = c.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT rep_doc_id, CAST(component_size AS BIGINT) AS n_docs,
+       |  (packed + $QPack - 1) // $QPack AS best_score,
+       |  ((packed + $QPack - 1) // $QPack) * $QPack - packed AS best_doc_id
+       |FROM pk""".stripMargin
+
   /** Per-document minhash signature table (the reusable artifact a corpus
     * pipeline would persist; also directly checks the minhash math).
     * Derived row-wise from the wide signature — the minhash aggregate is

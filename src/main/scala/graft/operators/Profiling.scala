@@ -313,4 +313,89 @@ object Profiling {
        |    > $KsCrit2E4::HUGEINT * (n_train + n_valid) * n_train * n_valid AS drifted
        |FROM d""".stripMargin
   }
+
+  // ------------------------------------------------------------------- PSI
+
+  /** Nano-nat fixed-point scale for PSI terms; the 0.2 industry "major
+    * shift" threshold becomes the exact integer 0.2e9. */
+  private val PsiScale = 1000000000L
+
+  /**
+   * Population stability index [EXT] — the drift meter ML monitoring
+   * actually standardizes on (credit scoring, feature drift dashboards):
+   * PSI = Σ_c (p_c − q_c)·ln(p_c/q_c) between a REFERENCE window and a
+   * CURRENT window, here the first vs second half of the event-time
+   * range — the "yesterday vs today" cut a production monitor runs,
+   * complementing [[statsKsDrift]] (numeric CDF) and [[statsChi2Drift]]
+   * (frequency test, hash split). Add-one smoothing keeps one-sided
+   * categories finite; PSI > 0.2 flags a major shift.
+   *
+   * Determinism: the window midpoint is exact integer micros
+   * `(min+max) div 2`; each category term is quantized ONCE to
+   * nano-nats and summed as integers ([[Sampling.mixKlDivergence]]'s
+   * playbook), so the verdict is an exact integer comparison.
+   *
+   * Scale shape: one min/max aggregate, then ONE count aggregate
+   * collapses the corpus to the category set; all arithmetic after is
+   * on C rows. The bounds cross-join is a broadcast of a 1-row
+   * aggregate.
+   */
+  def statsPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    // cut: h is category-set-sized and feeds BOTH the totals broadcast
+    // and the term table — without the cut each consumer re-runs the
+    // corpus scan + bounds + count subtree (6 exchanges, 4 scans)
+    val h = graft.operators.Checkpoints.cut(
+      ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          (col("ts_us") <= expr("(mn + mx) div 2")).as("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur")))
+    val tot = h.agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+                    count(lit(1)).as("n_cat"))
+    h.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"), col("n_cat"), expr(
+        s"""CAST(round(((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_cat AS DOUBLE))
+           |  - (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_cat AS DOUBLE)))
+           |  * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_cat AS DOUBLE))
+           |       / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_cat AS DOUBLE)))
+           |  * $PsiScale) AS LONG)""".stripMargin).as("term_fp"))
+      .groupBy(col("n_ref"), col("n_cur"), col("n_cat"))
+      .agg(sum(col("term_fp")).as("psi_fp"))
+      .select(col("n_ref"), col("n_cur"), col("n_cat").as("n_categories"),
+        col("psi_fp"),
+        round(col("psi_fp").cast("double") / PsiScale.toDouble, 6).as("psi"),
+        (col("psi_fp") > PsiScale / 5L).as("drifted"))
+  }
+
+  /** Oracle: identical midpoint split, smoothing, and nano-nat terms. */
+  val statsPsiDriftSql: String =
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+       |bounds AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM ev),
+       |h AS (
+       |  SELECT event_type,
+       |    SUM(CASE WHEN ts_us <= (mn + mx) // 2 THEN 1 ELSE 0 END) AS c_ref,
+       |    SUM(CASE WHEN ts_us <= (mn + mx) // 2 THEN 0 ELSE 1 END) AS c_cur
+       |  FROM ev CROSS JOIN bounds GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+       |         CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+       |         COUNT(*) AS n_cat
+       |  FROM h),
+       |terms AS (
+       |  SELECT n_ref, n_cur, n_cat,
+       |    CAST(round(((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_cat AS DOUBLE))
+       |      - (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_cat AS DOUBLE)))
+       |      * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_cat AS DOUBLE))
+       |           / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_cat AS DOUBLE)))
+       |      * $PsiScale) AS BIGINT) AS term_fp
+       |  FROM h CROSS JOIN tot)
+       |SELECT n_ref, n_cur, CAST(n_cat AS BIGINT) AS n_categories,
+       |  CAST(SUM(term_fp) AS BIGINT) AS psi_fp,
+       |  round(CAST(SUM(term_fp) AS DOUBLE) / $PsiScale, 6) AS psi,
+       |  CAST(SUM(term_fp) AS BIGINT) > ${PsiScale / 5L} AS drifted
+       |FROM terms GROUP BY 1, 2, 3""".stripMargin
 }

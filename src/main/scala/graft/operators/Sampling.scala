@@ -372,6 +372,98 @@ object Sampling {
        |ORDER BY priority DESC, doc_id ASC
        |LIMIT $WeightedK""".stripMargin
 
+  // ----------------------------------------------------- token-budget cut
+
+  /** Budget selection parameters: keep the best-quality ~[[BudgetPct]]%
+    * of corpus TOKENS; threshold estimated from a bottom-[[BudgetK]]-
+    * by-md5 document sample (the mergeable KMV shape — zero shuffles). */
+  private val BudgetPct = 25L
+  private val BudgetK = 256
+  private val BudgetSalt = "tokbudget1"
+
+  /**
+   * Token-budget selection [EXT]: every pretraining run has a token
+   * budget, not a document budget — "keep the highest-quality documents
+   * until ~B tokens" is the selection a data-mixing pass actually
+   * executes. A literal implementation is a global quality sort with a
+   * running token sum — a single-partition window, the classic
+   * scale-killer. This is the estimator form instead: from a
+   * bottom-[[BudgetK]]-by-md5 sample, find the quality-score threshold
+   * at which the sample's cumulative tokens (in score-desc order) first
+   * reach [[BudgetPct]]% of the sample's tokens, then keep `score >=
+   * threshold` as a zero-shuffle scan filter. Sample error moves the
+   * achieved budget a few percent — the estimator is the petabyte
+   * shape, and both engines compute the identical threshold.
+   *
+   * Score is the integer alpha-density heuristic
+   * `(alpha_chars * 1000) div n_chars` (denser running text wins);
+   * tokens are whitespace-token counts. All integer arithmetic — the
+   * threshold walk, the target `ceil(pct% of sample tokens)`, and the
+   * keep comparison are exact in both engines.
+   */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Checkpoints.cut(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wsTokens(col("text")).as("ts"),
+          col("n_chars"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr("(aggregate(transform(ts, x -> length(x)), 0L, (a, x) -> a + x)" +
+               " * 1000) div n_chars").as("score")))
+    val samp = scored
+      .select(col("score"), col("n_tokens"),
+        md5Long(concat(lit(BudgetSalt), col("doc_id").cast("string"))).as("hk"))
+      .orderBy(col("hk").asc).limit(BudgetK)
+      .collect()
+    require(samp.nonEmpty, "sample_token_budget: empty documents corpus")
+    // walk the sample in (score DESC, hk ASC) order; the threshold is
+    // the score of the first row whose running token sum reaches the
+    // budget target — ceil so a tiny sample still selects something
+    val rows = samp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (s, _, hk) => (-s, hk) }
+    val sampleTokens = rows.map(_._2).sum
+    val target = (sampleTokens * BudgetPct + 99L) / 100L
+    var cum = 0L
+    var thr = rows.last._1
+    val it = rows.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (s, tk, _) = it.next()
+      cum += tk
+      if (cum >= target) { thr = s; found = true }
+    }
+    scored.select(col("doc_id"), col("n_tokens"), col("score"),
+      (col("score") >= lit(thr)).as("kept"))
+  }
+
+  /** Oracle: identical score, sample, cumulative walk (as a window over
+    * the 256-row sample), and threshold rule. */
+  val sampleTokenBudgetSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |    list_aggregate(list_transform(string_split_regex(text, '\\s+'),
+       |                                  x -> CAST(length(x) AS BIGINT)), 'sum')
+       |      * 1000 // n_chars AS score
+       |  FROM documents),
+       |samp AS (
+       |  SELECT score, n_tokens,
+       |    CAST(('0x' || substring(md5('$BudgetSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+       |  FROM scored ORDER BY hk ASC LIMIT $BudgetK),
+       |walk AS (
+       |  SELECT score,
+       |    SUM(n_tokens) OVER (ORDER BY score DESC, hk ASC
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM samp),
+       |tgt AS (SELECT (SUM(n_tokens) * $BudgetPct + 99) // 100 AS target FROM samp),
+       |thr AS (
+       |  SELECT COALESCE((SELECT MAX(score) FROM walk, tgt WHERE cum >= target),
+       |                  (SELECT MIN(score) FROM samp)) AS t)
+       |SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
+       |       score >= thr.t AS kept
+       |FROM scored CROSS JOIN thr""".stripMargin
+
   // --------------------------------------------------- domain KL divergence
 
   /** Hashed-unigram space size and the nano-nat fixed-point scale for
