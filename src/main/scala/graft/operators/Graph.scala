@@ -624,4 +624,67 @@ object Graph {
        |       CAST(SUM($PrOne // deg) AS BIGINT) AS ra_fp
        |FROM cand JOIN deg USING (mid)
        |GROUP BY 1, 2""".stripMargin
+
+  /**
+   * Jaccard link prediction [EXT] — the union-normalized sibling of
+   * [[graphCommonNeighbors]]: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| =
+   * cn / (deg(u) + deg(v) − cn), in exact ppm integer units. CN ranks
+   * raw overlap (favors hub pairs); Jaccard is the baseline that
+   * corrects for degree, so the two together are the standard
+   * link-prediction panel over the near-dup graph. Same
+   * adjacency-combination wedge plan (C(deg,2) rows, LSH-capped
+   * degrees); the only additions are two equi-joins of the candidate
+   * rollup against the degree table — candidate- and node-sized
+   * tables, never corpus-sized.
+   */
+  def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val e = Checkpoints.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val deg = e.groupBy(col("doc_a").as("nid")).agg(count(lit(1)).as("deg"))
+    val wedges = e
+      .groupBy(col("doc_b").as("mid"))
+      .agg(sort_array(collect_list(col("doc_a"))).as("ns"))
+      .select(explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + 2, size(col("ns"))),
+                  y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val cn = wedges.join(
+        e.filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a").as("u"), col("doc_b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn.join(deg.select(col("nid").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("nid").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("common_neighbors"),
+        expr(s"(common_neighbors * $PrOne) div (deg_u + deg_v - common_neighbors)")
+          .as("jaccard_ppm"))
+  }
+
+  /** Oracle: the shared wedge/anti-join chain plus the two degree joins
+    * and the identical ppm division. */
+  val graphJaccardLinksSql: String =
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT doc_a AS nid, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |wdg AS (
+       |  SELECT e1.doc_a AS u, e2.doc_b AS v
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.doc_b = e2.doc_a AND e1.doc_a < e2.doc_b),
+       |cn AS (
+       |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+       |  FROM wdg
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                    WHERE p.doc_a = wdg.u AND p.doc_b = wdg.v)
+       |  GROUP BY 1, 2)
+       |SELECT u AS doc_a, v AS doc_b, common_neighbors,
+       |  CAST((common_neighbors * $PrOne) // (du.deg + dv.deg - common_neighbors)
+       |       AS BIGINT) AS jaccard_ppm
+       |FROM cn JOIN deg du ON du.nid = cn.u
+       |        JOIN deg dv ON dv.nid = cn.v""".stripMargin
 }

@@ -464,6 +464,164 @@ object Sampling {
        |       score >= thr.t AS kept
        |FROM scored CROSS JOIN thr""".stripMargin
 
+  // -------------------------------------------------- domain excess weights
+
+  /**
+   * Excess-loss domain weights [EXT] — the DoReMi-flavored reweighting a
+   * mixing pass derives from a proxy LM: domains whose text the
+   * reference LM finds HARDER than the corpus average (positive excess
+   * mean −ln p) get proportionally more weight, bounded below so no
+   * domain starves. The LM is the add-one unigram model over the
+   * train-split vocabulary ([[TextAnalysis.textUnigramLm]]'s aggregate);
+   * the weights are `(excess_micro + 1) / Σ(excess_micro + 1)` in exact
+   * ppm integers.
+   *
+   * Determinism: per-source mean −ln p is rounded to 6 decimals (sums
+   * of ~1e5 doubles carry ~1e-12 mean error — six decimals is 6 orders
+   * of margin), the corpus mean likewise; their difference is then an
+   * exact multiple of 1e-6, so excess_micro and every weight are exact
+   * integers in both engines.
+   *
+   * Scale shape: vocabulary aggregate → broadcast scoring join → ONE
+   * per-source aggregate (source-count-sized result); the corpus mean
+   * and the weight normalizer are broadcasts of 1-row/`S`-row
+   * aggregates over that table.
+   */
+  def mixDomainWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("source"), splitCol(col("doc_id")).as("split"),
+              explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+    val vocab = d.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t_total"), count(lit(1)).as("v_size"))
+    val perSource = Checkpoints.cut(
+      d.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("source"),
+          (-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+                (col("t_total") + col("v_size")).cast("double"))).as("neglogp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+             round(sum(col("neglogp")) / count(lit(1)), 6).as("nl_s")))
+    val corpus = perSource.agg(
+      round(sum(col("nl_s") * col("n_tokens")) / sum(col("n_tokens")), 6)
+        .as("nl_all"))
+    val raw = perSource.crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_tokens"), col("nl_s"), col("nl_all"),
+        (greatest(lit(0L),
+          round((col("nl_s") - col("nl_all")) * 1e6).cast("long")) + 1L)
+          .as("w_raw"))
+    val norm = raw.agg(sum(col("w_raw")).as("w_sum"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tokens"), col("nl_s").as("mean_neglogp"),
+        (col("w_raw") - 1L).as("excess_micro"),
+        expr("(w_raw * 1000000) div w_sum").as("weight_ppm"))
+  }
+
+  /** Oracle: identical LM, per-source rounding, token-weighted corpus
+    * mean, and exact integer weight normalization. */
+  val mixDomainWeightsSql: String =
+    s"""WITH d AS (SELECT source, $splitSqlExpr AS split,
+       |                  string_split_regex(text, '\\s+') AS ts FROM documents),
+       |tok AS (SELECT source, split, unnest(ts) AS tok FROM d),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM tok WHERE split = 'train' GROUP BY 1),
+       |totals AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab),
+       |ps AS (
+       |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    round(SUM(-ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+       |                  / (tt.t_total + tt.v_size))) / COUNT(*), 6) AS nl_s
+       |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+       |  GROUP BY 1),
+       |corpus AS (
+       |  SELECT round(SUM(nl_s * n_tokens) / SUM(n_tokens), 6) AS nl_all FROM ps),
+       |raw AS (
+       |  SELECT source, n_tokens, nl_s,
+       |    GREATEST(0, CAST(round((nl_s - nl_all) * 1e6) AS BIGINT)) + 1 AS w_raw
+       |  FROM ps CROSS JOIN corpus),
+       |norm AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS w_sum FROM raw)
+       |SELECT source, n_tokens, nl_s AS mean_neglogp,
+       |  w_raw - 1 AS excess_micro,
+       |  CAST((w_raw * 1000000) // w_sum AS BIGINT) AS weight_ppm
+       |FROM raw CROSS JOIN norm""".stripMargin
+
+  // ---------------------------------------------------- n-gram coverage
+
+  /**
+   * Eval-set n-gram novelty [EXT] — the memorization/coverage meter a
+   * pretraining analysis runs before trusting benchmark numbers: what
+   * fraction of the TEST split's distinct {1,2,3}-grams never occur in
+   * the TRAIN split? High coverage at high n means the eval set is
+   * effectively memorizable from training data (the aggregate
+   * complement of the pairwise [[splitNgramDecontam]] audit). Grams are
+   * md5-hashed to 8-byte keys BEFORE the distinct aggregates, so the
+   * shuffles carry hashes, never text — the same trick every dedup
+   * operator here uses.
+   *
+   * Scale shape: one exploded corpus pass per n (3 total) → hash
+   * distinct per split → one anti-join of gram-set-sized tables → a
+   * 3-row result. Exact integers throughout (ppm by integer division).
+   */
+  def corpusNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(splitCol(col("doc_id")).as("split"),
+              graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
+      .filter(col("split").isin("train", "test"))
+    def grams(n: Int): DataFrame = {
+      val gcol = if (n == 1) col("ts")
+                 else graft.functions.TextFunctions.ngramsJoined(col("ts"), n)
+      base.select(lit(n).as("n"), col("split"), explode(gcol).as("g"))
+        .select(col("n"), col("split"), md5Long(col("g")).as("h")).distinct()
+    }
+    val all = Checkpoints.cut(grams(1).union(grams(2)).union(grams(3)))
+    val test = all.filter(col("split") === "test").select(col("n"), col("h"))
+    val train = all.filter(col("split") === "train").select(col("n"), col("h"))
+    val novel = test.join(train, Seq("n", "h"), "left_anti")
+      .groupBy(col("n")).agg(count(lit(1)).as("n_novel"))
+    test.groupBy(col("n")).agg(count(lit(1)).as("n_test_grams"))
+      .join(novel, Seq("n"), "left").na.fill(0L, Seq("n_novel"))
+      .select(col("n"), col("n_test_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_test_grams").as("novelty_ppm"))
+  }
+
+  /** Oracle: identical hash-gram distincts and anti-join per n. */
+  val corpusNgramCoverageSql: String = {
+    def gramsSql(n: Int): String =
+      if (n == 1) "unnest(ts) AS g"
+      else if (n == 2)
+        """unnest(list_filter(list_transform(ts, (x, i) ->
+          |  CASE WHEN i + 1 <= len(ts) THEN x || ' ' || ts[i+1] END),
+          |  s -> s IS NOT NULL)) AS g""".stripMargin
+      else
+        """unnest(list_filter(list_transform(ts, (x, i) ->
+          |  CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
+          |  s -> s IS NOT NULL)) AS g""".stripMargin
+    val levels = Seq(1, 2, 3).map { n =>
+      s"""SELECT DISTINCT $n AS n, split,
+         |  CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+         |FROM (SELECT split, ${gramsSql(n)} FROM d)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT $splitSqlExpr AS split,
+       |         string_split_regex(text, '\\s+') AS ts
+       |  FROM documents
+       |  WHERE $splitSqlExpr IN ('train', 'test')),
+       |allg AS (
+       |$levels),
+       |tst AS (SELECT n, h FROM allg WHERE split = 'test'),
+       |trn AS (SELECT n, h FROM allg WHERE split = 'train'),
+       |novel AS (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_novel
+       |  FROM tst WHERE NOT EXISTS
+       |    (SELECT 1 FROM trn WHERE trn.n = tst.n AND trn.h = tst.h)
+       |  GROUP BY 1)
+       |SELECT t.n, CAST(COUNT(*) AS BIGINT) AS n_test_grams,
+       |  COALESCE(MAX(novel.n_novel), 0) AS n_novel,
+       |  CAST((COALESCE(MAX(novel.n_novel), 0) * 1000000) // COUNT(*) AS BIGINT)
+       |    AS novelty_ppm
+       |FROM tst t LEFT JOIN novel ON novel.n = t.n
+       |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------- domain KL divergence
 
   /** Hashed-unigram space size and the nano-nat fixed-point scale for

@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("join_anti",
     // sf0.001's near-dup clusters are cliques: every wedge closes, so
     // there is no non-edge to predict (2 rows at sf0.01, 478 at sf1)
-    "graph_common_neighbors")
+    "graph_common_neighbors", "graph_jaccard_links")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
