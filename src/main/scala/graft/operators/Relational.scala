@@ -770,6 +770,97 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- market basket
+
+  /** Basket-pair mining knobs: a basket wider than [[MaxBasketParts]]
+    * would explode O(width²) pairs from one order (TPC-H baskets are ≤7;
+    * the cap is the 100 TB guard, same policy as the LSH bucket cap), a
+    * pair must appear in ≥ [[MinPairSupport]] baskets to be a rule, and
+    * the result is the top-[[BasketTopK]] by lift. */
+  private val MaxBasketParts = 64
+  private val MinPairSupport = 2
+  private val BasketTopK = 100
+
+  /**
+   * Market-basket association rules [EXT] — pairwise support/confidence/
+   * lift over order baskets (the retail-analytics classic, and the same
+   * co-occurrence shape recommendation candidate generation uses):
+   * which part pairs appear in the same order far more often than
+   * independence predicts? lift(a,b) = P(ab)/(P(a)P(b)) =
+   * n_ab·N / (n_a·n_b), kept EXACT in ppm integers (the
+   * `text_collocations` playbook — lift is what matters, floats never
+   * enter).
+   *
+   * Scale shape: one groupBy collapses lineitem to per-order sorted
+   * part lists (width-capped), pair combinations explode i<j — exactly
+   * C(width,2) rows, the adjacency-combination idiom — then ONE count
+   * aggregate per pair and per part; the final join attaches two
+   * part-count dimensions and `TakeOrderedAndProject` cuts the top-k.
+   * Nothing wider than (part, part, count) ever shuffles.
+   */
+  def ordersMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val baskets = Checkpoints.cut(
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) <= MaxBasketParts),
+      eager = false)
+    val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
+    val itemN = baskets
+      .select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_item"))
+    val pairN = baskets
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))),
+                  y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinPairSupport)
+    pairN
+      .join(itemN.select(col("part").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemN.select(col("part").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"), col("n_b"),
+        expr("(n_pair * 1000000) div n_orders").as("support_ppm"),
+        expr("(n_pair * 1000000) div n_a").as("confidence_ppm"),
+        expr("(n_pair * n_orders * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a").asc, col("part_b").asc)
+      .limit(BasketTopK)
+  }
+
+  /** Oracle: identical basket build, combination explode, integer ppm
+    * arithmetic, and top-k cut. */
+  val ordersMarketBasketSql: String =
+    s"""WITH basket0 AS (
+       |  SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS width
+       |  FROM lineitem GROUP BY 1),
+       |ex AS (
+       |  SELECT DISTINCT li.l_orderkey, li.l_partkey AS part
+       |  FROM lineitem li JOIN basket0 USING (l_orderkey)
+       |  WHERE basket0.width <= $MaxBasketParts),
+       |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ex),
+       |item AS (SELECT part, COUNT(*) AS n_item FROM ex GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.part AS part_a, b.part AS part_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM ex a JOIN ex b
+       |    ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinPairSupport)
+       |SELECT part_a, part_b, n_pair,
+       |  CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+       |  CAST((n_pair * 1000000) // n.n_orders AS BIGINT) AS support_ppm,
+       |  CAST((n_pair * 1000000) // ia.n_item AS BIGINT) AS confidence_ppm,
+       |  CAST((n_pair * n.n_orders * 1000000) // (ia.n_item * ib.n_item) AS BIGINT)
+       |    AS lift_ppm
+       |FROM pairs
+       |JOIN item ia ON ia.part = part_a
+       |JOIN item ib ON ib.part = part_b
+       |CROSS JOIN n
+       |ORDER BY lift_ppm DESC, part_a ASC, part_b ASC
+       |LIMIT $BasketTopK""".stripMargin
+
   /** Set operations: INTERSECT / EXCEPT (both dedup, both hash-partition on
     * the full row — same shuffle shape in Spark and any MPP engine). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -1720,6 +1720,57 @@ object Similarity {
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
   }
 
+  // ---------------------------------------------------- centroid outliers
+
+  /** Per-label audit-list depth for [[embedCentroidOutliers]]. */
+  private val OutlierK = 5
+
+  /**
+   * Embedding centroid-distance outliers [EXT] — the semantic-quality
+   * filter an embedding pipeline runs after ingest: vectors far from
+   * their own domain's centroid are mislabeled, corrupted, or
+   * off-distribution, and the bottom-k per label is the human-review
+   * audit list (the threshold-free form: a fixed cosine cut needs
+   * distribution knowledge this query produces). Reuses the
+   * quantized-integer centroid table ([[labelCentroids]] — exact
+   * integer sums, order-independent) and the L2R-fold cosine, so every
+   * score is bit-identical across engines before the 6-decimal rounding
+   * that the ranking ties break on.
+   *
+   * Scale shape: centroid aggregate (k·dim result, broadcast back), one
+   * zero-shuffle scoring pass over the corpus, then a bottom-k window
+   * PARTITIONED BY LABEL — never a global window.
+   */
+  def embedCentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val scored = c.join(broadcast(labelCentroids(c)), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine(col("v"), col("nrm"), col("cv"), col("cn")), 6)
+          .as("cos_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= OutlierK)
+      .select(col("label"), col("rnk"), col("vec_id"), col("cos_centroid"))
+  }
+
+  /** Oracle: the shared centroid CTEs + identical rounded-cosine ranking. */
+  val embedCentroidOutliersSql: String =
+    s"""WITH $corpusSql,
+       |$centSqlCtes,
+       |scored AS (
+       |  SELECT c.label, c.vec_id,
+       |         round(${dotSql("c.v", "cv")} / (c.nrm * cn), 6) AS cos_centroid
+       |  FROM corpus c JOIN cent2 USING (label))
+       |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cos_centroid
+       |FROM (
+       |  SELECT label, vec_id, cos_centroid,
+       |         row_number() OVER (PARTITION BY label
+       |           ORDER BY cos_centroid ASC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $OutlierK""".stripMargin
+
   // ----------------------------------------------------- hybrid retrieval
 
   /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60) and the
