@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+/**
+ * Laws for the round-14 operators: perplexity band monotonicity, the
+ * token-budget threshold boundary, quality-keeper argmax replay, URL
+ * canonicalization idempotence + replay, a crafted-drift PSI activation,
+ * domain-weight normalization, exact n-gram novelty on a crafted
+ * train/test corpus, Jaccard/common-neighbor consistency, a crafted
+ * market-basket replay, and the centroid-outlier audit-list contract.
+ */
+class CorpusOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = graft.TestSpark.Sf0001
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private var dir: String = _
+  override def beforeAll(): Unit =
+    dir = java.nio.file.Files.createTempDirectory("graft_ops5").toString
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  // ------------------------------------------------------ quality_perplexity
+
+  test("qualityPerplexity: bands are ordered ppl intervals and keep == " +
+       "(band != tail)") {
+    val rows = TextAnalysis.qualityPerplexity(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    def pplOf(b: String) = rows.filter(_._2 == b).map(_._1)
+    val (h, m, t) = (pplOf("head"), pplOf("middle"), pplOf("tail"))
+    // cutoffs come from sample ranks, so every band below tail is nonempty
+    assert(h.nonEmpty)
+    if (m.nonEmpty && h.nonEmpty) assert(h.max < m.min)
+    if (t.nonEmpty && m.nonEmpty) assert(m.max < t.min)
+    if (t.nonEmpty && m.isEmpty && h.nonEmpty) assert(h.max < t.min)
+    rows.foreach { case (_, band, keep) => assert(keep == (band != "tail")) }
+  }
+
+  // ----------------------------------------------------- sample_token_budget
+
+  test("sampleTokenBudget: the kept/dropped boundary is a clean score " +
+       "threshold and something is kept") {
+    val rows = Sampling.sampleTokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+    val kept = rows.filter(_._2).map(_._1)
+    val dropped = rows.filterNot(_._2).map(_._1)
+    assert(kept.nonEmpty)
+    if (dropped.nonEmpty) assert(kept.min > dropped.max)
+  }
+
+  // ------------------------------------------------------ dedup_best_quality
+
+  test("dedupBestQuality: plain-Scala argmax replay over the component " +
+       "table — keeper id and score match per cluster") {
+    val comp = Dedup.dedupComponents(spark, sf001)
+      .select(col("doc_id"), col("rep_doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val score = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ts = r.getString(1).split("\\s+")
+        r.getLong(0) -> (ts.count(stop) * 1000L + ts.length)
+      }.toMap
+    val expect = comp.groupBy(_._2).map { case (rep, members) =>
+      val best = members.map(_._1).map(id => (score(id), -id)).max
+      rep -> (best._1, -best._2)
+    }
+    val got = Dedup.dedupBestQuality(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
+  // --------------------------------------------------------------- dedup_url
+
+  test("dedupUrl: canonicalization is idempotent and groups exactly the " +
+       "docs whose replayed canonical keys collide") {
+    def canon(url: String): String = {
+      val noScheme = url.replaceFirst("^[A-Za-z]+://", "")
+      val noFrag = noScheme.replaceFirst("#.*$", "").replaceFirst("\\?.*$", "")
+      val host = noFrag.takeWhile(_ != '/')
+      val path = noFrag.drop(host.length)
+      host.toLowerCase.replaceFirst("^www\\.", "") +
+        path.replaceFirst("/$", "")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val replay = docs.map { case (id, src) =>
+      val host0 = s"$src.example.com"
+      val host = if (id % 3 == 0) host0.toUpperCase
+                 else if (id % 3 == 1) s"WWW.$host0" else host0
+      val url = (if (id % 2 == 0) "https" else "HTTP") + "://" + host +
+        s"/p/${id % 50}" +
+        (if (id % 6 == 0) "/" else "") +
+        (if (id % 4 == 0) s"?utm_source=feed&ref=$id" else "") +
+        (if (id % 5 == 0) "#section-2" else "")
+      (id, url, canon(url))
+    }
+    // idempotence: canonical keys are fixed points of the canonicalizer
+    replay.foreach { case (_, _, c) => assert(canon(c) == c) }
+    val expect = replay.groupBy(_._3).map { case (c, g) =>
+      c -> (g.map(_._1).min, g.length.toLong, g.map(_._2).distinct.length.toLong)
+    }
+    val got = Dedup.dedupUrl(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+
+  // --------------------------------------------------------- stats_psi_drift
+
+  test("statsPsiDrift: a corpus whose categories swap between halves " +
+       "drifts; the hash-of-time split of real data does not crash") {
+    import spark.implicits._
+    val sub = s"$dir/psi"
+    // first half exclusively type 'a', second half exclusively 'b'
+    val rows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+       (i % 7).toLong, if (i < 100) "a" else "b", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$sub/events.parquet")
+    val out = Profiling.statsPsiDrift(spark, sub).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Boolean]("drifted"),
+      s"crafted half-swap corpus must exceed PSI 0.2, got ${out(0)}")
+    // real testdata path: single row, finite psi
+    val real = Profiling.statsPsiDrift(spark, sf).collect()
+    assert(real.length == 1 && !real(0).getAs[Double]("psi").isNaN)
+  }
+
+  // ------------------------------------------------------ mix_domain_weights
+
+  test("mixDomainWeights: weights are a floor-division partition of 1e6 " +
+       "and monotone in excess") {
+    val rows = Sampling.mixDomainWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ex, _) => assert(ex >= 0L) }
+    val sum = rows.map(_._3).sum
+    assert(sum <= 1000000L && sum > 1000000L - rows.length,
+      s"weight_ppm sum $sum out of floor-division range")
+    // same excess => same weight; larger excess => no smaller weight
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, e1, w1), (_, e2, w2)) =>
+        if (e1 == e2) assert(w1 == w2) else assert(w1 <= w2)
+      case _ =>
+    }
+  }
+
+  // --------------------------------------------------- corpus_ngram_coverage
+
+  test("corpusNgramCoverage: exact novelty on a crafted train/test corpus") {
+    import spark.implicits._
+    val sub = s"$dir/cov"
+    // doc_id hash split (graft_split_v1): found by probing splitCol —
+    // instead pin membership by writing BOTH docs and reading the split
+    // the operator itself assigns via sampleSplit
+    val texts = (0L until 400L).map(i => (i, "alpha beta gamma delta"))
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+              lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    // every doc has identical text, so whatever lands in 'test' is fully
+    // covered by 'train': novelty must be exactly 0 at every n
+    val out = CorpusOpsCov.run(spark, sub)
+    assert(out.map(_._1).sorted.sameElements(Array(1, 2, 3)))
+    out.foreach { case (n, tot, novel, ppm) =>
+      assert(tot > 0, s"n=$n no test grams — split produced no test docs")
+      assert(novel == 0L && ppm == 0L, s"n=$n expected zero novelty")
+    }
+  }
+
+  // ------------------------------------------------------ graph_jaccard_links
+
+  test("graphJaccardLinks: same candidate pairs and CN counts as " +
+       "graphCommonNeighbors; jaccard_ppm within (0, 1e6]") {
+    val cn = Graph.graphCommonNeighbors(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val jc = Graph.graphJaccardLinks(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(jc.keySet == cn.keySet)
+    jc.foreach { case (k, (c, ppm)) =>
+      assert(c == cn(k))
+      assert(ppm > 0L && ppm <= 1000000L, s"$k jaccard_ppm $ppm")
+    }
+  }
+
+  // ----------------------------------------------------- orders_market_basket
+
+  test("ordersMarketBasket: exact replay on crafted baskets") {
+    import spark.implicits._
+    val sub = s"$dir/basket"
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3,4} over 4 orders
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 2L), // dup line collapses via collect_set
+      (13L, 3L), (13L, 4L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$sub/lineitem.parquet")
+    val got = Relational.ordersMarketBasket(spark, sub).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+                 (r.getLong(2), r.getLong(3), r.getLong(4),
+                  r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // only (1,2) reaches MinPairSupport=2: n_pair=3, n_1=3, n_2=3, N=4
+    val expect = Map((1L, 2L) ->
+      (3L, 3L, 3L,
+       3L * 1000000L / 4L,            // support
+       3L * 1000000L / 3L,            // confidence
+       3L * 4L * 1000000L / (3L * 3L))) // lift
+    assert(got == expect)
+  }
+
+  // ------------------------------------------------- embed_centroid_outliers
+
+  test("embedCentroidOutliers: per-label audit list is exactly " +
+       "min(5, label size) rows, ranks contiguous, cosines sane") {
+    val sizes = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy(col("label")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val rows = Similarity.embedCentroidOutliers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.keySet == sizes.keySet)
+    byLabel.foreach { case (l, g) =>
+      assert(g.length == math.min(5L, sizes(l)).toInt)
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      g.foreach { case (_, _, c) => assert(c >= -1.000001 && c <= 1.000001) }
+    }
+  }
+}
+
+/** Tiny indirection so the coverage test reads like the others. */
+private object CorpusOpsCov {
+  def run(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, Long, Long, Long)] =
+    Sampling.corpusNgramCoverage(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+}
