@@ -622,6 +622,67 @@ object Sampling {
        |GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------- upsampling epochs
+
+  /** Token-budget multiple for [[mixUpsampleEpochs]]: the recipe trains
+    * on 2× the corpus token count, so the average domain runs 2 epochs. */
+  private val EpochBudgetX = 2L
+
+  /**
+   * Per-domain epoch allocation [EXT] — the complement of the
+   * downsample-only [[mixDomains]]/[[mixTemperature]] recipes: given a
+   * TRAINING TOKEN BUDGET (here [[EpochBudgetX]]× the corpus), assign
+   * each source a √-temperature share and report how many EPOCHS of
+   * that source the share buys — the "small domains repeat, huge
+   * domains see a fraction" arithmetic every data recipe publishes
+   * (epochs > budget× means upsampled). Integer end-to-end: the proven
+   * ⌊√n⌋ weight idiom, ppm shares by integer division, milli-epochs
+   * `(B · share_ppm) div (1000 · n_tokens)`. (At 10¹⁴+ tokens the
+   * products need decimal(38) — the chi2 widening — noted, not needed
+   * at fixture scale.)
+   *
+   * Scale shape: ONE corpus-scan token count per source; everything
+   * after is arithmetic on the source-count-sized table (the window
+   * totals run over S rows).
+   */
+  def mixUpsampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+              size(graft.functions.TextFunctions.wsTokens(col("text")))
+                .cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("share_ppm",
+        expr("(w * 1000000) div CAST(SUM(w) OVER () AS BIGINT)"))
+      .withColumn("budget",
+        expr(s"$EpochBudgetX * CAST(SUM(n_tokens) OVER () AS BIGINT)"))
+      .select(col("source"), col("n_tokens"), col("w"), col("share_ppm"),
+        expr("(budget * share_ppm) div (1000 * n_tokens)").as("epochs_milli"),
+        expr(s"(budget * share_ppm) div (1000 * n_tokens) > ${EpochBudgetX * 1000}")
+          .as("upsampled"))
+
+  /** Oracle: identical ⌊√n⌋ weights, ppm shares, and milli-epoch
+    * divisions. */
+  val mixUpsampleEpochsSql: String =
+    s"""WITH ps AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |wt AS (
+       |  SELECT source, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+       |  FROM ps),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+       |               $EpochBudgetX * CAST(SUM(n_tokens) AS BIGINT) AS budget
+       |        FROM wt)
+       |SELECT source, n_tokens, w,
+       |  CAST((w * 1000000) // sw AS BIGINT) AS share_ppm,
+       |  CAST((budget * ((w * 1000000) // sw)) // (1000 * n_tokens) AS BIGINT)
+       |    AS epochs_milli,
+       |  (budget * ((w * 1000000) // sw)) // (1000 * n_tokens)
+       |    > ${EpochBudgetX * 1000} AS upsampled
+       |FROM wt CROSS JOIN tot""".stripMargin
+
   // --------------------------------------------------- domain KL divergence
 
   /** Hashed-unigram space size and the nano-nat fixed-point scale for

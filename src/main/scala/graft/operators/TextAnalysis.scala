@@ -766,6 +766,80 @@ object TextAnalysis {
        |  ppl <= c2 AS keep
        |FROM scored CROSS JOIN cuts""".stripMargin
 
+  // ------------------------------------------------------------- Zipf fit
+
+  /** Rank depth for the Zipf log-log fit. */
+  private val ZipfK = 1000
+
+  /**
+   * Zipf's-law fit [EXT] — the corpus-health statistic every corpus
+   * card reports: the least-squares slope of ln(frequency) against
+   * ln(rank) over the top-[[ZipfK]] vocabulary (natural text sits near
+   * −1; templated/boilerplate corpora flatten, deduped corpora
+   * steepen). The moments follow [[Events.eventsTrend]]'s exact-integer
+   * playbook: ln rank and ln count are quantized ONCE to milli-nats
+   * (integers), all four moments are exact BIGINT sums, and the slope
+   * and intercept are each one double division of order-independent
+   * integers — no float accumulation anywhere.
+   *
+   * Scale shape: the vocabulary aggregate (map-side combine) collapses
+   * the corpus; `TakeOrderedAndProject` cuts the top-k, whose k rows
+   * land on the driver — the quantile-sketch collect-and-emit pattern —
+   * so there is no global window and nothing rank-ordered ever
+   * shuffles.
+   */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = t(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(ZipfK)
+      .select(col("c")).collect().map(_.getLong(0))
+    require(top.nonEmpty, "text_zipf_fit: empty vocabulary")
+    val pts = top.zipWithIndex.map { case (c, i) =>
+      (math.round(math.log(i + 1.0) * 1000.0), // milli-nat ln rank
+       math.round(math.log(c.toDouble) * 1000.0)) // milli-nat ln count
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    spark.range(1).select(
+      lit(n).as("n_terms"),
+      lit(num).as("slope_num"), lit(den).as("slope_den"),
+      round(lit(num.toDouble / den.toDouble), 6).as("zipf_slope"),
+      round(lit((sy * sxx - sx * sxy).toDouble / den.toDouble / 1000.0), 6)
+        .as("ln_c_intercept"))
+  }
+
+  /** Oracle: identical top-k, milli-nat quantization, integer moments. */
+  val textZipfFitSql: String =
+    s"""WITH vocab AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT $ZipfK),
+       |pts AS (
+       |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+       |                          AS DOUBLE)) * 1000) AS BIGINT) AS xq,
+       |         CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS yq
+       |  FROM vocab),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+       |         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+       |         CAST(SUM(xq * yq) AS BIGINT) AS sxy
+       |  FROM pts)
+       |SELECT n AS n_terms,
+       |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0, 6) AS ln_c_intercept
+       |FROM m""".stripMargin
+
   /** Top bigrams kept per lang. */
   private val VocabTopK = 20
 

@@ -81,6 +81,7 @@ class PlanBudgetSpec extends AnyFunSuite {
   private val globalWindowAllowance: Map[String, Int] = Map(
     "mix_domains"     -> 1, // SUM() OVER () on the per-domain rollup (rows = #domains)
     "mix_temperature" -> 1, // same grand-total share over the per-language rollup
+    "mix_upsample_epochs" -> 1, // SUM() OVER () totals on the per-source rollup (rows = #sources)
     "ann_hybrid_rrf"  -> 2, // rank fusion over two ≤20-row TakeOrdered heads (judge-checked r6)
     "text_vocab_growth" -> 1 // cumulative sums over the 10-row decile rollup — size-invariant
     // quantile_sketch dropped from the allowlist in r10: the sample is

@@ -224,6 +224,51 @@ class CorpusOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  // ----------------------------------------------------- mix_upsample_epochs
+
+  test("mixUpsampleEpochs: token-weighted epoch identity — milli-epochs " +
+       "replay from (n_tokens, w) and the budget is 2x corpus tokens") {
+    val rows = Sampling.mixUpsampleEpochs(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+                 r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val budget = 2L * rows.map(_._1).sum
+    val sw = rows.map(_._2).sum
+    rows.foreach { case (nt, w, share, em, up) =>
+      assert(w == math.sqrt(nt.toDouble).toLong)
+      assert(share == w * 1000000L / sw)
+      assert(em == budget * share / (1000L * nt))
+      assert(up == (em > 2000L))
+    }
+  }
+
+  // ----------------------------------------------------------- text_zipf_fit
+
+  test("textZipfFit: slope is negative (frequencies decay with rank) and " +
+       "the integer moments replay from the vocabulary") {
+    val r = TextAnalysis.textZipfFit(spark, sf).collect()(0)
+    val (n, num, den, slope) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(n > 0 && den > 0)
+    assert(slope < 0.0, s"zipf slope must be negative, got $slope")
+    assert(math.abs(slope - num.toDouble / den.toDouble) < 1e-6)
+    // replay the milli-nat moments from the raw vocabulary
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(1000).map(_._2)
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.round(math.log(i + 1.0) * 1000.0),
+       math.round(math.log(c.toDouble) * 1000.0))
+    }
+    val nn = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    assert(n == nn && num == nn * sxy - sx * sy && den == nn * sxx - sx * sx)
+  }
+
   // ------------------------------------------------- embed_centroid_outliers
 
   test("embedCentroidOutliers: per-label audit list is exactly " +
