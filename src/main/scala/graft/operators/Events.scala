@@ -158,6 +158,52 @@ object Events {
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
   /**
+   * SCD2 interval construction [EXT] — the slowly-changing-dimension
+   * pass every warehouse ingest runs on a change stream: collapse each
+   * user's event sequence to its TYPE-CHANGE points and emit versioned
+   * validity intervals `[valid_from, valid_to)` with an `is_current`
+   * flag (valid_to = the next change's start; NULL on the open current
+   * row). Consecutive same-type events collapse into one interval —
+   * the "state history" table that downstream as-of joins consume.
+   *
+   * Scale shape: one window per user partition (never global), sorted
+   * once — the change filter, the lead(), and the version row_number all
+   * share the same (user_id | ts, event_id) sort, so Spark plans a
+   * single exchange + sort. Timestamps surface as exact epoch
+   * microseconds, the family's cross-engine convention.
+   */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+              unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+              col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Oracle: identical change-point filter and windowed interval build. */
+  val eventsScd2Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type FROM m
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  event_type AS state,
+      |  epoch_us(ts) AS valid_from_us,
+      |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+      |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+      |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /**
    * Time-series gap filling: the dense (event_type × hour) grid over the
    * corpus' span, with missing buckets zero-filled — the regularization
    * step before feeding counts to a sequence model. The grid is built

@@ -687,4 +687,67 @@ object Graph {
        |       AS BIGINT) AS jaccard_ppm
        |FROM cn JOIN deg du ON du.nid = cn.u
        |        JOIN deg dv ON dv.nid = cn.v""".stripMargin
+
+  /**
+   * Local clustering coefficient [EXT] — the per-node companion of
+   * [[graphTriangles]] and the standard dense-clone-cluster diagnostic:
+   * C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), in exact ppm integers. On a
+   * near-dup graph, C(v) ≈ 1 marks nodes inside transitive clone
+   * cliques (safe to collapse to one canonical doc) while C(v) ≈ 0
+   * marks chain/hub nodes where pairwise similarity does NOT imply
+   * mutual similarity — the split the dedup-apply policy cares about.
+   *
+   * Scale shape: the a<b<c ordered node-iterator counts each triangle
+   * once (same wedge bound as [[graphTriangles]], degrees LSH-capped);
+   * degrees come from one count over the symmetric edge list; the final
+   * assembly is a node-sized left join. deg = 1 nodes have no possible
+   * wedge — their coefficient is NULL, guarded identically in both
+   * engines (ANSI Spark and DuckDB both error on integer /0 otherwise).
+   */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val half = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    val deg = half.union(half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .groupBy(col("doc_a").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val wedges = half.as("e1")
+      .join(half.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+              col("e2.doc_b").as("c"))
+    val perNode = wedges
+      .join(half.as("e3"), col("a") === col("e3.doc_a") && col("c") === col("e3.doc_b"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("doc_id"), col("deg"), col("n_triangles"),
+              when(col("deg") >= 2,
+                   expr("n_triangles * 2000000L div (deg * (deg - 1))"))
+                .as("coeff_ppm"))
+  }
+
+  /** Oracle: the shared triangle chain, degree count, and the identical
+    * guarded ppm division. */
+  val graphClusteringCoeffSql: String =
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |w AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a),
+       |tri AS (
+       |  SELECT a, b, c FROM w JOIN pairs e3 ON w.a = e3.doc_a AND w.c = e3.doc_b),
+       |pn AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS doc_id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+       |SELECT d.doc_id, d.deg,
+       |       coalesce(pn.n_triangles, 0) AS n_triangles,
+       |       CASE WHEN d.deg >= 2
+       |            THEN (coalesce(pn.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
+       |       END AS coeff_ppm
+       |FROM deg d LEFT JOIN pn USING (doc_id)""".stripMargin
 }

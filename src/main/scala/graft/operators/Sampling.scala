@@ -51,12 +51,14 @@ object Sampling {
   /** The split-assignment SQL expressions, shared with every oracle that
     * composes on the split (e.g. [[splitContamination]]). Defined BEFORE
     * their uses — object vals initialize in declaration order. */
-  private[operators] val bucketSqlExpr: String =
-    s"CAST(('0x' || substring(md5('$Salt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
-  private[operators] val splitSqlExpr: String =
-    s"""CASE WHEN $bucketSqlExpr < $TrainUpTo THEN 'train'
-       |     WHEN $bucketSqlExpr < $ValidUpTo THEN 'valid'
+  private[operators] def bucketSqlExprFor(idCol: String): String =
+    s"CAST(('0x' || substring(md5('$Salt' || CAST($idCol AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+  private[operators] def splitSqlExprFor(idCol: String): String =
+    s"""CASE WHEN ${bucketSqlExprFor(idCol)} < $TrainUpTo THEN 'train'
+       |     WHEN ${bucketSqlExprFor(idCol)} < $ValidUpTo THEN 'valid'
        |     ELSE 'test' END""".stripMargin
+  private[operators] val bucketSqlExpr: String = bucketSqlExprFor("doc_id")
+  private[operators] val splitSqlExpr: String = splitSqlExprFor("doc_id")
 
   val sampleSplitSql: String =
     s"""SELECT doc_id, lang,

@@ -1720,6 +1720,155 @@ object Similarity {
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $DupThreshold""".stripMargin
   }
 
+  // --------------------------------------------------- kNN label probe
+
+  /** Neighbors voting in the leave-one-out label probe. */
+  private val KnnK = 5
+
+  /**
+   * Leave-one-out kNN label agreement [EXT] — the standard
+   * embedding-quality / label-noise probe: predict every vector's label
+   * from its k nearest neighbors' majority vote (self excluded) and
+   * report per-label accuracy. High agreement = the embedding separates
+   * the label classes; a low-accuracy label marks mislabeled or
+   * entangled regions — the audit run before trusting labels for
+   * filtering or hard-negative mining.
+   *
+   * Scale shape: candidate generation is the single-probe sign-LSH
+   * equi-join ([[annLshBuckets]]' bucketing — each vector scores only
+   * its own bucket's occupants, never the corpus; the Hamming-1
+   * multi-probe of [[annMultiprobeLsh]] is the recall refinement if
+   * buckets run sparse). Per-query top-k is a window over bucket-sized
+   * candidate partitions; votes and the accuracy rollup are k-row and
+   * label-sized aggregates. Vectors alone in their bucket have no
+   * candidates and drop out of the eval — identically in both engines
+   * (`n_eval` makes the coverage auditable). Ties: neighbors rank on
+   * (cos DESC, id ASC), votes on (count DESC, label ASC).
+   */
+  def evalKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir).withColumn("bkt", lshBucket(col("v")))
+    val q = c.select(col("bkt"), col("vec_id").as("q_id"),
+                     col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
+    val n = c.select(col("bkt"), col("vec_id").as("n_id"),
+                     col("label").as("n_label"), col("v"), col("nrm"))
+    val scored = q.join(n, Seq("bkt")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+              round(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos6").desc, col("n_id").asc)
+    val pred = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .groupBy(col("q_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(max(struct(col("cnt"), (-col("n_label")).as("neg"))).as("b"))
+      .select(col("q_id"), col("q_label"), (-col("b.neg")).as("pred_label"))
+    pred.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+           sum(when(col("pred_label") === col("q_label"), 1L).otherwise(0L))
+             .as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_correct"),
+              expr("n_correct * 1000000L div n_eval").as("acc_ppm"))
+  }
+
+  /** Oracle: identical bucketing, ranking, vote and rollup. */
+  val evalKnnLabelSql: String =
+    s"""WITH $corpusSql,
+       |bk AS (SELECT vec_id, label, v, nrm, ${lshBucketSql("v")} AS bkt FROM corpus),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |         n.vec_id AS n_id, n.label AS n_label,
+       |         round(${dotSql("q.v", "n.v")} / (q.nrm * n.nrm), 6) AS cos6
+       |  FROM bk q JOIN bk n ON n.bkt = q.bkt AND n.vec_id <> q.vec_id),
+       |top AS (SELECT q_id, q_label, n_label FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos6 DESC, n_id ASC) AS rnk FROM sc) WHERE rnk <= $KnnK),
+       |v AS (SELECT q_id, q_label, n_label, COUNT(*) AS cnt
+       |      FROM top GROUP BY 1, 2, 3),
+       |pred AS (SELECT q_id, q_label, n_label AS pred_label FROM (
+       |    SELECT v.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cnt DESC, n_label ASC) AS pr FROM v) WHERE pr = 1)
+       |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  (CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |   * 1000000) // COUNT(*) AS acc_ppm
+       |FROM pred GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- semantic decontam
+
+  /** Same placement rationale as [[DupThreshold]]: the synthetic
+    * embeddings top out near cosine 0.47, so the contamination cut sits
+    * where it produces a non-trivial gated result; production uses ≈0.95. */
+  private val DecontamThreshold = 0.3
+
+  /**
+   * Semantic train/eval decontamination [EXT] — the embedding-space
+   * complement of the exact n-gram split gates ([[Sampling]]'s
+   * `split_contamination` / `split_ngram_decontam`): for every held-out
+   * vector (the valid/test side of the shared 80/10/10 md5 split, here
+   * over `vec_id`), find its highest-cosine TRAIN vector and flag the
+   * pair as contaminated above [[DecontamThreshold]] — the "eval item is
+   * semantically present in training data" audit every benchmark release
+   * runs (the exact-match gates miss paraphrases; this catches them).
+   *
+   * Scale shape: candidates are blocked on the coarse cluster id exactly
+   * like [[dedupEmbedding]] (IVF blocking — cross-cluster pairs never
+   * materialize; oversized blocks would take the same banded-LSH
+   * subdivision, inert on this data). The per-eval best match is ONE
+   * aggregate — `max(struct(cos, -train_id))` with map-side partial
+   * combine — not a window, so nothing sorts per partition and the
+   * deterministic tie-break (cos DESC, train_id ASC) lives in the
+   * struct order itself.
+   */
+  def splitSemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .withColumn("split", Sampling.splitCol(col("vec_id")))
+    val tr = c.filter(col("split") === "train")
+      .select(col("label"), col("vec_id").as("train_id"),
+              col("v").as("tv"), col("nrm").as("tn"))
+    val ev = c.filter(col("split") =!= "train")
+      .select(col("label"), col("vec_id"), col("split"), col("v"), col("nrm"))
+    ev.join(tr, Seq("label"))
+      .select(col("vec_id"), col("split"), col("label"), col("train_id"),
+              round(cosine(col("v"), col("nrm"), col("tv"), col("tn")), 6)
+                .as("cos6"))
+      .groupBy(col("vec_id"), col("split"), col("label"))
+      .agg(max(struct(col("cos6"), (-col("train_id")).as("neg"))).as("best"),
+           count(lit(1)).as("n_train_cands"))
+      .select(col("vec_id"), col("split"), col("label"),
+              (-col("best.neg")).as("best_train_id"),
+              col("best.cos6").as("best_cos"),
+              col("n_train_cands"),
+              (col("best.cos6") >= DecontamThreshold).as("contaminated"))
+  }
+
+  /** Oracle: shared split hash over vec_id, identical rounded cosine,
+    * window-ranked top-1 with the same (cos DESC, id ASC) tie-break. */
+  val splitSemanticDecontamSql: String =
+    s"""WITH $corpusSql,
+       |sp AS (SELECT vec_id, label, v, nrm,
+       |              ${Sampling.splitSqlExprFor("vec_id")} AS split
+       |       FROM corpus),
+       |tr AS (SELECT label, vec_id AS train_id, v AS tv, nrm AS tn
+       |       FROM sp WHERE split = 'train'),
+       |ev AS (SELECT label, vec_id, split, v, nrm FROM sp WHERE split <> 'train'),
+       |scored AS (
+       |  SELECT ev.vec_id, ev.split, ev.label, tr.train_id,
+       |         round(${dotSql("ev.v", "tr.tv")} / (ev.nrm * tr.tn), 6) AS cos6
+       |  FROM ev JOIN tr ON tr.label = ev.label),
+       |best AS (
+       |  SELECT vec_id, split, label, train_id, cos6,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos6 DESC, train_id ASC) AS rn,
+       |         COUNT(*) OVER (PARTITION BY vec_id) AS n_cands
+       |  FROM scored)
+       |SELECT vec_id, split, label, train_id AS best_train_id, cos6 AS best_cos,
+       |       CAST(n_cands AS BIGINT) AS n_train_cands,
+       |       cos6 >= $DecontamThreshold AS contaminated
+       |FROM best WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------- centroid outliers
 
   /** Per-label audit-list depth for [[embedCentroidOutliers]]. */

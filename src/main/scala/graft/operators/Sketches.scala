@@ -192,6 +192,136 @@ object Sketches {
        |       END AS est_distinct
        |FROM k""".stripMargin
 
+  // -------------------------------------------------- KMV set operations
+
+  /** Sketch depth for the pairwise-overlap estimator — deeper than
+    * [[kmvDistinct]]'s K=32 because the intersection resolution is 1/k. */
+  private val OvK = 256
+
+  /**
+   * KMV audience-overlap estimation [EXT] — the sketch SET OPERATION the
+   * single-set estimators ([[kmvDistinct]], [[hllDistinct]]) cannot do:
+   * for every pair of event types, estimate the distinct-user union,
+   * intersection, and Jaccard from the two bottom-[[OvK]] sketches alone
+   * (Beyer et al., SIGMOD'07: merge both sketches, keep the k smallest of
+   * the union — a valid KMV of the union set; the fraction ρ of those
+   * that sit in BOTH input sketches estimates Jaccard, and ρ · est_union
+   * the intersection). Exact distinct union/intersection ride along as
+   * verification columns, same contract as the CMS/HLL gates — the oracle
+   * checks the sketch itself, not an error band.
+   *
+   * Scale story: only the per-type sketch build touches the corpus (the
+   * same shape as [[kmvDistinct]]); everything pairwise happens on
+   * T·k rows — at 100 TB the T² pair stage is KB-sized no matter the
+   * corpus, which is exactly why warehouses ship sketch set-ops instead
+   * of re-scanning for every pair. The exact columns are the one
+   * corpus-sized join and exist only to verify; production keeps the
+   * sketches.
+   */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (sketch build, exact counts, exact intersection)
+    // read the deduped pairs — cut, or the corpus distinct re-executes
+    // per consumer (the stats_psi_drift lesson)
+    val d = Checkpoints.cut(events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    // T·k rows feeding four pair-stage consumers — the cheapest cut there is
+    val sk = Checkpoints.cut(d.select(col("event_type"),
+                      md5Long(col("user_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= OvK)
+      .select(col("event_type"), col("h")))
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+            col("type_a") < col("type_b"))
+    // membership-flagged union of the two sketches, per pair
+    val memb = pairs.join(sk.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+        .select(col("type_a"), col("type_b"), col("h"),
+                lit(1).as("in_a"), lit(0).as("in_b"))
+      .union(
+        pairs.join(sk.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("h"),
+                  lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wu = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h").asc)
+    val est = memb.withColumn("urnk", row_number().over(wu))
+      .filter(col("urnk") <= OvK)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("k_kept"), max(col("h")).as("kth_min"),
+           sum(col("in_a") * col("in_b")).as("inter_in_k"))
+      .select(col("type_a"), col("type_b"), col("k_kept"), col("inter_in_k"),
+        when(col("k_kept") < OvK, col("k_kept").cast("double"))
+          .otherwise(round(lit((OvK - 1).toDouble) * lit(M.toDouble) / col("kth_min"), 6))
+          .as("est_union"),
+        round(col("inter_in_k").cast("double") / col("k_kept"), 6).as("est_jaccard"))
+      .withColumn("est_intersection", round(col("est_jaccard") * col("est_union"), 6))
+    // exact verification columns (the corpus-sized path the sketch replaces)
+    val cnt = d.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
+    val ex = d.select(col("event_type").as("type_a"), col("user_id"))
+      .join(d.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    est.join(ex, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_intersection"))
+      .join(broadcast(cnt.select(col("event_type").as("type_a"), col("nx").as("na"))), Seq("type_a"))
+      .join(broadcast(cnt.select(col("event_type").as("type_b"), col("nx").as("nb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("k_kept"), col("inter_in_k"),
+              col("est_union"), col("est_intersection"), col("est_jaccard"),
+              (col("na") + col("nb") - col("exact_intersection")).as("exact_union"),
+              col("exact_intersection"))
+  }
+
+  /** Oracle: the identical sketch, merge, and estimator arithmetic. */
+  val kmvOverlapSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type,
+       |             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |      FROM d),
+       |sk AS (SELECT event_type, h FROM (
+       |         SELECT event_type, h,
+       |                row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rnk
+       |         FROM h) WHERE rnk <= $OvK),
+       |ty AS (SELECT DISTINCT event_type FROM sk),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+       |memb AS (
+       |  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+       |    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN sk s ON s.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |kept AS (SELECT * FROM (
+       |    SELECT memb.*,
+       |           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS urnk
+       |    FROM memb) WHERE urnk <= $OvK),
+       |ag AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS k_kept,
+       |              MAX(h) AS kth_min,
+       |              CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_k
+       |       FROM kept GROUP BY 1, 2),
+       |est AS (SELECT type_a, type_b, k_kept, inter_in_k,
+       |  CASE WHEN k_kept < $OvK THEN CAST(k_kept AS DOUBLE)
+       |       ELSE round(CAST(${(OvK - 1).toDouble} AS DOUBLE) * ${M.toDouble} / kth_min, 6)
+       |  END AS est_union,
+       |  round(CAST(inter_in_k AS DOUBLE) / k_kept, 6) AS est_jaccard
+       |  FROM ag),
+       |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nx FROM d GROUP BY 1),
+       |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |              CAST(COUNT(*) AS BIGINT) AS exact_intersection
+       |       FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |       GROUP BY 1, 2)
+       |SELECT e.type_a, e.type_b, e.k_kept, e.inter_in_k, e.est_union,
+       |       round(e.est_jaccard * e.est_union, 6) AS est_intersection, e.est_jaccard,
+       |       ca.nx + cb.nx - coalesce(ex.exact_intersection, 0) AS exact_union,
+       |       coalesce(ex.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection
+       |FROM est e
+       |LEFT JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
+       |JOIN cnt ca ON ca.event_type = e.type_a
+       |JOIN cnt cb ON cb.event_type = e.type_b""".stripMargin
+
   // ------------------------------------------------------ count-min sketch
 
   /** CMS geometry: 4 independent hash rows × 1024 columns = 4096 integer

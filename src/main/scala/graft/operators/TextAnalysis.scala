@@ -840,6 +840,64 @@ object TextAnalysis {
        |        / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0, 6) AS ln_c_intercept
        |FROM m""".stripMargin
 
+  // ------------------------------------------------------ token fertility
+
+  /**
+   * Tokenizer fertility audit [EXT] — the per-(lang, source) efficiency
+   * table a tokenizer evaluation reports: subword tokens per whitespace
+   * word ("fertility", Ács/Rust et al.) and characters per subword
+   * token, over the same BPE-ish pre-token regex the rest of the text
+   * family uses ([[textTokens]]'s `n_bpe_ish`). High-fertility segments
+   * are where a tokenizer wastes sequence length; the ratios are exact
+   * integer divisions of exact BIGINT count sums (ppm / milli units),
+   * never float accumulation — at 100 TB `n_subtokens × 10⁶` exceeds
+   * 2^53, so a double ratio would silently lose integer precision while
+   * `div` stays exact.
+   *
+   * Scale shape: the three per-doc counts are array-size expressions in
+   * the scan projection (no explode — nothing token-sized is ever
+   * materialized per row), then ONE aggregate with map-side partial
+   * combine onto the tiny (lang × source) grid. Zero joins, one
+   * exchange.
+   */
+  def textTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+              size(toks(col("text"))).as("w"),
+              size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).as("s"),
+              length(col("text")).as("ch"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("w")).as("n_words"),
+           sum(col("s")).as("n_subtokens"),
+           sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+              col("n_words"), col("n_subtokens"), col("n_chars"),
+              expr("n_subtokens * 1000000L div n_words").as("fertility_ppm"),
+              when(col("n_subtokens") > 0,
+                   expr("n_chars * 1000L div n_subtokens"))
+                .as("chars_per_subtok_milli"))
+
+  /** Oracle: identical counts; `//` is DuckDB's exact BIGINT division. */
+  val textTokenFertilitySql: String =
+    """WITH c AS (
+      |  SELECT lang, source,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS s,
+      |    CAST(length(text) AS BIGINT) AS ch
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(w) AS BIGINT) AS n_words,
+      |         CAST(SUM(s) AS BIGINT) AS n_subtokens,
+      |         CAST(SUM(ch) AS BIGINT) AS n_chars
+      |  FROM c GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, n_words, n_subtokens, n_chars,
+      |  (n_subtokens * 1000000) // n_words AS fertility_ppm,
+      |  CASE WHEN n_subtokens > 0 THEN (n_chars * 1000) // n_subtokens
+      |       END AS chars_per_subtok_milli
+      |FROM g""".stripMargin
+
   /** Top bigrams kept per lang. */
   private val VocabTopK = 20
 
