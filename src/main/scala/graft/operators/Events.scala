@@ -963,4 +963,89 @@ object Events {
        |SELECT event_type, win, granularity, n_events,
        |       n_users, n_users >= $KAnon AS released
        |FROM coarse""".stripMargin
+
+  // ------------------------------------------------------ bot/spam filtering
+
+  /** Bot thresholds: a human doesn't sustain < [[BotMinGapUs]] between
+    * actions or ≥ [[BotRatePerDayMilli]]/1000 events per active day. */
+  private val BotMinGapUs = 120000000L // 2 minutes
+  private val BotRatePerDayMilli = 5000L // 5 events / active day
+
+  /**
+   * BEHAVIORAL BOT/SPAM DETECTION [EXT] — the traffic-hygiene pass every
+   * web/event corpus runs before events feed training or analytics:
+   * per-user cadence features (minimum inter-arrival gap, events per
+   * active day, 10-minute peak burst, type diversity) and a rule flag.
+   * A user is flagged when their FASTEST action pair is superhuman or
+   * their sustained rate over the active span is automation-like — the
+   * two classic signals (rate limits catch floods; min-gap catches
+   * scripted precision even at low volume).
+   *
+   * Determinism: all features are exact integers — gaps in epoch µs, the
+   * span in whole seconds, the rate quantized by one BIGINT division
+   * (guard: single-event users have no gap and a 0 span → NULL gap, NULL
+   * rate, never flagged).
+   *
+   * Scale shape: one (user_id)-partitioned sort window for the lag gap
+   * (AQE skew-splittable), one 10-minute (user, bucket) pre-aggregate,
+   * one per-user rollup — all on user-keyed exchanges, no global sort.
+   */
+  def eventsBotFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val withGap = ev.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byTs))
+    val burst = ev.groupBy(col("user_id"), expr("ts_us div 600000000L").as("b10m"))
+      .agg(count(lit(1)).as("cb"))
+      .groupBy(col("user_id")).agg(max(col("cb")).as("burst_10m"))
+    withGap.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("event_type")).as("n_types"),
+           (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+           min(col("gap_us")).as("min_gap_us"))
+      .withColumn("span_s", expr("span_us div 1000000L"))
+      .join(burst, Seq("user_id"))
+      .withColumn("rate_per_day_milli",
+        when(col("span_s") > 0,
+             expr("(n_events - 1L) * 86400000L div span_s")))
+      .withColumn("is_bot",
+        coalesce(col("min_gap_us") < BotMinGapUs, lit(false)) ||
+        coalesce(col("rate_per_day_milli") >= BotRatePerDayMilli, lit(false)))
+      .select("user_id", "n_events", "n_types", "span_s", "min_gap_us",
+              "burst_10m", "rate_per_day_milli", "is_bot")
+  }
+
+  val eventsBotFilterSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, event_type, ts_us,
+       |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |                                  ORDER BY ts_us, event_id) AS gap_us
+       |  FROM ev),
+       |burst AS (
+       |  SELECT user_id, CAST(MAX(cb) AS BIGINT) AS burst_10m FROM (
+       |    SELECT user_id, ts_us // 600000000 AS b10m, COUNT(*) AS cb
+       |    FROM ev GROUP BY 1, 2) GROUP BY 1),
+       |per_user AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       |         CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS span_s,
+       |         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+       |  FROM g GROUP BY 1),
+       |feat AS (
+       |  SELECT p.*, b.burst_10m,
+       |         CASE WHEN span_s > 0
+       |              THEN CAST(((n_events - 1) * 86400000) // span_s AS BIGINT)
+       |         END AS rate_per_day_milli
+       |  FROM per_user p JOIN burst b USING (user_id))
+       |SELECT user_id, n_events, n_types, span_s, min_gap_us, burst_10m,
+       |       rate_per_day_milli,
+       |       coalesce(min_gap_us < $BotMinGapUs, false)
+       |         OR coalesce(rate_per_day_milli >= $BotRatePerDayMilli, false)
+       |         AS is_bot
+       |FROM feat""".stripMargin
 }

@@ -402,31 +402,119 @@ object Graph {
        |FROM fin WHERE deg >= $KcoreK""".stripMargin
   }
 
-  /** Oracle: identical synchronous rounds as unrolled CTEs; the argmax
-    * vote is `row_number() ... ORDER BY c DESC, label ASC`. */
-  val graphLabelPropSql: String = {
-    def round(k: Int): String =
-      s"""n$k AS (
-         |  SELECT e.doc_b AS doc_id, l.label, COUNT(*) AS c
-         |  FROM edges e JOIN lab${k - 1} l ON l.doc_id = e.doc_a
-         |  GROUP BY 1, 2),
-         |lab$k AS (
-         |  SELECT doc_id, label FROM n$k
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |                             ORDER BY c DESC, label ASC) = 1)"""
-        .stripMargin
-    s"""WITH ${Dedup.minhashPairsCtesFrom("documents")},
+  /** One synchronous LPA round as unrolled CTEs — the argmax vote is
+    * `row_number() ... ORDER BY c DESC, label ASC`. Shared by the LP and
+    * modularity oracles. */
+  private def lpaRoundSql(k: Int): String =
+    s"""n$k AS (
+       |  SELECT e.doc_b AS doc_id, l.label, COUNT(*) AS c
+       |  FROM edges e JOIN lab${k - 1} l ON l.doc_id = e.doc_a
+       |  GROUP BY 1, 2),
+       |lab$k AS (
+       |  SELECT doc_id, label FROM n$k
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                             ORDER BY c DESC, label ASC) = 1)"""
+      .stripMargin
+
+  /** The shared LPA preamble: pairs CTEs + symmetric edges + seed labels
+    * + [[LpaIters]] unrolled rounds (final labels are `lab$LpaIters`). */
+  private def lpaCtes: String =
+    s"""${Dedup.minhashPairsCtesFrom("documents")},
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |lab0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
-       |${(1 to LpaIters).map(round).mkString(",\n")},
+       |${(1 to LpaIters).map(lpaRoundSql).mkString(",\n")}""".stripMargin
+
+  /** Oracle: identical synchronous rounds as unrolled CTEs. */
+  val graphLabelPropSql: String =
+    s"""WITH $lpaCtes,
        |sizes AS (
        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
        |  FROM lab$LpaIters GROUP BY 1)
        |SELECT l.doc_id, l.label, s.csize
        |FROM lab$LpaIters l JOIN sizes s USING (label)""".stripMargin
+
+  // ------------------------------------------------------- graph_modularity
+
+  /**
+   * NEWMAN MODULARITY of the LPA communities over the near-dup graph
+   * [EXT] — the partition-quality score (Newman & Girvan 2004) that turns
+   * "label propagation produced SOME labels" into a measured claim:
+   *
+   *   Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+   *
+   * per community c with e_c intra-community edges, d_c the sum of member
+   * degrees, m total undirected edges. Emitted per community (the global
+   * Q is the column sum, law-pinned in CorpusOps7Spec) so the table names
+   * WHICH clusters are cohesive versus incidental — the audit run before
+   * trusting dedup cluster labels for one-per-cluster sampling.
+   *
+   * Determinism: e_c, d_c, m are exact counts; the contribution
+   * (4·m·e_c − d_c²)/(4·m²) is quantized to ppm by one integer division
+   * with an explicit sign split, because the numerator CAN be negative
+   * and Spark's `div` truncates while DuckDB's `//` floors — identical
+   * only for non-negative operands (the same guard as events_trend).
+   *
+   * Scale shape: the LSH pair list is lineage-cut ONCE and feeds both the
+   * LPA loop and the modularity joins (the r14 common-neighbors lesson —
+   * never re-run the MinHash pipeline per consumer); labels are node-
+   * sized, degrees come from one count per endpoint, e_c from one
+   * broadcast-label join over the cut pairs. Everything after the pair
+   * list is node/community-sized.
+   */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir))
+    val lab = Checkpoints.cut(lpaOf(pairs).select(col("doc_id"), col("label")))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val eIn = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("label").as("la")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("label").as("lb")), "doc_b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    lab.join(deg, "doc_id")
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(eIn, Seq("label"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("num", expr("4L * m * e_in - deg_sum * deg_sum"))
+      .withColumn("contrib_ppm", expr(
+        """CASE WHEN num >= 0L THEN (1000000L * num) div (4L * m * m)
+          |     ELSE -((1000000L * (-num)) div (4L * m * m)) END""".stripMargin))
+      .select("label", "n_nodes", "e_in", "deg_sum", "m", "contrib_ppm")
   }
+
+  val graphModularitySql: String =
+    s"""WITH $lpaCtes,
+       |lab AS (SELECT doc_id, label FROM lab$LpaIters),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |ein AS (
+       |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+       |  FROM pairs p
+       |  JOIN lab la ON la.doc_id = p.doc_a
+       |  JOIN lab lb ON lb.doc_id = p.doc_b
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |ds AS (
+       |  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS deg_sum,
+       |         CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM lab l JOIN deg d USING (doc_id) GROUP BY 1),
+       |f AS (
+       |  SELECT ds.label, ds.n_nodes, COALESCE(e.e_in, 0) AS e_in,
+       |         ds.deg_sum, m.m,
+       |         4 * m.m * COALESCE(e.e_in, 0) - ds.deg_sum * ds.deg_sum AS num
+       |  FROM ds LEFT JOIN ein e USING (label) CROSS JOIN m)
+       |SELECT label, n_nodes, CAST(e_in AS BIGINT) AS e_in, deg_sum, m,
+       |  CAST(CASE WHEN num >= 0 THEN (1000000 * num) // (4 * m * m)
+       |            ELSE -((1000000 * (-num)) // (4 * m * m)) END AS BIGINT)
+       |    AS contrib_ppm
+       |FROM f""".stripMargin
 
   val graphBfsSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashPairsCtesFrom("documents")},

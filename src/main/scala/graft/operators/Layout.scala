@@ -93,4 +93,76 @@ object Layout {
        |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
        |  (MAX(l_partkey) - MIN(l_partkey) + 1) * (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS area
        |FROM z GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------- size-targeted bin packing
+
+  /** Target shard payload: 64 KiB of text per output file at test scale
+    * (a production compaction targets ~512 MiB of parquet — only the
+    * constant changes). */
+  private val PackTarget = 65536L
+
+  /**
+   * SIZE-TARGETED SHARD PACKING [EXT] — the compaction pass every
+   * petabyte table needs: assign documents to equal-payload output files
+   * so no shard is a straggler and no file is a footer-overhead crumb.
+   * Deterministic next-fit-decreasing: documents in (n_chars DESC,
+   * doc_id) order, running payload sum, `file_id = cum_before div
+   * target` — biggest docs pack first (the FFD-style bound), every file
+   * lands within one document of the target, and the assignment is a
+   * pure function of the corpus (no RNG, no partition count in the
+   * result).
+   *
+   * The running sum is the TWO-PASS DISTRIBUTED PREFIX SUM — the
+   * [[Dedup.classRank]] shape, never `SUM() OVER ()` with no partition
+   * (a single-task sort of the corpus at 100 TB): range-partition +
+   * in-partition sort on the pack order (lineage-cut so it executes
+   * once), pass 1 collects P per-partition byte totals (P values to the
+   * driver, not rows), pass 2 streams each partition adding its
+   * broadcast exclusive offset. Range partitions are emitted in key
+   * order, so the offsets ARE the prefix sums.
+   *
+   * Output is per-document (doc_id, n_chars, cum_before, file_id): the
+   * exact cumulative byte positions, so the oracle's window formulation
+   * differentially proves the whole prefix sum, not just file counts.
+   */
+  def layoutBinpack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sorted = Checkpoints.cut(
+      t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(col("n_chars").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_chars").desc, col("doc_id")))
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(1)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false),
+      StructField("cum_before", LongType, nullable = false),
+      StructField("file_id", LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = bc.value(i)
+      it.map { r =>
+        val before = run
+        run += r.getLong(1)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), before,
+                                 before / PackTarget)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  val layoutBinpackSql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(COALESCE(SUM(n_chars) OVER (
+       |         ORDER BY n_chars DESC, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       AS BIGINT) AS cum_before,
+       |  CAST(COALESCE(SUM(n_chars) OVER (
+       |         ORDER BY n_chars DESC, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       // $PackTarget AS BIGINT) AS file_id
+       |FROM documents""".stripMargin
 }

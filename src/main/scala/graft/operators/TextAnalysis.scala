@@ -2259,4 +2259,142 @@ object TextAnalysis {
        |       round(CAST(score_fp AS DOUBLE) / $RakeScale, 6) AS score
        |FROM sc ORDER BY score_fp DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
   }
+
+  // --------------------------------------- interpolated Kneser–Ney bigram LM
+
+  /** Rows kept in the KN table (top bigrams by count, ties by words). */
+  private val KnTopK = 200
+
+  /**
+   * Interpolated KNESER–NEY bigram probabilities [EXT] — the standard LM
+   * smoothing (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26) that the
+   * MLE/add-one models ([[textUnigramLm]], [[textBigramLm]]) approximate:
+   *
+   *   P(w2|w1) = (c12 − D)⁺/c1 + (D·fanout(w1)/c1) · Pcont(w2)
+   *   Pcont(w2) = fanin(w2) / T            (continuation probability)
+   *
+   * with discount D = 3/4, fanout(w1) = |{w : c(w1,w) > 0}|,
+   * fanin(w2) = |{w : c(w,w2) > 0}|, T = distinct bigram types. The
+   * continuation count is KN's insight: "Francisco" is frequent but
+   * follows only "San", so its weight as a NOVEL continuation is its
+   * fan-in, not its frequency.
+   *
+   * Determinism: with D = 3/4 every quantity is a ratio of integers, so
+   * the probability is quantized in two exact integer stages shared with
+   * the oracle — Pcont to ppb, then
+   * `kn_p_ppb = ((4·c12 − 3)·10⁹ + 3·fanout·pcont_ppb) div (4·c1)`
+   * (the (c12 − D)⁺ clamp is vacuous: c12 ≥ 1 > D). No libm anywhere.
+   * Magnitudes: 4·c12·10⁹ needs c12 < 2³¹ — per-shard corpora beyond
+   * ~2 G occurrences of one bigram would move the sums to DECIMAL(38,0),
+   * the same note as text_token_fertility.
+   *
+   * Scale shape: one (w1,w2) hash aggregate over the exploded corpus
+   * (map-side combine does the heavy lifting); the three conditioning
+   * tables (per-w1 totals/fan-out, per-w2 fan-in, the 1-row type count)
+   * are VOCABULARY-sized aggregates of the already-aggregated bigram
+   * table, broadcast back — the [[textUnigramLm]] precedent. Final top-K
+   * is `TakeOrderedAndProject`. Nothing document-sized ever joins.
+   */
+  def textKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    // the bigram-count table feeds FOUR consumers (the probability join
+    // and the three conditioning aggregates) — cut the lineage so the
+    // corpus explode runs once (the kmv_overlap lesson, NOTES r14)
+    val bi = Checkpoints.cut(t(spark, dir, "documents")
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(graft.functions.TextFunctions.bigramPairs(col("ts"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val byW1 = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+    val byW2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("fanin"))
+    val tot = bi.agg(count(lit(1)).as("t_types"))
+    bi.join(broadcast(byW1), Seq("w1"))
+      .join(broadcast(byW2), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pcont_ppb", expr("fanin * 1000000000L div t_types"))
+      .withColumn("kn_p_ppb",
+        expr("((4L * c12 - 3L) * 1000000000L + 3L * fanout * pcont_ppb) div (4L * c1)"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(KnTopK)
+      .select("w1", "w2", "c12", "c1", "fanout", "fanin", "pcont_ppb", "kn_p_ppb")
+  }
+
+  val textKneserNeySql: String =
+    s"""WITH d0 AS (SELECT string_split_regex(text, '\\s+') AS ts FROM documents),
+       |d AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |      FROM d0, UNNEST(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM d GROUP BY 1, 2),
+       |w1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |               CAST(COUNT(*) AS BIGINT) AS fanout FROM bi GROUP BY 1),
+       |w2s AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS fanin FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM bi),
+       |s AS (
+       |  SELECT bi.w1, bi.w2, bi.c12, w1s.c1, w1s.fanout, w2s.fanin,
+       |         CAST((w2s.fanin * 1000000000) // tot.t_types AS BIGINT) AS pcont_ppb
+       |  FROM bi JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN tot)
+       |SELECT w1, w2, c12, c1, fanout, fanin, pcont_ppb,
+       |  CAST(((4 * c12 - 3) * 1000000000 + 3 * fanout * pcont_ppb) // (4 * c1)
+       |       AS BIGINT) AS kn_p_ppb
+       |FROM s ORDER BY c12 DESC, w1, w2 LIMIT $KnTopK""".stripMargin
+
+  // ------------------------------------------------ term burstiness (VMR)
+
+  /** Rows kept in the burstiness table (top terms by collection freq). */
+  private val BurstTopK = 300
+
+  /**
+   * TERM BURSTINESS [EXT] — Church & Gale (1995): content words "burst"
+   * (re-occur within a document once they appear) while function words
+   * spread uniformly; the two exact diagnostics per term are
+   *
+   *   burst  = tf / df                 (mean occurrences per CONTAINING doc)
+   *   vmr    = var/mean over ALL docs  = (N·Σc² − tf²) / (N·tf)
+   *
+   * (vmr = 1 is Poisson / non-bursty; ≫ 1 is bursty). Used in pipelines
+   * to pick boilerplate-ish fill terms apart from topical vocabulary
+   * before computing quality or dedup fingerprints.
+   *
+   * Determinism: tf, df, Σc², N are exact BIGINTs; both ratios quantize
+   * to milli by one integer division (N·Σc² ≥ tf² by Cauchy–Schwarz, so
+   * the numerator is non-negative and trunc = floor in both engines).
+   *
+   * Scale shape: (term, doc) combine, then a term rollup — two hash
+   * exchanges, both after map-side partial aggregation; the corpus size N
+   * is a 1-row broadcast. Top-K is `TakeOrderedAndProject`.
+   */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val perDoc = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy(col("tok"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+           sum(col("c") * col("c")).as("sum_sq"))
+      .crossJoin(broadcast(n))
+      .withColumn("burst_milli", expr("tf * 1000L div df"))
+      .withColumn("vmr_milli",
+        expr("(n_docs * sum_sq - tf * tf) * 1000L div (n_docs * tf)"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(BurstTopK)
+      .select("tok", "tf", "df", "n_docs", "burst_milli", "vmr_milli")
+  }
+
+  val textBurstinessSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |pd AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |s AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+       |             CAST(COUNT(*) AS BIGINT) AS df,
+       |             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+       |      FROM pd GROUP BY 1)
+       |SELECT tok, tf, df, n_docs,
+       |  CAST((tf * 1000) // df AS BIGINT) AS burst_milli,
+       |  CAST(((n_docs * sum_sq - tf * tf) * 1000) // (n_docs * tf) AS BIGINT)
+       |    AS vmr_milli
+       |FROM s CROSS JOIN n
+       |ORDER BY tf DESC, tok LIMIT $BurstTopK""".stripMargin
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * Laws for the round-14 batch-9 operators: plain-Scala replays of the
+ * Kneser–Ney bigram table (every conditioning count and both integer
+ * quantization stages), the Church–Gale burstiness table (tf/df/Σc² and
+ * both milli ratios, plus the Cauchy–Schwarz non-negativity the integer
+ * division relies on), and the per-user bot-filter features (min gap,
+ * span, 10-minute peak burst, rate, and the rule flag).
+ */
+class CorpusOps7Spec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = graft.TestSpark.Sf0001
+
+  // ------------------------------------------------------- text_kneser_ney
+
+  test("textKneserNey: plain-Scala replay of counts, fan-in/out, and both " +
+       "quantization stages") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val ts = t.split("\\s+", -1)
+      if (ts.length < 2) Iterator.empty else ts.sliding(2).map(p => (p(0), p(1)))
+    }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val fanout = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val fanin = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val tTypes = c12.size.toLong
+    val expect = c12.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(200)
+      .map { case ((w1, w2), c) =>
+        val pcont = fanin(w2) * 1000000000L / tTypes
+        val knp = ((4L * c - 3L) * 1000000000L + 3L * fanout(w1) * pcont) /
+                  (4L * c1(w1))
+        (w1, w2, c, c1(w1), fanout(w1), fanin(w2), pcont, knp)
+      }
+    val got = TextAnalysis.textKneserNey(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect)
+    // the KN telescoping sanity: every probability is in (0, 1]
+    assert(got.forall(r => r._8 > 0L && r._8 <= 1000000000L))
+  }
+
+  // ------------------------------------------------------- text_burstiness
+
+  test("textBurstiness: plain-Scala replay of tf/df/Σc² and both milli " +
+       "ratios; numerator non-negative by Cauchy–Schwarz") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+    val nDocs = rows.length.toLong
+    val perDoc = rows.flatMap { r =>
+      r.getString(1).split("\\s+", -1).groupBy(identity)
+        .map { case (tok, v) => (tok, r.getLong(0), v.length.toLong) }
+    }
+    val expect = perDoc.groupBy(_._1).map { case (tok, v) =>
+      val tf = v.map(_._3).sum
+      val df = v.length.toLong
+      val sumSq = v.map(c => c._3 * c._3).sum
+      assert(nDocs * sumSq - tf * tf >= 0L, s"CS violated for $tok")
+      tok -> (tf, df, nDocs, tf * 1000L / df,
+              (nDocs * sumSq - tf * tf) * 1000L / (nDocs * tf))
+    }.toSeq.sortBy { case (tok, t) => (-t._1, tok) }.take(300)
+    val got = TextAnalysis.textBurstiness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                   r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  // ----------------------------------------------------- events_bot_filter
+
+  test("eventsBotFilter: plain-Scala replay of every cadence feature and " +
+       "the rule flag; both flag classes present") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => b._3 - a._3
+      }.toSeq
+      val minGap = if (gaps.isEmpty) None else Some(gaps.min)
+      val spanS = (sorted.last._3 - sorted.head._3) / 1000000L
+      val burst = rows.groupBy(_._3 / 600000000L).values.map(_.length).max.toLong
+      val n = rows.length.toLong
+      val rate = if (spanS > 0) Some((n - 1L) * 86400000L / spanS) else None
+      val isBot = minGap.exists(_ < 120000000L) || rate.exists(_ >= 5000L)
+      u -> ((n, rows.map(_._4).distinct.length.toLong, spanS, minGap, burst,
+             rate, isBot))
+    }
+    val got = Events.eventsBotFilter(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+    }.toMap
+    assert(got == expect)
+    val flags = got.values.map(_._7).toSet
+    assert(flags == Set(true, false),
+      "sf0.001 must exercise both flag classes")
+  }
+
+  // ------------------------------------------------------ graph_modularity
+
+  test("graphModularity: accounting identities vs the LP labels, and a " +
+       "plain-Scala replay of the signed ppm quantization") {
+    val mod = Graph.graphModularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(mod.nonEmpty)
+    val m = mod.head._5
+    assert(mod.forall(_._5 == m), "m is a single global count")
+    // handshake: community degree sums partition 2m exactly
+    assert(mod.map(_._4).sum == 2 * m)
+    // intra-community edges can never exceed the total
+    assert(mod.map(_._3).sum <= m)
+    // the label/size table must agree with graph_label_propagation
+    val lp = Graph.graphLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val lpSizes = lp.groupBy(_._1).map { case (l, v) => (l, v.head._2) }
+    assert(mod.map(r => (r._1, r._2)).toMap == lpSizes)
+    // replay the signed quantization from the query's own exact columns
+    for ((label, _, eIn, degSum, mm, got) <- mod) {
+      val num = 4L * mm * eIn - degSum * degSum
+      val expect =
+        if (num >= 0) 1000000L * num / (4L * mm * mm)
+        else -(1000000L * -num / (4L * mm * mm))
+      assert(got == expect, s"community $label contrib_ppm")
+    }
+    // global Q is a proper modularity: within (-1, 1]
+    val q = mod.map(_._6).sum
+    assert(q > -1000000L && q <= 1000000L)
+  }
+
+  // -------------------------------------------------------- layout_binpack
+
+  test("layoutBinpack: full plain-Scala replay of the prefix sums and " +
+       "file assignment") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    var run = 0L
+    val expect = docs.map { case (id, n) =>
+      val before = run; run += n
+      (id, n, before, before / 65536L)
+    }.toSeq
+    val got = Layout.layoutBinpack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, n, _, _) => (-n, id) }.toSeq
+    assert(got == expect)
+    // NFD guarantee: every file except the last fills to within one doc
+    // of the target (the straddling doc stays in the PREVIOUS file, so
+    // the slack is bounded by the global max doc size)
+    val byFile = got.groupBy(_._4)
+    val lastFile = byFile.keys.max
+    val maxDoc = got.map(_._2).max
+    for ((f, rows) <- byFile if f != lastFile)
+      assert(rows.map(_._2).sum > 65536L - maxDoc, s"file $f underfilled")
+  }
+}
