@@ -516,6 +516,79 @@ object Graph {
        |    AS contrib_ppm
        |FROM f""".stripMargin
 
+  // ---------------------------------------------------- graph_assortativity
+
+  /**
+   * DEGREE ASSORTATIVITY of the near-dup graph [EXT] — Newman (2002):
+   * the Pearson correlation of endpoint degrees over directed edges.
+   * Positive r = hubs link hubs (social-graph shape: one template family
+   * snowballing); negative r = hubs link leaves (star shape: one hot doc
+   * near-dup'd by many singletons). The one-number structure probe read
+   * BEFORE deciding whether cluster-level dedup sampling is safe — star
+   * graphs make "keep one per component" drop unique content.
+   *
+   * Over the symmetric edge list (M = 2m directed edges, x = deg(src),
+   * y = deg(dst); by symmetry Σx = Σy and Σx² = Σy²):
+   *
+   *   r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²)
+   *
+   * Determinism: all four moments are exact BIGINT sums (the zipf-fit
+   * moment playbook); r itself is one double division of two exact
+   * integers + round(6) — bit-identical cross-engine. Degenerate
+   * regular graphs (den = 0: every degree equal) emit NULL by an
+   * explicit guard in both engines. Degrees are bounded by the LSH
+   * MaxBucketDocs cap, so M·Σxy stays far under 2⁶³ (a web-scale graph
+   * moves the moments to DECIMAL(38,0) — the fertility note).
+   *
+   * Scale shape: one degree count + one broadcast degree join per
+   * endpoint + ONE global moment aggregate — no windows, nothing
+   * node-pair-sized beyond the edge list itself.
+   */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    edges
+      .join(broadcast(deg.select(col("doc_id").as("doc_a"), col("deg").as("dx"))),
+            "doc_a")
+      .join(broadcast(deg.select(col("doc_id").as("doc_b"), col("deg").as("dy"))),
+            "doc_b")
+      .agg(count(lit(1)).as("m_directed"),
+           sum(col("dx")).as("sum_x"),
+           sum(col("dx") * col("dx")).as("sum_x2"),
+           sum(col("dx") * col("dy")).as("sum_xy"))
+      .withColumn("num", expr("m_directed * sum_xy - sum_x * sum_x"))
+      .withColumn("den", expr("m_directed * sum_x2 - sum_x * sum_x"))
+      .withColumn("assortativity",
+        when(col("den") =!= 0L,
+             round(col("num").cast("double") / col("den").cast("double"), 6)))
+      .select("m_directed", "sum_x", "sum_x2", "sum_xy", "assortativity")
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH ${Dedup.minhashPairsCtesFrom("documents")},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |mo AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+       |         CAST(SUM(da.deg) AS BIGINT) AS sum_x,
+       |         CAST(SUM(da.deg * da.deg) AS BIGINT) AS sum_x2,
+       |         CAST(SUM(da.deg * db.deg) AS BIGINT) AS sum_xy
+       |  FROM edges e
+       |  JOIN deg da ON da.doc_id = e.doc_a
+       |  JOIN deg db ON db.doc_id = e.doc_b)
+       |SELECT m_directed, sum_x, sum_x2, sum_xy,
+       |  CASE WHEN m_directed * sum_x2 - sum_x * sum_x <> 0
+       |       THEN round(CAST(m_directed * sum_xy - sum_x * sum_x AS DOUBLE)
+       |                  / CAST(m_directed * sum_x2 - sum_x * sum_x AS DOUBLE), 6)
+       |  END AS assortativity
+       |FROM mo""".stripMargin
+
   val graphBfsSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashPairsCtesFrom("documents")},
        |edges AS (

@@ -771,6 +771,93 @@ object Sampling {
        |       round(CAST(SUM(term_fp) AS DOUBLE) / $KlScale, 6) AS kl_nats
        |FROM terms GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------- Jensen–Shannon divergence
+
+  /**
+   * Per-source JENSEN–SHANNON divergence from the corpus blend [EXT] —
+   * the symmetric, bounded (≤ ln 2) drift meter most monitoring stacks
+   * standardize on where [[mixKlDivergence]] is unbounded and asymmetric:
+   *
+   *   JS(p, q) = ½·KL(p ‖ m) + ½·KL(q ‖ m),  m = ½(p + q)
+   *
+   * over the same add-one-smoothed hashed-unigram distributions as the
+   * KL gate (p = source, q = corpus). Shared determinism contract: each
+   * of the two per-bucket terms p·ln(p/m) and q·ln(q/m) is quantized
+   * ONCE to nano-nats and integer-summed; the halving stays OUT of the
+   * integer domain (odd sums would truncate differently) — the exact
+   * fp columns carry 2·JS and the double `js_nats` divides by 2·scale
+   * at the end, identically in both engines.
+   *
+   * Scale shape: identical to the KL gate — one corpus-scan aggregate to
+   * (source, bucket), then arithmetic on the sources × 512 grid.
+   */
+  def mixJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("source"),
+              explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+      .select(col("source"), (md5Long(col("tok")) % KlBuckets).as("b"))
+    val sb = Checkpoints.cut(
+      toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb")),
+      eager = false)
+    val qb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+    val ns = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+    val nAll = broadcast(sb.agg(sum(col("c_sb")).as("n")))
+    val grid = ns.crossJoin(
+      broadcast(spark.range(KlBuckets).select(col("id").as("b"))))
+    val withPq = grid
+      .join(sb, Seq("source", "b"), "left").na.fill(0L, Seq("c_sb"))
+      .join(broadcast(qb), Seq("b"), "left").na.fill(0L, Seq("c_b"))
+      .crossJoin(nAll)
+      .selectExpr("source", "n_s",
+        s"CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + $KlBuckets AS DOUBLE) AS p",
+        s"CAST(c_b + 1 AS DOUBLE) / CAST(n + $KlBuckets AS DOUBLE) AS q")
+      .selectExpr("source", "n_s",
+        s"CAST(round((p * ln(p / ((p + q) / 2))) * $KlScale) AS LONG) AS tp_fp",
+        s"CAST(round((q * ln(q / ((p + q) / 2))) * $KlScale) AS LONG) AS tq_fp")
+    withPq.groupBy(col("source"), col("n_s"))
+      .agg(sum(col("tp_fp")).as("jsp_fp"), sum(col("tq_fp")).as("jsq_fp"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+              col("jsp_fp"), col("jsq_fp"),
+              round((col("jsp_fp") + col("jsq_fp")).cast("double") /
+                    (2.0 * KlScale.toDouble), 6).as("js_nats"))
+  }
+
+  /** Oracle: identical grid, smoothing, and nano-nat quantization. */
+  val mixJsDivergenceSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $KlBuckets AS b
+       |  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)),
+       |sb AS (SELECT source, b, COUNT(*) AS c_sb FROM tok GROUP BY 1, 2),
+       |qb AS (SELECT b, SUM(c_sb) AS c_b FROM sb GROUP BY 1),
+       |ns AS (SELECT source, SUM(c_sb) AS n_s FROM sb GROUP BY 1),
+       |tot AS (SELECT SUM(c_sb) AS n FROM sb),
+       |grid AS (
+       |  SELECT ns.source, ns.n_s, gb.b
+       |  FROM ns CROSS JOIN (SELECT unnest(range(0, $KlBuckets)) AS b) gb),
+       |pq AS (
+       |  SELECT g.source, g.n_s,
+       |    CAST(COALESCE(s.c_sb, 0) + 1 AS DOUBLE)
+       |      / CAST(g.n_s + $KlBuckets AS DOUBLE) AS p,
+       |    CAST(COALESCE(q.c_b, 0) + 1 AS DOUBLE)
+       |      / CAST(tot.n + $KlBuckets AS DOUBLE) AS q
+       |  FROM grid g
+       |  LEFT JOIN sb s ON s.source = g.source AND s.b = g.b
+       |  LEFT JOIN qb q ON q.b = g.b
+       |  CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source, n_s,
+       |    CAST(round((p * ln(p / ((p + q) / 2))) * $KlScale) AS BIGINT) AS tp_fp,
+       |    CAST(round((q * ln(q / ((p + q) / 2))) * $KlScale) AS BIGINT) AS tq_fp
+       |  FROM pq)
+       |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       |       CAST(SUM(tp_fp) AS BIGINT) AS jsp_fp,
+       |       CAST(SUM(tq_fp) AS BIGINT) AS jsq_fp,
+       |       round(CAST(SUM(tp_fp) + SUM(tq_fp) AS DOUBLE) / (2.0 * $KlScale), 6)
+       |         AS js_nats
+       |FROM terms GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------- DSIR importance weighting
 
   /** Hashed-feature space size, the target slice, and the fixed-point

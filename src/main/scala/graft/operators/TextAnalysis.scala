@@ -2397,4 +2397,65 @@ object TextAnalysis {
        |    AS vmr_milli
        |FROM s CROSS JOIN n
        |ORDER BY tf DESC, tok LIMIT $BurstTopK""".stripMargin
+
+  // --------------------------------------------- vocabulary coverage curve
+
+  /** Candidate vocabulary budgets for the coverage curve. */
+  private val CoverageKs = Seq(16L, 64L, 256L, 1024L)
+
+  /**
+   * VOCABULARY COVERAGE CURVE [EXT] — the tokenizer-budget decision
+   * table: what fraction of corpus BIGRAM occurrences the top-K bigram
+   * types cover, for each candidate budget K. The curve is what decides
+   * a vocab size (and, for an n-gram LM, the context table size): the
+   * knee where coverage stops paying for budget. Bigram types are the
+   * unit because this corpus's unigram vocabulary is deliberately tiny —
+   * the bigram space is where the Zipf tail lives (same choice as
+   * [[textZipfFit]]'s vocabulary).
+   *
+   * Determinism: counts are exact; coverage quantizes by one BIGINT
+   * division per K. Ties in the top-K cut break by (count DESC, w1, w2).
+   *
+   * Scale shape: one (w1,w2) hash aggregate; the curve itself needs only
+   * the TOP max(K) types — `TakeOrderedAndProject` + a K-row driver
+   * collect and prefix sum (the quantile_sketch/zipf-fit pattern: the
+   * collected state is budget-sized and mergeable, never corpus-sized).
+   */
+  def textBigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Checkpoints.cut(t(spark, dir, "documents")
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(graft.functions.TextFunctions.bigramPairs(col("ts"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c")), eager = false)
+    val Array(total, vsize) = bi.agg(sum(col("c")), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val top = bi.orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(CoverageKs.max.toInt)
+      .select(col("c")).collect().map(_.getLong(0))
+    val prefix = top.scanLeft(0L)(_ + _)
+    val rows = CoverageKs.map { k =>
+      val covered = prefix(math.min(k, top.length.toLong).toInt)
+      (k, covered, total, vsize, covered * 1000000L / total)
+    }
+    spark.createDataFrame(rows)
+      .toDF("k", "top_bigrams", "total_bigrams", "vocab_size", "coverage_ppm")
+  }
+
+  val textBigramCoverageSql: String =
+    s"""WITH d0 AS (SELECT string_split_regex(text, '\\s+') AS ts FROM documents),
+       |d AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |      FROM d0, UNNEST(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+       |v AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+       |               CAST(COUNT(*) AS BIGINT) AS vsize FROM v),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w1, w2) AS rn FROM v),
+       |ks AS (SELECT CAST(unnest([${CoverageKs.mkString(", ")}]) AS BIGINT) AS k)
+       |SELECT ks.k, CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END) AS BIGINT)
+       |         AS top_bigrams,
+       |       tot.total AS total_bigrams, tot.vsize AS vocab_size,
+       |       CAST((SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END) * 1000000)
+       |            // tot.total AS BIGINT) AS coverage_ppm
+       |FROM r CROSS JOIN ks CROSS JOIN tot
+       |GROUP BY ks.k, tot.total, tot.vsize""".stripMargin
 }

@@ -11,9 +11,19 @@ import org.apache.spark.sql.functions._
  * division relies on), and the per-user bot-filter features (min gap,
  * span, 10-minute peak burst, rate, and the rule flag).
  */
-class CorpusOps7Spec extends AnyFunSuite {
+class CorpusOps7Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = graft.TestSpark.spark
   private val sf = graft.TestSpark.Sf0001
+
+  private var dir: String = _
+  override def beforeAll(): Unit =
+    dir = java.nio.file.Files.createTempDirectory("graft_ops7").toString
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
 
   // ------------------------------------------------------- text_kneser_ney
 
@@ -163,5 +173,100 @@ class CorpusOps7Spec extends AnyFunSuite {
     val maxDoc = got.map(_._2).max
     for ((f, rows) <- byFile if f != lastFile)
       assert(rows.map(_._2).sum > 65536L - maxDoc, s"file $f underfilled")
+  }
+
+  // --------------------------------------------------- graph_assortativity
+
+  test("graphAssortativity: moment replay against a plain-Scala degree " +
+       "walk over the LSH pair graph") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val directed = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = directed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = directed.length.toLong
+    val sumX = directed.map(e => deg(e._1)).sum
+    val sumX2 = directed.map(e => deg(e._1) * deg(e._1)).sum
+    val sumXY = directed.map(e => deg(e._1) * deg(e._2)).sum
+    val r = Graph.graphAssortativity(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+           ((m, sumX, sumX2, sumXY)))
+    val den = m * sumX2 - sumX * sumX
+    if (den == 0) assert(r.isNullAt(4))
+    else {
+      val expect = BigDecimal((m * sumXY - sumX * sumX).toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expect)
+      assert(math.abs(r.getDouble(4)) <= 1.0) // Pearson r is bounded
+    }
+  }
+
+  // -------------------------------------------------- text_bigram_coverage
+
+  test("textBigramCoverage: plain-Scala replay of the coverage curve; " +
+       "monotone in k and complete at k >= vocab") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = texts.flatMap { t =>
+      val ts = t.split("\\s+", -1)
+      if (ts.length < 2) Iterator.empty else ts.sliding(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val total = counts.map(_._2).sum
+    val vsize = counts.length.toLong
+    val sorted = counts.sortBy { case ((w1, w2), c) => (-c, w1, w2) }.map(_._2)
+    val prefix = sorted.scanLeft(0L)(_ + _)
+    val expect = Seq(16L, 64L, 256L, 1024L).map { k =>
+      val covered = prefix(math.min(k, vsize).toInt)
+      (k, covered, total, vsize, covered * 1000000L / total)
+    }
+    val got = TextAnalysis.textBigramCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(got.map(_._5) == got.map(_._5).sorted) // coverage monotone in k
+    assert(got.filter(r => r._1 >= r._4).forall(_._5 == 1000000L))
+  }
+
+  // ---------------------------------------------------- mix_js_divergence
+
+  test("mixJsDivergence: nano-nat replay on the crafted skewed corpus; " +
+       "bounded by ln 2 and ordered like KL") {
+    import spark.implicits._
+    val sub = s"$dir/js"
+    val bulk = (1L to 18L).map(i =>
+      (i, (1 to 10).map(k => s"common${(i + k) % 7}").mkString(" "), "en", "bulk"))
+    val odd = Seq((100L, (1 to 20).map(k => s"rare$k").mkString(" "), "en", "odd"))
+    (bulk ++ odd).toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    val got = Sampling.mixJsDivergence(spark, sub).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val B = 512L
+    val toks = (bulk ++ odd).flatMap { case (_, t, _, s) =>
+      t.split("\\s+").toSeq.map(tok =>
+        (s, Tables.md5LongOf(tok.getBytes("UTF-8")) % B))
+    }
+    val cSb = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cB = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nS = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    for ((src, (nTok, jspFp, jsqFp, jsNats)) <- got) {
+      assert(nTok == nS(src))
+      val (ep, eq) = (0L until B).map { b =>
+        val p = (cSb.getOrElse((src, b), 0L) + 1).toDouble / (nS(src) + B)
+        val q = (cB.getOrElse(b, 0L) + 1).toDouble / (n + B)
+        val m = (p + q) / 2
+        (math.round(p * math.log(p / m) * 1000000000L),
+         math.round(q * math.log(q / m) * 1000000000L))
+      }.foldLeft((0L, 0L)) { case ((a, b2), (x, y)) => (a + x, b2 + y) }
+      assert(jspFp == ep && jsqFp == eq, s"source $src")
+      assert(jsNats == BigDecimal((ep + eq).toDouble / 2e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // JS is non-negative and bounded by ln 2 (quantization slack 1e-6)
+      assert(jsNats >= -1e-6 && jsNats <= 0.693148)
+    }
+    assert(got("odd")._4 > got("bulk")._4, "disjoint vocabulary drifts more")
   }
 }
