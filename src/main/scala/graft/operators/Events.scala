@@ -1048,4 +1048,58 @@ object Events {
        |         OR coalesce(rate_per_day_milli >= $BotRatePerDayMilli, false)
        |         AS is_bot
        |FROM feat""".stripMargin
+
+  // ------------------------------------------------- engagement stickiness
+
+  /** Rolling engagement window width (days) for WAU. */
+  private val StickyWindowDays = 7L
+
+  /**
+   * DAU/WAU ENGAGEMENT STICKINESS [EXT] — the product-analytics ratio
+   * (daily actives over rolling-7-day actives) that separates habitual
+   * from episodic usage; [[eventsRetention]] answers "do cohorts come
+   * back", stickiness answers "how often". Per observed UTC day:
+   * distinct daily actives, distinct actives over [d−6, d], and
+   * dau/wau quantized to ppm.
+   *
+   * Scale shape: the rolling distinct count is NOT a window function —
+   * each (user, day) activation REPLICATES into the ≤7 future days it
+   * is visible to (the events_sliding/hll_sliding trick: work ∝
+   * activations × window width, never a per-day scan), then ONE
+   * day-keyed distinct aggregate. Day grid joins against observed days
+   * only, so quiet boundary days never emit phantom rows.
+   */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Checkpoints.cut(events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"), col("user_id"))
+      .distinct(), eager = false)
+    val obs = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"),
+                               col("day") + (StickyWindowDays - 1))).as("day_t"),
+              col("user_id"))
+      .join(broadcast(obs.select(col("day").as("day_t"))), "day_t")
+      .groupBy(col("day_t").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_ppm", expr("dau * 1000000L div wau7"))
+      .select("day", "dau", "wau7", "stickiness_ppm")
+  }
+
+  val eventsStickinessSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+       |  FROM events),
+       |obs AS (SELECT DISTINCT day FROM ud),
+       |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+       |repl AS (
+       |  SELECT u.day + s.i AS day_t, u.user_id
+       |  FROM ud u, UNNEST(generate_series(0, ${StickyWindowDays - 1})) AS s(i)),
+       |wau AS (
+       |  SELECT r.day_t AS day, CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS wau7
+       |  FROM repl r JOIN obs o ON o.day = r.day_t GROUP BY 1)
+       |SELECT d.day, d.dau, w.wau7,
+       |       CAST((d.dau * 1000000) // w.wau7 AS BIGINT) AS stickiness_ppm
+       |FROM dau d JOIN wau w USING (day)""".stripMargin
 }

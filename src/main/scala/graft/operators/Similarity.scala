@@ -2269,4 +2269,71 @@ object Similarity {
        |FROM qs2 q
        |LEFT JOIN ov ON ov.q_id = q.q_id
        |LEFT JOIN br ON br.q_id = q.q_id""".stripMargin
+
+  // ---------------------------------------------- PQ distortion audit
+
+  /** Nano-unit fixed-point scale for per-vector reconstruction error. */
+  private val PqErrScale = 1000000000L
+
+  /**
+   * PQ RECONSTRUCTION-DISTORTION AUDIT [EXT] — the compression-quality
+   * table read before shipping a PQ index: per (subspace, code), how
+   * many vectors landed on the code and their mean squared
+   * reconstruction error ‖sv − codebook[code]‖². Lopsided occupancy
+   * (one code hoarding a subspace) or an MSE outlier names exactly
+   * which codebook needs more Lloyd steps or a larger k — the audit
+   * [[annPqTopk]]'s recall number can't localize.
+   *
+   * Codebooks and code assignment are [[pqTrainBooks]]/[[pqCodes]]
+   * verbatim (bit-identical to the ann_pq_topk oracle CTEs); the error
+   * is the same strict left-to-right l2sq fold PQ trains on, quantized
+   * ONCE per vector to nano units so the per-code totals are exact
+   * integer sums (the mix_kl contract — never a float fold across rows
+   * whose order could differ).
+   *
+   * Scale shape: training is the k·dim collect-and-rebroadcast; the
+   * audit itself is ONE zero-shuffle projection (codes + per-subspace
+   * error in a single literal-codebook pass) exploded to [[PqM]] rows
+   * per vector, then one (subspace, code)-keyed aggregate — 16·8 output
+   * rows at any corpus size.
+   */
+  def embedPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).select(col("vec_id"), col("v"))
+    val books = pqTrainBooks(c)
+    val errArr = array((0 until PqM).map { m =>
+      val code = element_at(col("cs"), m + 1)
+      val cvMap = map_from_entries(transform(bookLit(books(m)), cb =>
+        struct(cb.getField("c"), cb.getField("cv"))))
+      struct(lit(m.toLong).as("subspace"), code.as("code"),
+             l2sq(pqSub(m, col("v")), element_at(cvMap, code)).as("err"))
+    }: _*)
+    c.withColumn("cs", pqCodes(col("v"), books))
+      .select(explode(errArr).as("e"))
+      .select(col("e.subspace").as("subspace"), col("e.code").as("code"),
+              round(col("e.err") * PqErrScale).cast("long").as("err_fp"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_fp")).as("err_fp_sum"))
+      .withColumn("mse_nano", expr("err_fp_sum div n_vecs"))
+  }
+
+  /** Oracle: the ann_pq_topk training CTEs verbatim; the same fold and
+    * nano quantization per vector, exact integer sums per code. */
+  val embedPqDistortionSql: String = {
+    val per = (0 until PqM).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS subspace, k.code AS code,
+         |  CAST(round(${l2sqSql(pqSubSql(m, "c.v"), "g.cv")} * $PqErrScale)
+         |       AS BIGINT) AS err_fp
+         |FROM corpus c
+         |JOIN code_$m k ON k.vec_id = c.vec_id
+         |JOIN cent1_$m g ON g.cluster = k.code""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $corpusSql,
+       |${pqTrainSqlCtes("corpus", "")},
+       |per AS (
+       |$per)
+       |SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(err_fp) AS BIGINT) AS err_fp_sum,
+       |       CAST(SUM(err_fp) // COUNT(*) AS BIGINT) AS mse_nano
+       |FROM per GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -2458,4 +2458,66 @@ object TextAnalysis {
        |            // tot.total AS BIGINT) AS coverage_ppm
        |FROM r CROSS JOIN ks CROSS JOIN tot
        |GROUP BY ks.k, tot.total, tot.vsize""".stripMargin
+
+  // ------------------------------------------ per-context branching entropy
+
+  /** Nano-nat fixed-point scale for per-continuation entropy terms. */
+  private val BranchScale = 1000000000L
+
+  /**
+   * PER-CONTEXT BRANCHING ENTROPY [EXT] — H(next | w1) over the corpus
+   * bigram MLE: for each left context w1 the entropy of its
+   * continuation distribution, −Σ_w2 (c12/c1)·ln(c12/c1). The signal
+   * behind unsupervised word/phrase segmentation (Harris 1955; Jin &
+   * Tanaka-Ishii 2006 — boundaries live where branching entropy spikes)
+   * and the context-level complement of [[textKneserNey]]'s fan-out
+   * count: fan-out says how MANY continuations, branching entropy says
+   * how EVENLY they spread. Also emits the corpus entropy rate
+   * Σ (c1/T)·H(·|w1) as a weighted check column.
+   *
+   * Determinism: each continuation term is quantized ONCE to nano-nats
+   * and integer-summed per context (the mix_kl contract); the
+   * per-context probabilities are exact-integer ratios inside one
+   * double ln, identical expression text in both engines.
+   *
+   * Scale shape: one (w1,w2) aggregate, one w1-keyed term sum —
+   * vocabulary-sized after the first combine; no windows, no collects.
+   */
+  def textBranchingEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Checkpoints.cut(t(spark, dir, "documents")
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(graft.functions.TextFunctions.bigramPairs(col("ts"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12")), eager = false)
+    val byW1 = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+                                         count(lit(1)).as("fanout"))
+    bi.join(broadcast(byW1), Seq("w1"))
+      .select(col("w1"), col("c1"), col("fanout"), expr(
+        s"""CAST(round(-(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+           |  * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+           |  * $BranchScale) AS LONG)""".stripMargin).as("term_fp"))
+      .groupBy(col("w1"), col("c1"), col("fanout"))
+      .agg(sum(col("term_fp")).as("h_fp"))
+      .withColumn("h_nats",
+        round(col("h_fp").cast("double") / BranchScale.toDouble, 6))
+      .select("w1", "c1", "fanout", "h_fp", "h_nats")
+  }
+
+  val textBranchingEntropySql: String =
+    s"""WITH d0 AS (SELECT string_split_regex(text, '\\s+') AS ts FROM documents),
+       |d AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |      FROM d0, UNNEST(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM d GROUP BY 1, 2),
+       |w1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |               CAST(COUNT(*) AS BIGINT) AS fanout FROM bi GROUP BY 1),
+       |terms AS (
+       |  SELECT bi.w1, w1s.c1, w1s.fanout,
+       |    CAST(round(-(CAST(bi.c12 AS DOUBLE) / CAST(w1s.c1 AS DOUBLE))
+       |      * ln(CAST(bi.c12 AS DOUBLE) / CAST(w1s.c1 AS DOUBLE))
+       |      * $BranchScale) AS BIGINT) AS term_fp
+       |  FROM bi JOIN w1s USING (w1))
+       |SELECT w1, c1, fanout, CAST(SUM(term_fp) AS BIGINT) AS h_fp,
+       |       round(CAST(SUM(term_fp) AS DOUBLE) / $BranchScale, 6) AS h_nats
+       |FROM terms GROUP BY 1, 2, 3""".stripMargin
 }

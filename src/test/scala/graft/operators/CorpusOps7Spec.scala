@@ -269,4 +269,71 @@ class CorpusOps7Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     assert(got("odd")._4 > got("bulk")._4, "disjoint vocabulary drifts more")
   }
+
+  // -------------------------------------------------- embed_pq_distortion
+
+  test("embedPqDistortion: occupancy partitions the corpus per subspace; " +
+       "MSE is the exact integer quotient; errors non-negative") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = Similarity.embedPqDistortion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.map(_._1).toSet == (0L until 8L).toSet)
+    for ((sub, g) <- rows.groupBy(_._1))
+      assert(g.map(_._3).sum == n, s"subspace $sub occupancy != corpus")
+    for ((sub, code, nv, errSum, mse) <- rows) {
+      assert(code >= 0 && code < 16 && nv > 0 && errSum >= 0,
+        s"($sub,$code) bounds")
+      assert(mse == errSum / nv, s"($sub,$code) mse replay")
+    }
+  }
+
+  // ---------------------------------------------------- events_stickiness
+
+  test("eventsStickiness: plain-Scala replay of DAU/WAU over observed days") {
+    val ud = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L"),
+              col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val obs = ud.map(_._1).toSet
+    val expect = obs.toSeq.sorted.map { d =>
+      val dau = ud.count(_._1 == d).toLong
+      val wau = ud.filter(u => u._1 >= d - 6 && u._1 <= d).map(_._2)
+        .distinct.length.toLong
+      (d, dau, wau, dau * 1000000L / wau)
+    }
+    val got = Events.eventsStickiness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expect)
+    // stickiness is a proper fraction of ppm
+    assert(got.forall(r => r._4 > 0 && r._4 <= 1000000L))
+  }
+
+  // ------------------------------------------------ text_branching_entropy
+
+  test("textBranchingEntropy: nano-nat replay; bounded by ln(fanout)") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val c12 = texts.flatMap { t =>
+      val ts = t.split("\\s+", -1)
+      if (ts.length < 2) Iterator.empty else ts.sliding(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = c12.groupBy(_._1._1).map { case (w1, m) =>
+      val c1 = m.values.sum
+      val hFp = m.values.map { c =>
+        val p = c.toDouble / c1.toDouble
+        math.round(-p * math.log(p) * 1000000000L)
+      }.sum
+      w1 -> ((c1, m.size.toLong, hFp))
+    }
+    val got = TextAnalysis.textBranchingEntropy(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap == expect)
+    for ((w1, (_, fanout, _, hNats)) <- got) {
+      assert(hNats >= -1e-6, s"$w1 entropy non-negative")
+      assert(hNats <= math.log(fanout.toDouble) + 1e-6, s"$w1 max-entropy bound")
+    }
+  }
 }
