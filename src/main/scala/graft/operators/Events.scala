@@ -1102,4 +1102,112 @@ object Events {
        |SELECT d.day, d.dau, w.wau7,
        |       CAST((d.dau * 1000000) // w.wau7 AS BIGINT) AS stickiness_ppm
        |FROM dau d JOIN wau w USING (day)""".stripMargin
+
+  // ----------------------------------------------------- growth accounting
+
+  /** Gap (days) separating "returning" from "resurrected". */
+  private val ReturnWindowDays = 7L
+
+  /**
+   * GROWTH ACCOUNTING [EXT] — the new/retained/returning/resurrected/
+   * churned daily ledger (the standard growth dashboard):
+   * [[eventsRetention]] follows cohorts forward, [[eventsStickiness]]
+   * measures habit; this classifies every active (user, day) by the gap
+   * since the user's PREVIOUS active day — new (none), retained
+   * (yesterday), returning (≤ [[ReturnWindowDays]]), resurrected
+   * (longer) — and derives churn by conservation: churned(d) =
+   * dau(d−1) − retained(d), the users who were active yesterday and did
+   * not come back (NULL on days with no observed predecessor).
+   *
+   * Scale shape: one (user, day) distinct, one user-partitioned lag
+   * (AQE skew-splittable), one day rollup, one day-shift self-join of
+   * the ~365-row ledger. No global window.
+   */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Checkpoints.cut(events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"), col("user_id"))
+      .distinct(), eager = false)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val gap = ud.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+    val byDay = gap.groupBy(col("day")).agg(
+      count(lit(1)).as("dau"),
+      sum(when(col("gap").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("gap") === 1L, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("gap") > 1L && col("gap") <= ReturnWindowDays, 1L)
+            .otherwise(0L)).as("n_returning"),
+      sum(when(col("gap") > ReturnWindowDays, 1L).otherwise(0L))
+        .as("n_resurrected"))
+    byDay.join(
+        byDay.select((col("day") + 1).as("day"), col("dau").as("dau_prev")),
+        Seq("day"), "left")
+      .withColumn("n_churned", col("dau_prev") - col("n_retained"))
+      .select("day", "dau", "n_new", "n_retained", "n_returning",
+              "n_resurrected", "n_churned")
+  }
+
+  val eventsLifecycleSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+       |  FROM events),
+       |g AS (
+       |  SELECT day, user_id,
+       |         day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+       |  FROM ud),
+       |byday AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+       |    CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |    CAST(SUM(CASE WHEN gap > 1 AND gap <= $ReturnWindowDays
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       |    CAST(SUM(CASE WHEN gap > $ReturnWindowDays THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_resurrected
+       |  FROM g GROUP BY 1)
+       |SELECT b.day, b.dau, b.n_new, b.n_retained, b.n_returning,
+       |       b.n_resurrected, p.dau - b.n_retained AS n_churned
+       |FROM byday b LEFT JOIN byday p ON p.day = b.day - 1""".stripMargin
+
+  // ------------------------------------------------- activity concentration
+
+  /**
+   * ACTIVITY CONCENTRATION (Lorenz deciles) [EXT] — what share of all
+   * events the top user deciles generate: the Pareto audit behind rate
+   * limits, bot thresholds ([[eventsBotFilter]] reads exactly this tail)
+   * and per-user sampling caps. Users rank by (event count DESC,
+   * user_id); decile d covers ranks (d·U/10, (d+1)·U/10].
+   *
+   * The global rank is [[Dedup.classRank]]'s TWO-PASS DISTRIBUTED dense
+   * rank (range partition + per-partition index + broadcast offsets) —
+   * per-user counts are distinct rows by construction, so the position
+   * rank IS the dense rank; no single-partition window at any user
+   * count. Shares are exact integer divisions of exact counts.
+   */
+  def eventsPareto(spark: SparkSession, dir: String): DataFrame = {
+    val pu = Checkpoints.cut(events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")), eager = false)
+    val tot = pu.agg(count(lit(1)).as("n_users"),
+                     sum(col("n")).as("total_events"))
+    val ranked = Dedup.classRank(
+      pu.select((-col("n")).as("ra"), col("user_id").as("rb"), col("n")), "rnk")
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_users"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users_d"), sum(col("n")).as("n_events_d"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_events_d * 1000000L div total_events"))
+      .select("decile", "n_users_d", "n_events_d", "share_ppm")
+  }
+
+  val eventsParetoSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |               CAST(SUM(n) AS BIGINT) AS total_events FROM pu),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      |      FROM pu)
+      |SELECT CAST(((rnk - 1) * 10) // tot.n_users AS BIGINT) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users_d,
+      |       CAST(SUM(n) AS BIGINT) AS n_events_d,
+      |       CAST((SUM(n) * 1000000) // tot.total_events AS BIGINT) AS share_ppm
+      |FROM r CROSS JOIN tot
+      |GROUP BY 1, tot.total_events""".stripMargin
 }

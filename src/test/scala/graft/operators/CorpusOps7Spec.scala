@@ -336,4 +336,67 @@ class CorpusOps7Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(hNats <= math.log(fanout.toDouble) + 1e-6, s"$w1 max-entropy bound")
     }
   }
+
+  // ------------------------------------------------------ events_lifecycle
+
+  test("eventsLifecycle: plain-Scala replay; classes partition DAU and " +
+       "churn conserves") {
+    val ud = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L"),
+              col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byUser = ud.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val statuses = for ((u, days) <- byUser.toSeq; (d, i) <- days.zipWithIndex)
+      yield {
+        val gap = if (i == 0) None else Some(d - days(i - 1))
+        (d, gap match {
+          case None => "new"
+          case Some(1) => "retained"
+          case Some(g) if g <= 7 => "returning"
+          case _ => "resurrected"
+        })
+      }
+    val byDay = statuses.groupBy(_._1).view.mapValues { v =>
+      (v.length.toLong, v.count(_._2 == "new").toLong,
+       v.count(_._2 == "retained").toLong, v.count(_._2 == "returning").toLong,
+       v.count(_._2 == "resurrected").toLong)
+    }.toMap
+    val got = Events.eventsLifecycle(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    }.toMap
+    assert(got.view.mapValues(v =>
+      (v._1, v._2, v._3, v._4, v._5)).toMap == byDay)
+    for ((d, (dau, nn, nret, nretn, nres, churn)) <- got) {
+      assert(nn + nret + nretn + nres == dau, s"day $d classes partition DAU")
+      churn.foreach { c =>
+        assert(c == byDay(d - 1)._1 - nret && c >= 0, s"day $d churn")
+      }
+      if (churn.isEmpty) assert(!byDay.contains(d - 1))
+    }
+  }
+
+  // --------------------------------------------------------- events_pareto
+
+  test("eventsPareto: decile replay from per-user counts; shares sum to " +
+       "the corpus and concentrate at the top") {
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nUsers = counts.length.toLong
+    val total = counts.map(_._2).sum
+    val ranked = counts.sortBy { case (u, n) => (-n, u) }.zipWithIndex
+    val expect = ranked.groupBy { case (_, i) => (i.toLong * 10) / nUsers }
+      .view.mapValues { v =>
+        val e = v.map(_._1._2).sum
+        (v.length.toLong, e, e * 1000000L / total)
+      }.toMap
+    val got = Events.eventsPareto(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == nUsers)
+    assert(got.values.map(_._2).sum == total)
+    assert(got(0L)._3 >= got(9L)._3, "top decile carries at least the bottom's share")
+  }
 }
