@@ -129,6 +129,107 @@ object JoinsExt {
       |       click_id, ts_us - click_ts AS gap_us
       |FROM m WHERE src = 1""".stripMargin
 
+  // --------------------------------------------------------- nearest as-of
+
+  /**
+   * NEAREST-direction as-of [EXT] — each purchase matched to the CLOSEST
+   * click in time, either direction (kdb's `aj` is backward-only; the
+   * nearest variant is the sensor-fusion/late-attribution semantics that
+   * pandas `merge_asof(direction='nearest')` standardizes). Composed as
+   * two [[asofJoin]] passes — backward verbatim, forward on NEGATED
+   * timestamps (so "most recent ≤ t" becomes "earliest ≥ t"; right-tie
+   * order negates too, keeping the smallest click_id preferred) — then a
+   * per-row argmin on the two gaps, ties to the backward match (a click
+   * AT the purchase instant is "at or before" it, gap 0).
+   *
+   * Scale shape: exactly two key-partitioned sort windows over
+   * points + events — the as-of family's linear shape, no interval
+   * blowup, no self-join.
+   */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
+    val back = asofJoin(purchases, clicks, "user_id", "ts_us",
+        payload = Seq("click_id", "click_ts_us"), rightOrd = "click_id")
+      .select(col("user_id"), col("purchase_id"), col("ts_us"),
+              col("asof_click_id").as("prev_id"),
+              col("asof_click_ts_us").as("prev_ts"))
+    val pN = purchases.select(col("user_id"), col("purchase_id"),
+                              (-col("ts_us")).as("tsn"))
+    val cN = clicks.select(col("user_id"), (-col("ts_us")).as("tsn"),
+                           col("click_id"), (-col("click_id")).as("ord_neg"),
+                           col("click_ts_us"))
+    val fwd = asofJoin(pN, cN, "user_id", "tsn",
+        payload = Seq("click_id", "click_ts_us"), rightOrd = "ord_neg")
+      .select(col("purchase_id"),
+              col("asof_click_id").as("next_id"),
+              col("asof_click_ts_us").as("next_ts"))
+    back.join(fwd, "purchase_id")
+      .withColumn("prev_gap", col("ts_us") - col("prev_ts"))
+      .withColumn("next_gap", col("next_ts") - col("ts_us"))
+      .withColumn("direction",
+        when(col("prev_id").isNotNull &&
+             (col("next_id").isNull || col("prev_gap") <= col("next_gap")),
+             "prev")
+        .when(col("next_id").isNotNull, "next"))
+      .select(col("user_id"), col("purchase_id"),
+              col("ts_us").as("purchase_ts_us"),
+              when(col("direction") === "prev", col("prev_id"))
+                .when(col("direction") === "next", col("next_id"))
+                .as("click_id"),
+              col("direction"),
+              when(col("direction") === "prev", col("prev_gap"))
+                .when(col("direction") === "next", col("next_gap"))
+                .as("gap_us"))
+  }
+
+  /** Oracle: the backward window verbatim plus its mirrored twin on
+    * negated timestamps/tie order, then the same argmin CASE chain. */
+  val joinAsofNearestSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |u AS (
+      |  SELECT user_id, ts_us, -ts_us AS tsn, event_id,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN ts_us END AS c_ts
+      |  FROM e),
+      |mb AS (
+      |  SELECT user_id, ts_us, event_id, src,
+      |    last_value(c_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, src, coalesce(c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+      |    last_value(c_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, src, coalesce(c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts
+      |  FROM u),
+      |mf AS (
+      |  SELECT user_id, ts_us, event_id, src,
+      |    last_value(c_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, src, coalesce(-c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_id,
+      |    last_value(c_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, src, coalesce(-c_id, 0)
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_ts
+      |  FROM u),
+      |j AS (
+      |  SELECT b.user_id, b.event_id AS purchase_id, b.ts_us,
+      |         b.prev_id, b.ts_us - b.prev_ts AS prev_gap,
+      |         f.next_id, f.next_ts - b.ts_us AS next_gap
+      |  FROM mb b JOIN mf f ON f.event_id = b.event_id AND f.src = 1
+      |  WHERE b.src = 1)
+      |SELECT user_id, purchase_id, ts_us AS purchase_ts_us,
+      |  CASE WHEN prev_id IS NOT NULL
+      |            AND (next_id IS NULL OR prev_gap <= next_gap) THEN prev_id
+      |       WHEN next_id IS NOT NULL THEN next_id END AS click_id,
+      |  CASE WHEN prev_id IS NOT NULL
+      |            AND (next_id IS NULL OR prev_gap <= next_gap) THEN 'prev'
+      |       WHEN next_id IS NOT NULL THEN 'next' END AS direction,
+      |  CASE WHEN prev_id IS NOT NULL
+      |            AND (next_id IS NULL OR prev_gap <= next_gap) THEN prev_gap
+      |       WHEN next_id IS NOT NULL THEN next_gap END AS gap_us
+      |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- range
 
   /**

@@ -399,4 +399,49 @@ class CorpusOps7Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.values.map(_._2).sum == total)
     assert(got(0L)._3 >= got(9L)._3, "top decile carries at least the bottom's share")
   }
+
+  // ------------------------------------------------------ join_asof_nearest
+
+  test("joinAsofNearest: plain-Scala nearest replay (ties to backward, " +
+       "equal-ts tie order mirrored); prev arm equals the backward as-of") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+              col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getString(3)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._1).view
+      .mapValues(_.map(c => (c._3, c._2)).sorted).toMap
+    val expect = ev.filter(_._4 == "purchase").map { p =>
+      val cs = clicks.getOrElse(p._1, Array.empty[(Long, Long)]).toSeq
+      // backward: max ts <= t, tie -> max click_id (asofJoin "last wins")
+      val prev = cs.filter(_._1 <= p._3).sorted.lastOption
+      // forward: min ts >= t, tie -> min click_id (negated tie order)
+      val next = cs.filter(_._1 >= p._3).sorted.headOption
+      val (cid, dir, gap) = (prev, next) match {
+        case (Some((pt, pid)), n)
+            if n.isEmpty || p._3 - pt <= n.get._1 - p._3 =>
+          (Some(pid), Some("prev"), Some(p._3 - pt))
+        case (_, Some((nt, nid))) => (Some(nid), Some("next"), Some(nt - p._3))
+        case _ => (None, None, None)
+      }
+      (p._2, (p._1, p._3, cid, dir, gap))
+    }.toMap
+    val got = JoinsExt.joinAsofNearest(spark, sf).collect().map { r =>
+      r.getLong(1) -> ((r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    }.toMap
+    assert(got == expect)
+    // the prev arm must agree with the backward-only as-of query
+    val backward = JoinsExt.joinAsofClicks(spark, sf).collect().map { r =>
+      r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toMap
+    for ((pid, (_, _, cid, dir, _)) <- got if dir.contains("prev"))
+      assert(backward(pid) == cid, s"purchase $pid prev mismatch")
+    assert(got.values.flatMap(_._5).forall(_ >= 0), "gaps are magnitudes")
+    assert(got.values.flatMap(_._4).toSet == Set("prev", "next"),
+      "both directions exercised at sf0.001")
+  }
 }
