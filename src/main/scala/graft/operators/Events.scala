@@ -301,9 +301,20 @@ object Events {
    * user_id, so the same hash partitioning serves all three steps.
    */
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val c = events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-              (dec(col("value")) * 100).cast("long").as("cents"))
+    // One explicit shuffle on user_id, cut ONCE: the checkpoint pins the
+    // partitioning, so the median aggregate, the dev join, the MAD
+    // aggregate, and the final join are ALL partition-local over the
+    // materialized 3-column table — dev is consumed twice (MAD + final
+    // join) but re-deriving it is an in-memory co-partitioned join, not
+    // a re-read of the scan (which is what re-executed at sf1 when AQE
+    // exchange reuse stopped firing). Cutting dev itself was measured
+    // WORSE: it materializes the wide 5-column double table instead.
+    val c = Checkpoints.cut(
+      events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+                (dec(col("value")) * 100).cast("long").as("cents"))
+        .repartition(col("user_id")),
+      eager = false)
     val med = c.groupBy(col("user_id"))
       .agg(percentile(col("cents"), lit(0.5)).as("med"))
     val dev = c.join(med, "user_id")

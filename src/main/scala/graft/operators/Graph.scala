@@ -540,9 +540,10 @@ object Graph {
    * MaxBucketDocs cap, so M·Σxy stays far under 2⁶³ (a web-scale graph
    * moves the moments to DECIMAL(38,0) — the fertility note).
    *
-   * Scale shape: one degree count + one broadcast degree join per
-   * endpoint + ONE global moment aggregate — no windows, nothing
-   * node-pair-sized beyond the edge list itself.
+   * Scale shape: one degree count + one degree join per endpoint
+   * (strategy left to AQE — broadcast while deg fits, shuffle beyond) +
+   * ONE global moment aggregate — no windows, nothing node-pair-sized
+   * beyond the edge list itself.
    */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir))
@@ -550,11 +551,14 @@ object Graph {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
+    // No broadcast hints: the degree table is NODE-count-sized (the LSH
+    // cap bounds degree VALUES, not node count), so at web scale a forced
+    // broadcast would blow the driver — leave join strategy to AQE, which
+    // broadcasts at test scale and falls back to shuffle joins when deg
+    // outgrows the threshold (the graphModularity label-join policy).
     edges
-      .join(broadcast(deg.select(col("doc_id").as("doc_a"), col("deg").as("dx"))),
-            "doc_a")
-      .join(broadcast(deg.select(col("doc_id").as("doc_b"), col("deg").as("dy"))),
-            "doc_b")
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("dx")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("dy")), "doc_b")
       .agg(count(lit(1)).as("m_directed"),
            sum(col("dx")).as("sum_x"),
            sum(col("dx") * col("dx")).as("sum_x2"),
@@ -747,10 +751,9 @@ object Graph {
     val wedges = e
       .groupBy(col("doc_b").as("mid"))
       .agg(sort_array(collect_list(col("doc_a"))).as("ns"))
-      .select(col("mid"), explode(flatten(transform(col("ns"), (x, i) =>
-        transform(slice(col("ns"), i + 2, size(col("ns"))),
-                  y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u").as("u"), col("mid"), col("p.v").as("v"))
+      .select(col("mid"), explode(
+        graft.functions.CombinationPairs.combinationPairs(col("ns"))).as("p"))
+      .select(col("p.a").as("u"), col("mid"), col("p.b").as("v"))
     // link PREDICTION: drop wedge pairs that are already edges. The edge
     // set is derived from the checkpointed e (canonical doc_a < doc_b
     // half) so the LSH pipeline behind `pairs` executes exactly once.

@@ -249,13 +249,18 @@ object Relational {
    */
   def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    val late = li
+    // late is consumed TWICE (as the semijoin probe side and as the
+    // NOT-EXISTS build side) — cut its lineage so the fact⋈fact join
+    // runs once; at sf1 AQE stopped reusing the exchange and the whole
+    // chain re-executed (the events_mad_outliers finding, same fix).
+    val late = Checkpoints.cut(li
       .join(t(spark, dir, "orders")
               .filter(col("o_orderstatus") === "F")
               .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_suppkey")),
+      eager = false)
     val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
     val otherLate = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
     late
@@ -810,11 +815,13 @@ object Relational {
     val itemN = baskets
       .select(explode(col("parts")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_item"))
+    // native codegen'd combination explode — the nested transform(slice)
+    // HOF formulation ran interpreted per element and was the exec hot
+    // loop (measured ~3.2 s of the 4.4 s sf1 total)
     val pairN = baskets
-      .select(explode(flatten(transform(col("parts"), (x, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))),
-                  y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .select(explode(
+        graft.functions.CombinationPairs.combinationPairs(col("parts"))).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= MinPairSupport)
     pairN

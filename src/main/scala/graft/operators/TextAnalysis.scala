@@ -2429,7 +2429,14 @@ object TextAnalysis {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c")), eager = false)
     val Array(total, vsize) = bi.agg(sum(col("c")), count(lit(1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect()(0).toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+      .toArray
+    // Degenerate corpus (zero bigrams): the oracle's `r CROSS JOIN ks`
+    // is empty, so it returns zero rows — mirror that instead of
+    // dividing by total == 0 below.
+    if (total == 0L)
+      return spark.createDataFrame(Seq.empty[(Long, Long, Long, Long, Long)])
+        .toDF("k", "top_bigrams", "total_bigrams", "vocab_size", "coverage_ppm")
     val top = bi.orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(CoverageKs.max.toInt)
       .select(col("c")).collect().map(_.getLong(0))
