@@ -178,10 +178,74 @@ object BigramPairs {
   }
 }
 
+case class ItemCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_item_counts"
+
+  override def nullSafeEval(a: Any): Any =
+    ItemCounts.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ItemCounts.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ItemCounts {
+  /** Per-row distinct items with multiplicities, first-occurrence order
+    * (deterministic; downstream aggregates are order-insensitive
+    * anyway). Replaces an explode + corpus-sized groupBy(doc, item)
+    * SHUFFLE with in-row work: the per-document term-count table every
+    * tf/df aggregate starts from. Null elements are skipped. Called from
+    * generated code — named `compute`, not `eval` (the
+    * [[NgramsJoined.compute]] forwarder-clash rationale). */
+  def compute(ts: ArrayData): ArrayData = {
+    val len = ts.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < len) {
+      if (!ts.isNullAt(i)) {
+        val s = ts.getUTF8String(i)
+        val c = counts.get(s)
+        // clone on first insert: the UTF8String may point into a reused
+        // buffer; counted keys outlive the element cursor. put on an
+        // existing key keeps the original (cloned) key object.
+        if (c == null) counts.put(s.clone(), 1L)
+        else counts.put(s, c + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(e.getKey, e.getValue.longValue())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Column-level whitespace tokenizer ≡ `split(text, "\\s+")`. */
   def wsTokens(text: Column): Column =
     GraftShims.column(WsTokens(GraftShims.expression(text)))
+
+  /** Column-level per-row item multiplicities (item, n) over a string
+    * array, first-occurrence order. */
+  def itemCounts(arr: Column): Column =
+    GraftShims.column(ItemCounts(GraftShims.expression(arr)))
 
   /** Column-level space-joined n-grams over a token array. */
   def ngramsJoined(tokens: Column, n: Int): Column =

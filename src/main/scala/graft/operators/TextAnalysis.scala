@@ -152,9 +152,15 @@ object TextAnalysis {
     * result engine-portable. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies IN-ROW (native ItemCounts): the explode →
+    // groupBy(doc_id, tok) formulation paid a corpus-sized shuffle with
+    // near-unique keys (map-side combine can't help a per-doc key) just
+    // to count within documents
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.itemCounts(toks(col("text"))))
+          .as("e"))
+      .select(col("doc_id"), col("e.item").as("tok"), col("e.n").as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -269,13 +275,24 @@ object TextAnalysis {
         size(array_distinct(col("ts"))).as("n_distinct"),
         size(col("g2")).as("n_2grams"),
         size(array_distinct(col("g2"))).as("n_distinct_2grams"))
+    // per-doc argmax token IN-ROW: fold the native ItemCounts array with
+    // the same (c DESC, tok ASC) total order the rank window used — zero
+    // shuffles and no per-doc window sort. The fold lambda is an
+    // interpreted HOF, but over the per-document DISTINCT-token array,
+    // not the corpus.
     val top = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok").asc)))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("tok").as("top_tok"), col("c").as("top_cnt"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.itemCounts(toks(col("text"))).as("cs"))
+      .filter(size(col("cs")) > 0) // ≙ the old inner join dropping token-less docs
+      .select(col("doc_id"),
+        aggregate(col("cs"),
+          struct(lit(null).cast("string").as("item"), lit(0L).as("n")),
+          (acc, e) => when(
+            e.getField("n") > acc.getField("n") ||
+              (e.getField("n") === acc.getField("n") &&
+               e.getField("item") < acc.getField("item")), e).otherwise(acc))
+          .as("m"))
+      .select(col("doc_id"), col("m.item").as("top_tok"), col("m.n").as("top_cnt"))
     base.join(top, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("top_tok"),
         ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
@@ -908,32 +925,42 @@ object TextAnalysis {
    * frequency. Shape at 100 TB: explode bigrams → ONE count aggregate
    * with map-side partial combine (the df comes from the same aggregate
    * via a per-doc distinct inside the array, not a second shuffle of the
-   * corpus) → per-lang top-k as one window over lang partitions of the
-   * already-aggregated (lang, bigram) table, which is vocabulary-sized,
-   * not corpus-sized. Ties rank deterministically (count DESC, bigram
-   * ASC).
+   * corpus) → per-lang top-k as the native bounded-heap aggregate
+   * [[graft.functions.TopKByCount]]: each task keeps a K-entry heap per
+   * lang and only K-sized partial buffers cross the lang shuffle. The
+   * rank-window formulation this replaces sorted the ENTIRE per-lang
+   * bigram vocabulary through one task per language — vocabulary-sized
+   * work and a per-lang parallelism ceiling the heap removes. Ties rank
+   * deterministically (count DESC, bigram ASC; bigrams are unique per
+   * lang after the vocab aggregate, so the order is total and the heap
+   * result is bit-identical to the window's).
    */
   def textNgramVocab(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // per-(doc, bigram) multiplicities first: SUM over them gives the
-    // corpus count and COUNT gives document frequency from the SAME
-    // aggregate — no second shuffle of the exploded corpus for df
+    // per-(doc, bigram) multiplicities computed IN-ROW (native
+    // ItemCounts over the bigram array — each document's term table
+    // never leaves its row), so SUM gives the corpus count and COUNT
+    // gives document frequency from ONE (lang, bigram) aggregate. The
+    // explode → groupBy(lang, doc_id, bigram) formulation this replaces
+    // paid a full corpus-bigram-sized shuffle with near-unique keys just
+    // to dedup within documents.
     val perDoc = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), 2))
-          .as("bigram"))
-      .groupBy(col("lang"), col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.itemCounts(
+          graft.functions.TextFunctions.ngramsJoined(col("ts"), 2))).as("e"))
+      .select(col("lang"), col("e.item").as("bigram"), col("e.n").as("n"))
     val vocab = perDoc
       .groupBy(col("lang"), col("bigram"))
       .agg(sum(col("n")).as("total_count"), count(lit(1)).as("doc_freq"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("total_count").desc, col("bigram").asc)
-    vocab.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= VocabTopK)
-      .select(col("lang"), col("rnk"), col("bigram"),
-              col("total_count"), col("doc_freq"))
+    vocab
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKByCount.topKByCount(
+        col("total_count"), col("bigram"), col("doc_freq"), VocabTopK)
+        .as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+              col("e.tag").as("bigram"), col("e.count").as("total_count"),
+              col("e.payload").as("doc_freq"))
   }
 
   val textNgramVocabSql: String =
@@ -1677,12 +1704,17 @@ object TextAnalysis {
    * ranking per the cross-engine float playbook.
    */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // document length IN-ROW: dl is just the token-array size (WsTokens
+    // never returns an empty array, so every doc keeps its row — same
+    // membership as the explode+count it replaces, minus one corpus
+    // explode and one doc-keyed shuffle)
+    val dl = t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
                        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tok.filter(col("tok").isin(Bm25Terms: _*))
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
