@@ -1,0 +1,93 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/**
+ * Stream-floor AMORTIZATION evidence (VERDICT r14 item 6):
+ * docs/STREAM_FLOOR.json pins the stream gates' residual cost to the
+ * per-trigger micro-batch protocol and ARGUES it amortizes over trigger
+ * size in production. This tool measures that claim instead of arguing
+ * it: each gate runs with the SAME trigger count at sf0.1 and at the 10×
+ * sf1 corpus (so rows-per-trigger grows 10×), and the artifact records
+ * warm per-trigger addBatch medians and per-row cost at both volumes.
+ * The protocol floor amortizes iff per-trigger time grows far slower
+ * than 10× — equivalently, ns-per-row drops several-fold.
+ *
+ * Usage: sbt "runMain graft.tools.StreamAmort [gate ...]"
+ * (defaults to the two stateful gates; sf dirs fixed to the testdata
+ * sf0.1 and the local sf1 derivation). Writes
+ * docs/STREAM_AMORTIZATION.json.
+ */
+object StreamAmort {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Sessions.ramLocalDir("graft_samort"))
+      .config(graft.operators.Tables.NanosConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val gates = if (args.nonEmpty) args.toSeq
+                else Seq("stream_hourly_counts", "stream_sessionize")
+    val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
+                   "sf1" -> "/root/repo/sf1_local")
+
+    @volatile var sink: java.util.List[(Long, Long)] = null
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val s = sink
+        if (s != null) s.add((e.progress.numInputRows,
+          e.progress.durationMs.getOrDefault("addBatch", -1L).longValue()))
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    def med(xs: Seq[Long]): Long = if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
+
+    val cells = for (g <- gates; (sfName, dir) <- dirs) yield {
+      // rep 1 warms plan/codegen; rep 2 is the measured protocol cost
+      var rows = Seq.empty[(Long, Long)]
+      var wall = 0.0
+      for (rep <- 1 to 2) {
+        val buf = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[(Long, Long)]())
+        sink = buf
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(g)(spark, dir).count()
+        wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain listener bus
+        sink = null
+        import scala.jdk.CollectionConverters._
+        rows = buf.asScala.toSeq
+        graft.operators.Checkpoints.releaseAll(spark)
+      }
+      val fed = rows.filter(_._1 > 0) // drop the zero-row watermark-flush trigger
+      val totalRows = fed.map(_._1).sum
+      val medBatch = med(fed.map(_._2))
+      val nsPerRow =
+        if (totalRows == 0) -1
+        else fed.map(_._2).sum * 1000000L / totalRows
+      println(f"SAMORT $g%-22s $sfName%-6s rows=$totalRows%8d triggers=${fed.size} medAddBatch=${medBatch}ms ns/row=$nsPerRow wall=$wall%.2f s")
+      (g, sfName, totalRows, fed.size, medBatch, nsPerRow, wall)
+    }
+    val json = cells.map { case (g, sf, r, t, m, ns, w) =>
+      s"""  {"gate":"$g","sf":"$sf","rows":$r,"fed_triggers":$t,"median_addBatch_ms":$m,"ns_per_row":$ns,"wall_sec":${f"$w%.3f"}}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val out =
+      s"""{"what":"warm per-trigger addBatch cost of the stateful stream gates at 1x (sf0.1) vs 10x (sf1) rows per trigger, same trigger count — measures the STREAM_FLOOR amortization claim: if the cost were dataflow, addBatch would grow ~10x; a far smaller growth means the floor is per-trigger protocol that amortizes over trigger size in production",
+         |"measured_at":${System.currentTimeMillis / 1000},
+         |"cpus":$cpus,
+         |"load_avg":${java.lang.management.ManagementFactory
+                        .getOperatingSystemMXBean.getSystemLoadAverage},
+         |"cells":$json}""".stripMargin
+    Files.writeString(Paths.get("docs/STREAM_AMORTIZATION.json"), out + "\n")
+    println("SAMORT wrote docs/STREAM_AMORTIZATION.json")
+    spark.stop()
+  }
+}
