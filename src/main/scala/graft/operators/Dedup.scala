@@ -394,6 +394,30 @@ object Dedup {
        |SELECT doc_id, rep_doc_id, component_size FROM comp""".stripMargin
 
   /**
+   * Near-dup cluster SIZE DISTRIBUTION [EXT] — the histogram read before
+   * committing to keep-one-per-cluster: a corpus of pairs-and-triples
+   * dedups safely, while a few giant clusters (template families, boiler-
+   * plate storms) mean "keep one" deletes real content and wants manual
+   * review (the [[graft.operators.Graph.graphAssortativity]] star-vs-
+   * clique question, answered with counts). One aggregate over the
+   * component table, which is duplicate-docs-sized, not corpus-sized.
+   */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("component_size"))
+      .agg(countDistinct(col("rep_doc_id")).as("n_clusters"),
+           count(lit(1)).as("n_docs"))
+      .withColumn("docs_removed", col("n_docs") - col("n_clusters"))
+
+  val dedupClusterSizesSql: String =
+    s"""$componentsCtes
+       |SELECT component_size,
+       |  CAST(COUNT(DISTINCT rep_doc_id) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) - COUNT(DISTINCT rep_doc_id) AS BIGINT) AS docs_removed
+       |FROM comp GROUP BY 1""".stripMargin
+
+  /**
    * The dedup pipeline APPLIED end-to-end: keep exactly one document per
    * near-dup cluster (the minimum-id representative) and report per-lang
    * corpus statistics — the shape a training-data run actually ships
