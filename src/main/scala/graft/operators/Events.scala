@@ -883,6 +883,9 @@ object Events {
   /** Minimum distinct users per released equivalence class. */
   private val KAnon = 5
 
+  /** Minimum distinct sensitive values (event types) per released cell. */
+  private val LDiv = 3
+
   /**
    * k-anonymity release gate with one-level time generalization [EXT] —
    * the privacy pass a telemetry/training-corpus release runs before
@@ -917,6 +920,13 @@ object Events {
    * day cell, so a day row is NOT a full-day total.
    */
   def eventsKanon(spark: SparkSession, dir: String): DataFrame = {
+    // e is consumed by BOTH the fine aggregate and the coarse day-level
+    // re-aggregation, so the scan+date_format runs twice. Measured (r15
+    // Phases, sf1): a repartition+cut of e costs MORE than it saves
+    // (2.7 s vs 1.7 s — materializing the 4-column corpus outweighs the
+    // second column-pruned scan), unlike the mad_outliers case where the
+    // cut table is 3 narrow numerics. Recorded so the next round doesn't
+    // re-derive it; the double scan is the cheaper honest shape here.
     val e = events(spark, dir)
       .select(col("event_type"),
               date_format(col("ts"), "yyyy-MM-dd HH:00").as("win"),
@@ -974,6 +984,46 @@ object Events {
        |SELECT event_type, win, granularity, n_events,
        |       n_users, n_users >= $KAnon AS released
        |FROM coarse""".stripMargin
+
+  /**
+   * l-DIVERSITY release audit [EXT] — the privacy rung ABOVE
+   * [[eventsKanon]]'s k-anonymity (Machanavajjhala et al. 2007):
+   * a cell with ≥ k users still leaks if every one of them did the SAME
+   * thing, so each quasi-identifier class (calendar hour) must also
+   * cover ≥ l distinct sensitive values (event types) to be released.
+   * Emits both predicates per cell so the suppression ledger shows WHY
+   * a cell was held back — too few users, too uniform, or both.
+   *
+   * Scale shape: ONE hash aggregate over the event scan (the two
+   * distinct counts share the grouping); nothing but hour-cell rows
+   * shuffle. Exact integers, engine-portable booleans.
+   */
+  def eventsLdiversity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:00").as("win"),
+              col("event_type"), col("user_id"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           countDistinct(col("event_type")).as("n_types"))
+      .select(col("win"), col("n_events"), col("n_users"), col("n_types"),
+        (col("n_users") >= KAnon).as("k_anonymous"),
+        (col("n_types") >= LDiv).as("l_diverse"),
+        (col("n_users") >= KAnon && col("n_types") >= LDiv).as("released"))
+
+  val eventsLdiversitySql: String =
+    s"""WITH c AS (
+       |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS win,
+       |         event_type, user_id
+       |  FROM events)
+       |SELECT win, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  COUNT(DISTINCT event_type) AS n_types,
+       |  COUNT(DISTINCT user_id) >= $KAnon AS k_anonymous,
+       |  COUNT(DISTINCT event_type) >= $LDiv AS l_diverse,
+       |  COUNT(DISTINCT user_id) >= $KAnon
+       |    AND COUNT(DISTINCT event_type) >= $LDiv AS released
+       |FROM c GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------ bot/spam filtering
 
