@@ -499,9 +499,17 @@ object DecisionSupport {
    * pass costs O(|parts|), and the scalar is broadcast.
    */
   def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    val pr = t(spark, dir, "lineitem")
-      .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_extendedprice"))).as("rev_d"))
+    // pr is consumed TWICE (the grand-total scalar and the final filter);
+    // the broadcast of tot leaves no matching exchange for AQE to reuse,
+    // so uncut the fact-table scan+aggregate ran twice (the
+    // q21/mad_outliers finding). pr is 2 narrow columns — the
+    // cut-vs-rescan column-width call lands on cut (sf1 quiet Phases:
+    // 1.37 → 1.20 s; at 100 TB the saved second fact scan dominates).
+    val pr = Checkpoints.cut(
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_d")),
+      eager = false)
     val tot = pr.agg(sum(col("rev_d")).as("tot_d"), count(lit(1)).as("n_parts"))
     pr.crossJoin(broadcast(tot))
       .filter(col("rev_d").cast("double") >
