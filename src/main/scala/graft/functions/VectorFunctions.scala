@@ -66,6 +66,58 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProduct]] for quantized (int8-in-long) vectors:
+  * Σ aᵢ·bᵢ over two `array<bigint>` columns as one codegen'd loop — the
+  * coarse-stage scoring kernel of two-stage retrieval, replacing the
+  * interpreted `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF pair that
+  * dominated [[graft.operators.Similarity.annRerank]]'s corpus × queries
+  * hot loop. Integer addition is associative, so unlike the double fold
+  * the evaluation order is free and the result is exactly reproducible
+  * under any fusion. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /**
  * Nearest-centroid assignment (argmax cosine over a plan-constant centroid
  * table, ties to the smallest centroid id) as ONE native expression.
@@ -263,6 +315,12 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.column(
       DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column-level exact integer dot product over two `array<bigint>`
+    * columns. */
+  def dotProductLong(a: Column, b: Column): Column =
+    GraftShims.column(
+      DotProductLong(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Column-level nearest-centroid assignment: argmax cosine of `v`
     * (norm `nrm`) against the plan-constant centroid table, ties to the

@@ -1560,8 +1560,10 @@ object Similarity {
     val coarse = qz.select(col("vec_id"), col("q"))
       .join(broadcast(qInt), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-              aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y),
-                        lit(0L), (a, x) => a + x).as("iscore"))
+              // native codegen'd integer dot: the interpreted
+              // aggregate(zip_with) pair was the corpus × queries hot loop
+              graft.functions.VectorFunctions
+                .dotProductLong(col("qq"), col("q")).as("iscore"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("iscore").desc, col("neighbor_id").asc)
     val cand = coarse.withColumn("crnk", row_number().over(wc))

@@ -28,7 +28,7 @@ object Sf1PlanAudit {
     "events_mad_outliers", "events_kanon", "q20_excess_suppliers",
     "q18_large_orders", "q11_important_parts", "q4_order_priority",
     "join_salted", "text_tfidf", "text_repetition", "text_bm25",
-    "graph_common_neighbors")
+    "graph_common_neighbors", "ann_rerank")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

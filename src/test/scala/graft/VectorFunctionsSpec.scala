@@ -118,4 +118,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .select(VectorFunctions.pqAssign(col("v"), books, codes, subDim).as("c"))
     assert(nulls.head.isNullAt(0))
   }
+  test("DotProductLong is bit-identical to the integer HOF fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rnd.nextInt(255) - 127).toLong),
+      Array.fill(64)((rnd.nextInt(255) - 127).toLong)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.dotProductLong(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+                lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // null propagation; empty arrays dot to 0
+    val edges = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<BIGINT>) AS n, CAST(array() AS ARRAY<BIGINT>) AS e")
+      .select(VectorFunctions.dotProductLong(col("n"), col("e")).as("np"),
+              VectorFunctions.dotProductLong(col("e"), col("e")).as("z"))
+      .head
+    assert(edges.isNullAt(0) && edges.getLong(1) == 0L)
+  }
 }
