@@ -106,16 +106,19 @@ class DecisionSupportSpec extends AnyFunSuite {
              s"part ${r.getLong(0)}: ${r.getDouble(3)} != min ${mins(r.getLong(0))}")
   }
 
-  test("q11's grand total derives from the per-part aggregate (ReusedExchange, ONE fact scan)") {
+  test("q11's grand total derives from the per-part aggregate (one materialized subtree, zero fact re-scans)") {
     // the logical plan names lineitem twice (the total is an aggregate
     // over the per-part aggregate, whose subtree appears under both the
-    // scalar branch and the output branch) — but the PHYSICAL plan must
-    // reuse the per-part aggregate's exchange, leaving exactly one
-    // FileScan: at 100 TB the difference is a second full pass over the
-    // fact table
+    // scalar branch and the output branch). Through r14 the spec pinned
+    // ReusedExchange as the mechanism — but that coupling silently broke
+    // at sf1 once AQE broadcast the scalar (no matching exchange left to
+    // reuse) and the fact scan+aggregate ran TWICE. r15 cuts the per-part
+    // table's lineage instead, so BOTH consumers read the one
+    // materialized RDD: the executed plan must contain no file scan at
+    // all — the stronger guarantee, independent of AQE's join choices.
     val plan = finalPlan(DecisionSupport.q11ImportantParts(spark, Sf))
-    assert(plan.contains("ReusedExchange"), plan)
-    assert("FileScan".r.findAllIn(plan).length == 1,
-           s"expected ONE fact scan, the total must reuse the aggregate:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("FileScan"),
+           s"expected ZERO fact scans, both consumers must read the cut:\n$plan")
   }
 }
