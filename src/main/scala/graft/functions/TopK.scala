@@ -90,9 +90,11 @@ case class TopKByCount(
   }
 
   override def eval(b: java.util.PriorityQueue[TopKEntry]): Any = {
-    val arr = new Array[TopKEntry](b.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = b.poll(); i -= 1 } // drain worst-first → best-first
+    // Non-destructive: eval can be invoked repeatedly on a live buffer
+    // (e.g. if this aggregate is ever used in a window frame), so sort a
+    // snapshot instead of draining the queue.
+    val arr = b.toArray(new Array[TopKEntry](b.size))
+    java.util.Arrays.sort(arr, worstFirst.reversed()) // best-first
     new GenericArrayData(arr.map(e =>
       InternalRow(e.tag, e.count, e.payload): Any))
   }

@@ -73,7 +73,15 @@ case class DotProduct(left: Expression, right: Expression)
   * dominated [[graft.operators.Similarity.annRerank]]'s corpus × queries
   * hot loop. Integer addition is associative, so unlike the double fold
   * the evaluation order is free and the result is exactly reproducible
-  * under any fusion. */
+  * under any fusion.
+  *
+  * Contract on malformed input (where this intentionally diverges from
+  * the HOF it replaced): a length mismatch truncates to the shorter
+  * array (the HOF's `zip_with` null-pads and its fold then returns
+  * NULL), and a NULL array ELEMENT reads as 0 through the unsafe
+  * accessor (the HOF propagates NULL). Callers needing NULL propagation
+  * must pre-validate; both call sites feed equal-dimension, null-free
+  * quantized vectors, where the two formulations are bit-identical. */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

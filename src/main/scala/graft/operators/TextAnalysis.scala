@@ -1707,9 +1707,12 @@ object TextAnalysis {
     // document length IN-ROW: dl is just the token-array size (WsTokens
     // never returns an empty array, so every doc keeps its row — same
     // membership as the explode+count it replaces, minus one corpus
-    // explode and one doc-keyed shuffle)
+    // explode and one doc-keyed shuffle). NULL text makes dl NULL while
+    // count(lit(1)) would still count the row; drop such docs so
+    // membership matches the oracle's unnest (unnest of NULL = no rows).
     val dl = t(spark, dir, "documents")
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+      .filter(col("dl").isNotNull)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
                        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = t(spark, dir, "documents")
