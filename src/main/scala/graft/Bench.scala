@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Sessions.ramLocalDir("graft_bench_local"))
       .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              graft.Sessions.ObjectAggFallbackGroups)
       // The whole-stage-codegen class cache defaults to 100 entries; the
       // 161-query suite compiles far more fragments than that, so with
       // interleaved passes every query's codegen was evicted by the ~160

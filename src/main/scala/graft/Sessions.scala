@@ -4,6 +4,21 @@ package graft
   * (Bench / Verify / tools). */
 object Sessions {
 
+  /** `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` value for
+    * the harness entry points. The Spark default (128 distinct groups per
+    * task's in-memory map) predates bounded-buffer object aggregates: it
+    * guards collect_list-style UNBOUNDED buffers against memory blowup,
+    * but it forces every TypedImperativeAggregate over more than 128
+    * groups (TopKByCount over 100k customers, HllSketchAgg over many
+    * cells) into sort-based aggregation — a full sort of the input by
+    * group key, exactly the vocabulary-sized work those aggregates exist
+    * to avoid (measured: +35% on window_topk at sf1). This library's
+    * object aggregates all carry BOUNDED buffers (K-entry heaps, fixed
+    * HLL registers), so 1M buffered groups per task is a few hundred MB
+    * ceiling. A deployment using unbounded collectors should size this
+    * per its executor memory instead. */
+  val ObjectAggFallbackGroups = "1000000"
+
   /** A RAM-backed `spark.local.dir` (shuffle files, spill, broadcast
     * scratch) when the host has a writable tmpfs, else the JVM temp dir.
     * Local-disk writeback stalls showed up as random multi-second spikes

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.operators.Tables.NanosConf, "true") // events TIMESTAMP(NANOS)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              graft.Sessions.ObjectAggFallbackGroups)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -69,14 +69,26 @@ case class TopKByCount(
   override def update(
       b: java.util.PriorityQueue[TopKEntry],
       input: InternalRow): java.util.PriorityQueue[TopKEntry] = {
-    val c = count.eval(input)
-    val t = tag.eval(input)
-    if (c != null && t != null) {
-      val p = payload.eval(input)
-      // clone: the UTF8String points into a reused row buffer
-      offer(b, TopKEntry(c.asInstanceOf[Long],
-        t.asInstanceOf[UTF8String].clone(),
-        if (p == null) 0L else p.asInstanceOf[Long]))
+    val c0 = count.eval(input)
+    if (c0 != null) {
+      val c = c0.asInstanceOf[Long]
+      // Hot path: with the heap full, almost every row loses to the
+      // current worst on count alone — reject it with ONE long compare,
+      // no tag eval, no TopKEntry/UTF8String allocation. Rows a null tag
+      // would have skipped lose here too (they cannot enter the heap),
+      // so deferring the tag eval never changes the result.
+      if (b.size >= k && c < b.peek.count) return b
+      val t = tag.eval(input)
+      if (t != null) {
+        val tu = t.asInstanceOf[UTF8String]
+        // count ties resolve on tag ASC (worstFirst: b.tag.compareTo(a))
+        if (b.size >= k && c == b.peek.count && b.peek.tag.compareTo(tu) <= 0)
+          return b
+        val p = payload.eval(input)
+        // clone: the UTF8String points into a reused row buffer
+        offer(b, TopKEntry(c, tu.clone(),
+          if (p == null) 0L else p.asInstanceOf[Long]))
+      }
     }
     b
   }

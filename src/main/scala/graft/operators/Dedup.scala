@@ -418,6 +418,68 @@ object Dedup {
        |FROM comp GROUP BY 1""".stripMargin
 
   /**
+   * Per-SOURCE near-dup provenance [EXT] — the "where does my duplication
+   * come from" report that [[dedupClusterSizes]] (per-size histogram) and
+   * [[graft.operators.Pipeline.corpusAttrition]] (per-source stage rates)
+   * bracket but neither answers: for each source, how many documents sit
+   * in near-dup clusters, how many a keep-one pass would remove (ppm of
+   * the source), how many clusters this source REPRESENTS (owns the
+   * kept doc), the largest cluster it touches, and — the novel column —
+   * how many of its dup docs resolve to a representative in a DIFFERENT
+   * source (cross-source template sharing: boilerplate syndicated across
+   * domains, invisible to any per-source histogram).
+   *
+   * Scale shape: the component table is duplicate-docs-sized; both
+   * source lookups join it against the 2-column (doc_id, source)
+   * projection of the corpus, and the per-source totals are one tiny
+   * aggregate — nothing beyond the LSH+CC pipeline's own cost. Sources
+   * with no dup docs don't appear (inner-join semantics, both engines).
+   */
+  def dedupSourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val comp = dedupComponents(spark, dir)
+    val j = comp
+      .join(src, "doc_id")
+      .join(src.withColumnRenamed("doc_id", "rep_doc_id")
+               .withColumnRenamed("source", "rep_source"), "rep_doc_id")
+    val tot = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    j.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+           count(when(col("doc_id") =!= col("rep_doc_id"), 1)).as("docs_removed"),
+           count(when(col("doc_id") === col("rep_doc_id"), 1)).as("n_clusters_repped"),
+           max(col("component_size")).as("max_cluster_size"),
+           count(when(col("source") =!= col("rep_source"), 1)).as("cross_source_docs"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+              col("docs_removed"),
+              expr("docs_removed * 1000000 div n_docs").as("removed_ppm"),
+              col("n_clusters_repped"), col("max_cluster_size"),
+              col("cross_source_docs"))
+  }
+
+  val dedupSourceProfileSql: String =
+    s"""$componentsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT c.doc_id, c.rep_doc_id, c.component_size,
+       |         s.source, r.source AS rep_source
+       |  FROM comp c
+       |  JOIN src s ON s.doc_id = c.doc_id
+       |  JOIN src r ON r.doc_id = c.rep_doc_id),
+       |prof AS (
+       |  SELECT source, COUNT(*) AS n_dup_docs,
+       |    CAST(COUNT(CASE WHEN doc_id <> rep_doc_id THEN 1 END) AS BIGINT) AS docs_removed,
+       |    CAST(COUNT(CASE WHEN doc_id = rep_doc_id THEN 1 END) AS BIGINT) AS n_clusters_repped,
+       |    MAX(component_size) AS max_cluster_size,
+       |    CAST(COUNT(CASE WHEN source <> rep_source THEN 1 END) AS BIGINT) AS cross_source_docs
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_docs, n_dup_docs, docs_removed,
+       |       docs_removed * 1000000 // n_docs AS removed_ppm,
+       |       n_clusters_repped, max_cluster_size, cross_source_docs
+       |FROM prof JOIN tot USING (source)""".stripMargin
+
+  /**
    * The dedup pipeline APPLIED end-to-end: keep exactly one document per
    * near-dup cluster (the minimum-id representative) and report per-lang
    * corpus statistics — the shape a training-data run actually ships

@@ -900,11 +900,24 @@ object Events {
    * scale factor grows — denser data is genuinely easier to release;
    * both branches are density-pinned by the crafted spec.)
    *
-   * Scale shape: two hash aggregations plus one semi-join of the event
-   * scan against the (small) failing-cell list — shuffled bytes ∝ number
-   * of classes for the aggs; the failing-cell side broadcasts. Distinct-
-   * user counts are Spark's two-phase partial distinct — no row ever
-   * carries more than the QI + user id.
+   * Scale shape: ONE exchange of the raw (event_type, hour, user) triples
+   * — hash-partitioned on (event_type, hour), which satisfies the
+   * ClusteredDistribution of BOTH stacked aggregates (the q20 pattern):
+   * the user-cell pre-aggregate `pre` AND the per-cell fine counts run
+   * partition-local behind it, with no further corpus-sized shuffle.
+   * Moving the exchange BEFORE the aggregate trades nothing: user cells
+   * are near-unique, so a map-side partial distinct would not reduce the
+   * shuffled volume — but it unpins parallelism from the input split
+   * count (the corpus here arrives as ONE parquet row group, which
+   * otherwise runs the whole partial aggregate in one task; measured at
+   * sf1: 1.45 s → 0.65 s). The hour rides as a LONG bucket (hours since
+   * epoch) through every corpus-sized operator — hashing and shuffling
+   * 16-char window strings costs ~10% extra (measured) — and is
+   * formatted to the window label only at cells level. The day-level
+   * recoding rung is SHORT-CIRCUITED from a cells-sized peek at the
+   * checkpointed audit table when no hour cell fails k (the common case
+   * on dense corpora); when recoding does trigger, the failing-cell list
+   * broadcasts into a semi-join over the scan.
    *
    * Determinism: counts and thresholds only — no floats, no ties.
    *
@@ -920,36 +933,51 @@ object Events {
    * day cell, so a day row is NOT a full-day total.
    */
   def eventsKanon(spark: SparkSession, dir: String): DataFrame = {
-    // e is consumed by BOTH the fine aggregate and the coarse day-level
-    // re-aggregation, so the scan+date_format runs twice. Measured (r15
-    // Phases, sf1): a repartition+cut of e costs MORE than it saves
-    // (2.7 s vs 1.7 s — materializing the 4-column corpus outweighs the
-    // second column-pruned scan), unlike the mad_outliers case where the
-    // cut table is 3 narrow numerics. Recorded so the next round doesn't
-    // re-derive it; the double scan is the cheaper honest shape here.
-    val e = events(spark, dir)
+    // (r15 examined a repartition+cut of the STRING-windowed event
+    // projection and measured it worse — materializing the 4-column
+    // corpus outweighed the saved rescan. r16 supersedes that shape
+    // entirely: long hour buckets, one up-front exchange, and a shared
+    // user-cell pre-aggregate that both the fine counts and the day-level
+    // recoding consume. Measured at sf1: 1.77 → ~0.9 s end-to-end.)
+    def e = events(spark, dir)
       .select(col("event_type"),
-              date_format(col("ts"), "yyyy-MM-dd HH:00").as("win"),
-              date_format(col("ts"), "yyyy-MM-dd").as("day"),
+              expr("unix_timestamp(ts) div 3600").as("h"),
               col("user_id"))
-    // fine feeds BOTH the pass rows and the failing-cell list: without a
-    // lineage cut the corpus aggregation subtree executes twice (the same
-    // shared-subplan materialization every iterative Graph query does) —
-    // the cells table is classes-sized, the cut is free
-    val fine = Checkpoints.cut(e.groupBy(col("event_type"), col("win"))
-      .agg(count(lit(1)).as("n_events"),
-           countDistinct(col("user_id")).as("n_users")))
+      .repartition(col("event_type"), col("h"))
+    def winLabel(h: Column): Column =
+      date_format(timestamp_seconds(h * 3600L), "yyyy-MM-dd HH:00")
+    // fine feeds the pass rows, the failing-cell list, AND the recoding
+    // short-circuit peek: without a lineage cut the corpus aggregation
+    // subtree would execute three times — the cells table is
+    // classes-sized, the cut is free. The inner user-cell aggregate is
+    // partition-local behind the one exchange above.
+    val fine = Checkpoints.cut(
+      e.groupBy(col("event_type"), col("h"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_users")))
     val pass = fine.filter(col("n_users") >= KAnon)
-      .select(col("event_type"), col("win"), lit("hour").as("granularity"),
+      .select(col("event_type"), winLabel(col("h")).as("win"),
+              lit("hour").as("granularity"),
               col("n_events"), col("n_users"), lit(true).as("released"))
     val failing = fine.filter(col("n_users") < KAnon)
-      .select(col("event_type"), col("win"))
+      .select(col("event_type"), col("h"))
+    // Short-circuit the day-recoding rung when the audit shows ZERO
+    // failing hour cells — the common case on dense corpora (hour-level
+    // k saturates as density grows), where paying a second corpus pass
+    // for a provably-empty re-aggregation is pure waste. The peek reads
+    // the already-checkpointed cells table, so it costs a cells-sized
+    // local scan, not a corpus job; when cells DO fail, the recoding
+    // re-derives the failing hours' events from the (filtered) scan.
+    if (failing.isEmpty) return pass
     val coarse = e
-      .join(broadcast(failing), Seq("event_type", "win"), "left_semi")
-      .groupBy(col("event_type"), col("day"))
+      .join(broadcast(failing), Seq("event_type", "h"), "left_semi")
+      .groupBy(col("event_type"), expr("h div 24").as("d"))
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"))
-      .select(col("event_type"), col("day").as("win"),
+      .select(col("event_type"),
+              date_format(timestamp_seconds(col("d") * 86400L),
+                          "yyyy-MM-dd").as("win"),
               lit("day").as("granularity"), col("n_events"), col("n_users"),
               (col("n_users") >= KAnon).as("released"))
     pass.unionByName(coarse)

@@ -404,11 +404,16 @@ object Relational {
     * (TopKSpec holds the aggregate to the window formulation). */
   def windowTopkPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders")
+      // pre-project the ranking key and tag so they compile into the
+      // scan's whole-stage codegen; the aggregate's update then reads
+      // plain attributes instead of interpreting round/lpad per row
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("tag"),
+        col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(graft.functions.TopKByCount.topKByCount(
-        round(col("o_totalprice") * 100).cast("long"),
-        lpad(col("o_orderkey").cast("string"), 12, "0"),
-        col("o_orderkey"), 3).as("top"))
+        col("cents"), col("tag"), col("o_orderkey"), 3).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("o_custkey"), col("e.payload").as("o_orderkey"),
               (col("e.count").cast("double") / 100.0).as("o_totalprice"),

@@ -250,9 +250,13 @@ object Sampling {
               md5Long(concat(lit(MixSalt), col("doc_id").cast("string"))).as("h"))
     // target relative weight per domain, derived from the domain id so
     // the demo needs no side-channel config: src0,src4,… → 1 … src3,src7,… → 4
-    val weighted = docs.withColumn("w",
+    // Cut: weighted feeds the domain counts, the bucket histogram, the
+    // boundary rank, and the keep-filter — without it the executed plan
+    // re-scans documents (and re-hashes doc ids) up to 10×. The cut table
+    // is 5 narrow columns, the r15 mad_outliers decision rule.
+    val weighted = Checkpoints.cut(docs.withColumn("w",
       expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"))
-      .withColumn("bkt", expr(s"h div ${1L << 52}")) // top 8 of 60 hash bits
+      .withColumn("bkt", expr(s"h div ${1L << 52}"))) // top 8 of 60 hash bits
     val byDomain = weighted.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("n_docs"))
     val c = byDomain.agg(min(expr("(n_docs * 1000000) div w")).as("c"))
@@ -965,10 +969,12 @@ object Sampling {
    * differential across selection strategies too.
    */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // cut for the same reason as mixDomains: four downstream consumers
+    // would otherwise re-scan + re-hash the corpus per consumer
+    val docs = Checkpoints.cut(t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               md5Long(concat(lit(TempSalt), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bkt", expr(s"h div ${1L << 52}"))
+      .withColumn("bkt", expr(s"h div ${1L << 52}")))
     val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
     val c = byLang.agg(min(expr("(n_docs * 1000000) div w")).as("c"))

@@ -17,6 +17,8 @@ object Timeit {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Sessions.ramLocalDir("graft_timeit_local"))
       .config(graft.operators.Tables.NanosConf, "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              graft.Sessions.ObjectAggFallbackGroups)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

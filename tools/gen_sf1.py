@@ -42,9 +42,21 @@ for dim in ["region", "nation", "customer", "supplier", "part"]:
     print(f"copied {dim}")
 
 
+# Row-group sizing: pyarrow's default (1Mi rows/group) concatenates each
+# 10x table into 1-2 giant row groups, and BOTH engines parallelize
+# parquet scans at row-group granularity — so every sf1 scan was pinned
+# to 1-2 threads, a generator artifact, not a workload property (a real
+# 10x corpus arrives as ~10x more files/splits). Size groups so scans
+# can spread: ~128Ki rows for narrow fact tables, ~4Ki for the wide
+# text/vector tables (documents rows are ~1 KB of text, embeddings carry
+# a float vector), keeping groups in the sane multi-hundred-KB range.
+GROUP_ROWS = {"documents": 4096, "embeddings": 4096}
+
+
 def write(name, tables):
     t = pa.concat_tables(tables)
-    pq.write_table(t, f"{OUT}/{name}.parquet")
+    pq.write_table(t, f"{OUT}/{name}.parquet",
+                   row_group_size=GROUP_ROWS.get(name, 131072))
     print(f"wrote {name}: {t.num_rows} rows")
 
 
