@@ -79,6 +79,37 @@ object Bench {
     // per-pass loads land in the env block, so a judge can see whether
     // spread_gt3x entries line up with a recorded burst.
     val LoadThresh = 3.0
+    // SELF-load correction (r16): at larger SFs a pass runs minutes of our
+    // own 32-thread work, so the 1-min loadavg sampled at the NEXT pass
+    // start is dominated by our own previous pass — the raw guard then
+    // counted self-load as "dirty" (r16 first sf1 run: entry load 1.06,
+    // zero co-tenant change, yet 5/9 passes > 3.0 from our own tail).
+    // The fix measures what the guard actually wants: CO-TENANT load =
+    // loadavg minus the cores THIS process used over the same window,
+    // from the JVM's own CPU clock (process-cpu-seconds / wall-seconds
+    // across the previous ~60 s). Both raw and self numbers land in the
+    // env block so the correction is auditable, not hidden.
+    val cpuBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuSec: Double =
+      cpuBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+    // cores this process averaged since the previous pass boundary — the
+    // trailing window the 1-min loadavg at the next pass start integrates
+    // is the tail of exactly that span, and our work is near-uniform
+    // within a pass, so the pass average is the right self-load proxy
+    var winWall = System.nanoTime() / 1e9
+    var winCpu = procCpuSec
+    def selfCoresRecent(): Double = {
+      val now = System.nanoTime() / 1e9
+      val cpu = procCpuSec
+      val cores =
+        if (cpu < 0 || winCpu < 0 || now - winWall < 1) 0.0
+        else (cpu - winCpu) / (now - winWall)
+      winWall = now; winCpu = cpu
+      cores
+    }
     def awaitQuiet(maxWaitSec: Int): Unit = {
       var waited = 0
       while (osBean.getSystemLoadAverage > LoadThresh && waited < maxWaitSec) {
@@ -86,8 +117,10 @@ object Bench {
       }
     }
     val passLoads = scala.collection.mutable.Buffer.empty[Double]
+    val passSelfCores = scala.collection.mutable.Buffer.empty[Double]
     def runPass(p: Int): Seq[(String, Double)] = {
       passLoads += osBean.getSystemLoadAverage
+      passSelfCores += selfCoresRecent()
       // modular rotation: extra passes (p >= runs) re-use the rotation of
       // the planned slot they replace instead of all degenerating to the
       // pass-0 order (p*size/runs lands past size for p >= runs)
@@ -95,16 +128,24 @@ object Bench {
       val rotated = named.drop(off) ++ named.take(off)
       rotated.map { case (name, fn) => name -> timeOne(name, fn) }
     }
+    // a pass is dirty when the load NOT attributable to this process
+    // exceeds the threshold (min() because the loadavg window trails the
+    // measured one: never let the correction go below the raw reading
+    // minus what we could possibly have contributed)
+    def coTenantLoad(i: Int): Double =
+      math.max(0.0, passLoads(i) - passSelfCores(i))
+    def dirtyCount: Int =
+      passLoads.indices.count(i => coTenantLoad(i) > LoadThresh)
     awaitQuiet(120)
     val planned = (0 until runs).map(runPass)
-    val plannedDirty = passLoads.count(_ > LoadThresh)
+    val plannedDirty = dirtyCount
     val maxExtra = 2
     val extraPasses = math.min(plannedDirty, maxExtra)
     val passResults: Seq[Seq[(String, Double)]] =
       planned ++ (0 until extraPasses).map { i =>
         awaitQuiet(60); runPass(runs + i)
       }
-    val dirty = passLoads.count(_ > LoadThresh)
+    val dirty = dirtyCount
     val byName = passResults.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
     val allRuns: Seq[(String, Seq[Double])] =
       named.map { case (name, _) => name -> byName(name).toSeq }
@@ -190,6 +231,7 @@ object Bench {
     val envJson =
       s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""pass_loads":${passLoads.map(fmt(_, 2)).mkString("[", ",", "]")},""" +
+        s""""pass_self_cores":${passSelfCores.map(fmt(_, 2)).mkString("[", ",", "]")},""" +
         s""""dirty_passes":$dirty,"extra_passes":$extraPasses,""" +
         s""""n_procs":$nProcs,"runs_per_query":${passResults.size}$oracleProv}"""
     val fullLine =

@@ -1031,11 +1031,28 @@ object Dedup {
       .sortWithinPartitions(col("ra"), col("rb"))
     val schema = sorted.schema
       .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    // persist BEFORE zipWithIndex: its partition-count side job otherwise
+    // executes the whole distinct+range-sort subtree once at construction
+    // and the final plan executes it AGAIN (measured at sf1: 6.1 s of the
+    // suffix-array query's cost was this double execution). The cache is
+    // class-table-sized; Bench/Verify's releaseAll drops it per query.
+    val srdd = sorted.rdd
+    srdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) =>
+      srdd.zipWithIndex.map { case (row, i) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
       }, schema)
-    df.join(ranked, Seq("ra", "rb"))
+    // The rank table comes back as a LogicalRDD — no stats, so the
+    // planner assumes huge and shuffle-joins the corpus-positions-sized
+    // probe side on two string keys (measured at sf1: ~5 s of the
+    // suffix-array query). But the class COUNT is already materialized
+    // (zipWithIndex's side job ran over the now-cached RDD), so make the
+    // size-aware call the optimizer can't: classes are vocab²-bounded —
+    // ≤1M classes broadcast (~tens of MB); bigger class tables (early
+    // doubling rounds of a truly huge corpus) keep the shuffle join.
+    val rankedSide =
+      if (srdd.count() <= 1000000L) broadcast(ranked) else ranked
+    df.join(rankedSide, Seq("ra", "rb"))
   }
 
   /** One prefix-doubling round: pair each position's rank with the rank

@@ -138,6 +138,11 @@ object RescanAudit {
       "dedup_substr" -> (3, "bigram tiles self-joined (two roles) plus the " +
         "winner join-back"),
       "pack_sequences" -> (2, "token counts + bin assignment join back to rows"),
+      "dedup_source_profile" -> (3, "the duplicate-docs-sized component table " +
+        "looks up the source of BOTH its member and its representative (two " +
+        "roles) against the 2-column (doc_id, source) projection; both " +
+        "lookups are column-pruned scans, the text column is read once by " +
+        "the LSH pass"),
       "media_phash" -> (4, "phash bands self-joined (two roles) plus the " +
         "pair join-back to both members' metadata"),
       "corpus_attrition" -> (2, "per-stage attrition reads the rule booleans " +
