@@ -895,13 +895,24 @@ object Sampling {
    * single aggregate. No join ever carries text.
    */
   def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
-    val feats = t(spark, dir, "documents")
+    // cut: feats feeds BOTH the bucket-distribution aggregate and the
+    // per-doc scoring aggregate — without it the scan + tokenize +
+    // explode + md5 pass executes twice. Measured in-suite-NEUTRAL at
+    // sf1 (2.48 → 2.53 s: the two 5M-row aggregations dominate and the
+    // saved re-scan is cache-warm locally) but kept for the plan shape —
+    // at 100 TB the second text-column scan + re-hash is real I/O the
+    // single materialized 3-narrow-column table avoids. (r16; an in-row
+    // ItemCounts rewrite was examined and declined: bigrams are
+    // near-unique WITHIN a doc, so per-doc counting reduces almost
+    // nothing, unlike burstiness' unigrams.)
+    val feats = Checkpoints.cut(t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), 2)).as("bg"))
-      .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b"))
+      .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b")),
+      eager = false) // the bucket aggregate's action materializes it
     val bucketCounts = feats.groupBy(col("b")).agg(
       count(lit(1)).as("c_raw"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_tgt"))

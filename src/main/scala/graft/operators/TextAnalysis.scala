@@ -2400,8 +2400,17 @@ object TextAnalysis {
    */
   def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val perDoc = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    // per-(doc, token) multiplicities IN-ROW (native ItemCounts) — the
+    // r15 text_ngram_vocab pattern applied to the last straggler: the
+    // explode + groupBy(tok, doc_id) this replaces shuffled the whole
+    // token stream on near-unique composite keys; now each document's
+    // term table never leaves its row and the per-token aggregate
+    // map-side-combines to vocabulary size (r16; ItemCounts ≡ the
+    // explode+groupBy multiset, spec-held in TopKSpec)
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .itemCounts(toks(col("text")))).as("e"))
+      .select(col("e.item").as("tok"), col("doc_id"), col("e.n").as("c"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     perDoc.groupBy(col("tok"))
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
