@@ -95,20 +95,39 @@ object Bench {
     }
     def procCpuSec: Double =
       cpuBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
-    // cores this process averaged since the previous pass boundary — the
-    // trailing window the 1-min loadavg at the next pass start integrates
-    // is the tail of exactly that span, and our work is near-uniform
-    // within a pass, so the pass average is the right self-load proxy
-    var winWall = System.nanoTime() / 1e9
-    var winCpu = procCpuSec
+    // cores this process averaged over the TRAILING ~60 s — the same
+    // window the 1-min loadavg integrates. A whole-pass average would
+    // over-estimate self-load when a pass's intensity ramps down near
+    // its end (hiding genuine co-tenant contamination), so a background
+    // sampler records (wall, cpu) every 5 s and the correction reads the
+    // sample closest to 60 s back.
+    val cpuSamples = new java.util.concurrent.ConcurrentLinkedDeque[(Double, Double)]()
+    cpuSamples.addLast((System.nanoTime() / 1e9, procCpuSec))
+    locally {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(5000)
+          cpuSamples.addLast((System.nanoTime() / 1e9, procCpuSec))
+          while (cpuSamples.size > 30) cpuSamples.pollFirst() // keep ~150 s
+        }
+      }, "bench-selfcpu-sampler")
+      t.setDaemon(true); t.start()
+    }
     def selfCoresRecent(): Double = {
       val now = System.nanoTime() / 1e9
       val cpu = procCpuSec
-      val cores =
-        if (cpu < 0 || winCpu < 0 || now - winWall < 1) 0.0
-        else (cpu - winCpu) / (now - winWall)
-      winWall = now; winCpu = cpu
-      cores
+      if (cpu < 0) return 0.0
+      import scala.jdk.CollectionConverters._
+      // oldest sample within the trailing 60 s (fall back to the newest
+      // older-than-60s sample so the span always covers ~60 s when one
+      // exists)
+      val snaps = cpuSamples.asScala.toSeq
+      val base = snaps.filter(now - _._1 >= 60.0).lastOption
+        .orElse(snaps.headOption)
+      base match {
+        case Some((w0, c0)) if c0 >= 0 && now - w0 >= 1 => (cpu - c0) / (now - w0)
+        case _ => 0.0
+      }
     }
     def awaitQuiet(maxWaitSec: Int): Unit = {
       var waited = 0
@@ -129,9 +148,9 @@ object Bench {
       rotated.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     // a pass is dirty when the load NOT attributable to this process
-    // exceeds the threshold (min() because the loadavg window trails the
-    // measured one: never let the correction go below the raw reading
-    // minus what we could possibly have contributed)
+    // exceeds the threshold (max(0, …) because the loadavg window trails
+    // the measured one: the correction never drives the reading negative,
+    // it only subtracts what we measurably contributed)
     def coTenantLoad(i: Int): Double =
       math.max(0.0, passLoads(i) - passSelfCores(i))
     def dirtyCount: Int =

@@ -765,7 +765,7 @@ object Dedup {
    * compare 8-byte longs instead of ~25-char strings, and no shingle
    * text ever leaves the scan stage.
    */
-  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
     // materialize the hashed shingle rows ONCE: the hot-list aggregate
     // and the anti-join would otherwise EACH re-run the scan + tokenize
     // + explode + md5 pass (the heaviest map work in the query)
@@ -783,7 +783,7 @@ object Dedup {
     * hashed shingle table (doc_id, h) — the caller owns the lineage cut
     * (see [[evalMinhash]], which shares one shingle pass across both the
     * LSH and Jaccard pipelines). */
-  private def shinglePairCountsFromHashed(shAll: DataFrame): DataFrame = {
+  private[graft] def shinglePairCountsFromHashed(shAll: DataFrame): DataFrame = {
     val hot = shAll.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
@@ -1045,13 +1045,34 @@ object Dedup {
     // The rank table comes back as a LogicalRDD — no stats, so the
     // planner assumes huge and shuffle-joins the corpus-positions-sized
     // probe side on two string keys (measured at sf1: ~5 s of the
-    // suffix-array query). But the class COUNT is already materialized
+    // suffix-array query). But the class table is already materialized
     // (zipWithIndex's side job ran over the now-cached RDD), so make the
-    // size-aware call the optimizer can't: classes are vocab²-bounded —
-    // ≤1M classes broadcast (~tens of MB); bigger class tables (early
-    // doubling rounds of a truly huge corpus) keep the shuffle join.
+    // size-aware call the optimizer can't. The gate is on estimated
+    // BYTES, not a bare row count (ra/rb can be arbitrary token strings
+    // — 1M rows of long keys would fit where 1M rows of 1 KiB keys would
+    // not): one job over the cached RDD sums count + per-row key bytes
+    // (2 B/char + field/row overheads, the hashed-relation shape), and
+    // the hint fires only under both 1M rows and 64 MiB. Bigger class
+    // tables (early doubling rounds of a truly huge corpus) keep the
+    // shuffle join.
+    val (nClasses, estBytes) = srdd.mapPartitions { it =>
+      var n = 0L; var b = 0L
+      it.foreach { row =>
+        n += 1; b += 32L // row object + long rank + hashed-relation slot
+        var i = 0
+        while (i < row.length) {
+          row.get(i) match {
+            case s: String => b += 24L + 2L * s.length
+            case _ => b += 8L
+          }
+          i += 1
+        }
+      }
+      Iterator((n, b))
+    }.fold((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2))
     val rankedSide =
-      if (srdd.count() <= 1000000L) broadcast(ranked) else ranked
+      if (nClasses <= 1000000L && estBytes <= (64L << 20)) broadcast(ranked)
+      else ranked
     df.join(rankedSide, Seq("ra", "rb"))
   }
 

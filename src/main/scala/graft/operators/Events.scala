@@ -921,6 +921,13 @@ object Events {
    *
    * Determinism: counts and thresholds only — no floats, no ties.
    *
+   * SESSION REQUIREMENT: hour/day bucketing is UTC epoch math
+   * (`unix_timestamp div 3600`) while the window labels format in the
+   * session timezone — the operator asserts a UTC session so grouping
+   * and labels agree (every graft session pins UTC). Pre-1970
+   * timestamps are additionally out of contract: integer `div`
+   * truncates toward zero, not floor.
+   *
    * RELEASE-BOUNDARY CONTRACT: this output is the release AUDIT table,
    * not the publishable release itself. Rows with released=false carry
    * their exact sub-k n_events/n_users so the suppression volume is
@@ -933,6 +940,9 @@ object Events {
    * day cell, so a day row is NOT a full-day total.
    */
   def eventsKanon(spark: SparkSession, dir: String): DataFrame = {
+    require(spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      "eventsKanon buckets hours as UTC epoch math but formats labels in " +
+      "the session timezone — run with spark.sql.session.timeZone=UTC")
     // (r15 examined a repartition+cut of the STRING-windowed event
     // projection and measured it worse — materializing the 4-column
     // corpus outweighed the saved rescan. r16 supersedes that shape
@@ -955,7 +965,11 @@ object Events {
       e.groupBy(col("event_type"), col("h"), col("user_id"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("event_type"), col("h"))
-        .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_users")))
+        // count(user_id) skips the NULL-user group the inner groupBy
+        // keeps, matching the day rung's countDistinct (NULL-excluding)
+        // and the oracle's COUNT(DISTINCT user_id); its events still
+        // land in n_events
+        .agg(sum(col("c")).as("n_events"), count(col("user_id")).as("n_users")))
     val pass = fine.filter(col("n_users") >= KAnon)
       .select(col("event_type"), winLabel(col("h")).as("win"),
               lit("hour").as("granularity"),

@@ -889,40 +889,45 @@ object Sampling {
    * near zero — the discrimination behavior is spec'd on a crafted
    * skewed corpus; the gate pins the machinery.)
    *
-   * Scale shape: one explode → (doc, bucket) count aggregate (doc-keyed,
-   * map-side combinable), one 512-row λ table broadcast back, one
-   * doc-keyed sum. The λ fit itself reduces the corpus to 512 rows in a
-   * single aggregate. No join ever carries text.
+   * Scale shape: ONE corpus pass — the explode feeds a single
+   * (doc, lang, bucket) count aggregate, and everything downstream
+   * derives from that table: the 512-row bucket distribution is
+   * `SUM(c) GROUP BY b` over it (exactly the raw counts — per-doc counts
+   * partition the bucket total), the λ table broadcasts back onto it,
+   * and the doc-keyed score sum consumes it. (r17, VERDICT r16 item 4:
+   * the previous shape ran TWO corpus-sized aggregations over a
+   * materialized feats table — the bucket distribution now reads the
+   * per-(doc,b) table instead, so the raw exploded rows are aggregated
+   * once and never materialized.)
+   * No join ever carries text.
    */
   def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
-    // cut: feats feeds BOTH the bucket-distribution aggregate and the
-    // per-doc scoring aggregate — without it the scan + tokenize +
-    // explode + md5 pass executes twice. Measured in-suite-NEUTRAL at
-    // sf1 (2.48 → 2.53 s: the two 5M-row aggregations dominate and the
-    // saved re-scan is cache-warm locally) but kept for the plan shape —
-    // at 100 TB the second text-column scan + re-hash is real I/O the
-    // single materialized 3-narrow-column table avoids. (r16; an in-row
-    // ItemCounts rewrite was examined and declined: bigrams are
-    // near-unique WITHIN a doc, so per-doc counting reduces almost
-    // nothing, unlike burstiness' unigrams.)
-    val feats = Checkpoints.cut(t(spark, dir, "documents")
+    // cut: db feeds BOTH the bucket-distribution rollup and the scoring
+    // join — without it the scan + tokenize + explode + md5 + aggregate
+    // pass executes twice. Lazy: the bucket rollup's action materializes
+    // it. (r16 examined an in-row ItemCounts rewrite and declined it:
+    // bigrams are near-unique WITHIN a doc, so per-doc counting reduces
+    // almost nothing — but that same fact is why the aggregate, not the
+    // raw explode, is the right table to materialize: equal row count,
+    // narrower rows, and both consumers need exactly it.)
+    val db = Checkpoints.cut(t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextFunctions.ngramsJoined(col("ts"), 2)).as("bg"))
-      .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b")),
-      eager = false) // the bucket aggregate's action materializes it
-    val bucketCounts = feats.groupBy(col("b")).agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("doc_id"), col("lang"), (md5Long(col("bg")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c")),
+      eager = false)
+    val bucketCounts = db.groupBy(col("b")).agg(
+      sum(col("c")).as("c_raw"),
+      sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L)).as("c_tgt"))
     val totals = bucketCounts.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
     val lam = bucketCounts.crossJoin(broadcast(totals)).select(col("b"), expr(
       s"""CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + $DsirBuckets AS DOUBLE))
          |           - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + $DsirBuckets AS DOUBLE)))
          |          * $DsirScale) AS LONG)""".stripMargin).as("lam_fp"))
-    feats.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(lam), "b")
+    db.join(broadcast(lam), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lam_fp")).as("logw_fp"))
       .select(col("doc_id"), col("lang"), col("n_feats"), col("logw_fp"),

@@ -152,6 +152,32 @@ object RescanAudit {
     )
   }
 
+  private val table = "(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\\.parquet".r
+
+  /** Tables scanned more than once in the ALREADY-EXECUTED (post-AQE)
+    * plan of `df` — call after an action, or the adaptive plan is still
+    * the initial one and reuse/detachment hasn't been decided. */
+  def multiScans(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.split("\n").filter(_.contains("Scan parquet"))
+      .flatMap(l => table.findFirstMatchIn(l).map(_.group(1)))
+    scans.groupBy(identity).filter(_._2.length > 1)
+      .map { case (t, v) => t -> v.length }
+  }
+
+  /** The gate: Some(violation message) when `dup` has a table not
+    * covered by — or beyond the pinned max of — the allowlist entry. */
+  def violation(name: String, dup: Map[String, Int]): Option[String] =
+    if (dup.isEmpty) None
+    else allowed.get(name) match {
+      case None => Some(s"$name -> ${dup.map { case (t, n) => s"$t x$n" }.mkString(", ")} (NOT ALLOWLISTED)")
+      case Some((max, _)) =>
+        val over = dup.filter(_._2 > max)
+        if (over.nonEmpty)
+          Some(s"$name -> ${over.map { case (t, n) => s"$t x$n" }.mkString(", ")} (exceeds pinned max $max)")
+        else None
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -161,33 +187,21 @@ object RescanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val table = "(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\\.parquet".r
     val multi = scala.collection.mutable.SortedMap[String, Map[String, Int]]()
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val df = fn(spark, dir)
         df.count()
-        val p = df.queryExecution.executedPlan.toString
-        val scans = p.split("\n").filter(_.contains("Scan parquet"))
-          .flatMap(l => table.findFirstMatchIn(l).map(_.group(1)))
-        val dup = scans.groupBy(identity).filter(_._2.length > 1)
-          .map { case (t, v) => t -> v.length }
+        val dup = multiScans(df)
         if (dup.nonEmpty) multi(name) = dup
       } catch { case e: Throwable => errs += s"$name: ${e.getMessage}" }
       graft.operators.Checkpoints.releaseAll(spark)
     }
     spark.stop()
-    val unexplained = multi.toSeq.flatMap { case (name, dup) =>
-      allowed.get(name) match {
-        case None => Some(s"$name -> ${dup.map { case (t, n) => s"$t x$n" }.mkString(", ")} (NOT ALLOWLISTED)")
-        case Some((max, _)) =>
-          val over = dup.filter(_._2 > max)
-          if (over.nonEmpty)
-            Some(s"$name -> ${over.map { case (t, n) => s"$t x$n" }.mkString(", ")} (exceeds pinned max $max)")
-          else None
-      }
-    } ++ errs.map(e => s"ERR $e")
+    val unexplained =
+      multi.toSeq.flatMap { case (name, dup) => violation(name, dup) } ++
+      errs.map(e => s"ERR $e")
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val entries = multi.map { case (name, dup) =>
       val reason = allowed.get(name).map(_._2).getOrElse("UNEXPLAINED")

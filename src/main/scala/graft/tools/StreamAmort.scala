@@ -15,12 +15,48 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  * The protocol floor amortizes iff per-trigger time grows far slower
  * than 10× — equivalently, ns-per-row drops several-fold.
  *
+ * r17 (VERDICT r16 item 2): the sweep extends to a synthesized sf10
+ * events corpus — sf1 replicated 10× with event_id/user_id offset per
+ * replica (event times unchanged, so the window structure and watermark
+ * cadence hold; per-replica user spaces keep the dedup key count and
+ * the attribution self-join LINEAR in the replication). Rows per
+ * trigger reach 100× sf0.1's, far past any plausible production
+ * micro-batch at this corpus shape — where the per-trigger cost curve
+ * flattens is the protocol floor's final verdict.
+ *
  * Usage: sbt "runMain graft.tools.StreamAmort [gate ...]"
  * (defaults to the two stateful gates; sf dirs fixed to the testdata
- * sf0.1 and the local sf1 derivation). Writes
+ * sf0.1, the local sf1 derivation, and the synthesized sf10). Writes
  * docs/STREAM_AMORTIZATION.json.
  */
 object StreamAmort {
+
+  /** Synthesize (once, cached under target/) an events-only corpus with
+    * 10× sf1's rows: each replica offsets event_id and user_id past the
+    * previous one so stream_dedup's key space and stream_attribution's
+    * per-user join both scale linearly; ts is unchanged so the event-time
+    * window structure (and hence watermark/state cadence) is that of the
+    * real corpus, just 10× denser — exactly what a larger trigger means. */
+  private def sf10EventsDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File("target/sf10_events")
+    val out = new java.io.File(root, "events.parquet")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val ev = spark.read.parquet("/root/repo/sf1_local/events.parquet")
+      val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      val eOff = mx.getLong(0) + 1
+      val uOff = mx.getLong(1) + 1
+      ev.crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select((col("event_id") + col("rep") * eOff).as("event_id"),
+                col("ts"),
+                (col("user_id") + col("rep") * uOff).as("user_id"),
+                col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(out.toString)
+      println(s"SAMORT synthesized $out (10x sf1 events)")
+    }
+    root.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -35,7 +71,8 @@ object StreamAmort {
     val gates = if (args.nonEmpty) args.toSeq
                 else Seq("stream_hourly_counts", "stream_sessionize")
     val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
-                   "sf1" -> "/root/repo/sf1_local")
+                   "sf1" -> "/root/repo/sf1_local",
+                   "sf10" -> sf10EventsDir(spark))
 
     @volatile var sink: java.util.List[(Long, Long)] = null
     spark.streams.addListener(new StreamingQueryListener {

@@ -34,6 +34,13 @@ class EntryContractSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      // standing rescan gate (VERDICT r16 item 3): the post-AQE plan may
+      // not scan a table more often than the RescanAudit allowlist pins —
+      // a new AQE-detached multi-consumer subtree fails HERE, in CI,
+      // instead of surfacing as an sf1 perf mystery rounds later
+      val v = graft.tools.RescanAudit.violation(
+        name, graft.tools.RescanAudit.multiScans(df))
+      assert(v.isEmpty, s"RESCAN: ${v.getOrElse("")}")
     }
   }
 }

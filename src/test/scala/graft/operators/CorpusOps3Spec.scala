@@ -1150,30 +1150,35 @@ class CorpusOps3Spec extends AnyFunSuite with BeforeAndAfterAll {
     val sub = s"$dir/kanon"
     val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
     def ns(offSec: Long) = (base + offSec) * 1000000000L
-    val evs =
-      // type x, hour 00: five distinct users -> released at hour level
-      (0 until 5).map(u => (u.toLong, ns(u * 60L), u.toLong, "x", 1.0, "{}")) ++
+    def U(u: Long): java.lang.Long = java.lang.Long.valueOf(u)
+    val evs: Seq[(Long, Long, java.lang.Long, String, Double, String)] =
+      // type x, hour 00: five distinct users -> released at hour level;
+      // plus one NULL-user event — counted in n_events, NOT in n_users
+      // (matching countDistinct / the oracle's COUNT(DISTINCT user_id))
+      (0 until 5).map(u =>
+        (u.toLong, ns(u * 60L), U(u.toLong), "x", 1.0, "{}")) ++
+      Seq((99L, ns(300L), null.asInstanceOf[java.lang.Long], "x", 1.0, "{}")) ++
       // type x, hours 01 and 02: 2+2 users, all on 2024-01-01 -> both fail,
       // day merge has only 4 distinct users -> SUPPRESSED day row
-      Seq((10L, ns(3600), 10L, "x", 1.0, "{}"),
-          (11L, ns(3660), 11L, "x", 1.0, "{}"),
-          (12L, ns(7200), 12L, "x", 1.0, "{}"),
-          (13L, ns(7260), 13L, "x", 1.0, "{}")) ++
+      Seq((10L, ns(3600), U(10L), "x", 1.0, "{}"),
+          (11L, ns(3660), U(11L), "x", 1.0, "{}"),
+          (12L, ns(7200), U(12L), "x", 1.0, "{}"),
+          (13L, ns(7260), U(13L), "x", 1.0, "{}")) ++
       // type y, 2024-01-02 hours 05 and 06: 3+3 users sharing user 22 ->
       // both hours fail, day merge reaches exactly k=5 -> RELEASED day row
-      Seq((20L, ns(86400 + 5 * 3600), 20L, "y", 1.0, "{}"),
-          (21L, ns(86400 + 5 * 3600 + 60), 21L, "y", 1.0, "{}"),
-          (22L, ns(86400 + 5 * 3600 + 120), 22L, "y", 1.0, "{}"),
-          (23L, ns(86400 + 6 * 3600), 22L, "y", 1.0, "{}"),
-          (24L, ns(86400 + 6 * 3600 + 60), 23L, "y", 1.0, "{}"),
-          (25L, ns(86400 + 6 * 3600 + 120), 24L, "y", 1.0, "{}"))
+      Seq((20L, ns(86400 + 5 * 3600), U(20L), "y", 1.0, "{}"),
+          (21L, ns(86400 + 5 * 3600 + 60), U(21L), "y", 1.0, "{}"),
+          (22L, ns(86400 + 5 * 3600 + 120), U(22L), "y", 1.0, "{}"),
+          (23L, ns(86400 + 6 * 3600), U(22L), "y", 1.0, "{}"),
+          (24L, ns(86400 + 6 * 3600 + 60), U(23L), "y", 1.0, "{}"),
+          (25L, ns(86400 + 6 * 3600 + 120), U(24L), "y", 1.0, "{}"))
     evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$sub/events.parquet")
     val got = Events.eventsKanon(spark, sub).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
                 (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
     assert(got == Map(
-      ("x", "2024-01-01 00:00", "hour") -> ((5L, 5L, true)),
+      ("x", "2024-01-01 00:00", "hour") -> ((6L, 5L, true)),
       ("x", "2024-01-01", "day")        -> ((4L, 4L, false)),
       ("y", "2024-01-02", "day")        -> ((6L, 5L, true))))
   }

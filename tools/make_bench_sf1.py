@@ -42,13 +42,17 @@ try:
     cells = json.load(open("docs/STREAM_AMORTIZATION.json"))["cells"]
     per = {}
     for c in cells:
-        per.setdefault(c["gate"], {})[c["sf"]] = c["ns_per_row"]
+        per.setdefault(c["gate"], {})[c["sf"]] = (c["ns_per_row"], c["rows"])
     for gate, d in per.items():
-        if "sf0.1" in d and "sf1" in d and gate in qs and qo.get(gate, 0) > 0:
-            drop = d["sf0.1"] / d["sf1"]
+        if "sf0.1" in d and len(d) > 1 and gate in qs and qo.get(gate, 0) > 0:
+            # amortize against the LARGEST measured trigger size (sf10 =
+            # 100x sf0.1 rows/trigger when present, else sf1 = 10x)
+            big = max(d, key=lambda k: d[k][1])
+            drop = d["sf0.1"][0] / d[big][0]
+            scale = d[big][1] // d["sf0.1"][1]
             amort[gate] = {
                 "raw_ratio": round(qs[gate] / qo[gate], 2),
-                "per_row_cost_drop_at_10x_rows_per_trigger": round(drop, 2),
+                f"per_row_cost_drop_at_{scale}x_rows_per_trigger": round(drop, 2),
                 "amortized_ratio": round(qs[gate] / qo[gate] / drop, 2),
                 "source": "docs/STREAM_AMORTIZATION.json",
             }
