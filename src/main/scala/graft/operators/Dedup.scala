@@ -732,17 +732,17 @@ object Dedup {
     * scored. Jaccard = |A∩B| / (|A| + |B| − |A∩B|) from exact integer
     * counts.
     *
-    * Shape notes (both measured at sf0.1, 5k docs): (a) replacing the
-    * pair self-join with posting-list groupBy + higher-order pair
-    * explosion ran 8× SLOWER — deep posting lists make interpreted
-    * per-element lambdas the bottleneck, while join row-churn is what
-    * Tungsten codegen is built for; (b) carrying size(shingles) through
-    * the explode to skip the two count joins ran 12× slower —
+    * Shape notes: (a) r13 measured posting-list groupBy + HIGHER-ORDER
+    * pair explosion 8× slower than the hash self-join — interpreted
+    * per-element lambdas with a struct allocation per application; r17
+    * re-measured with the native codegen [[graft.functions
+    * .CombinationPairs]] (built for market basket in r14) and the
+    * posting-list form now WINS decisively (ShingleProbe at sf1: full
+    * pair dataflow 6.6 s vs 15.8 s mins; adopted — see
+    * [[shinglePairCountsFromHashed]]); (b) carrying size(shingles)
+    * through the explode to skip the two count joins ran 12× slower —
     * CollapseProject inlines the shingling expression into a
-    * per-exploded-row evaluation. The three-scan join form wins: the
-    * count joins are doc-count-sized (broadcastable at any corpus size
-    * where doc ids fit a dimension table) and the heavy base is shingle
-    * rows, computed once per join side. */
+    * per-exploded-row evaluation, so the doc-sized count joins stay. */
   /** Document-frequency cap on shingles: a shingle present in more than
     * this many documents (per lang) is boilerplate — a license header, a
     * scraped template — and joining through its posting list produces
@@ -766,40 +766,62 @@ object Dedup {
    * text ever leaves the scan stage.
    */
   private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
-    // materialize the hashed shingle rows ONCE: the hot-list aggregate
-    // and the anti-join would otherwise EACH re-run the scan + tokenize
-    // + explode + md5 pass (the heaviest map work in the query)
-    shinglePairCountsFromHashed(Checkpoints.cut(
+    // no lineage cut here: the posting-list aggregate is the SOLE
+    // consumer of the hashed shingle rows, so tokenize + explode + md5
+    // fuse into its map side (the old two-consumer hot-list/anti-join
+    // shape needed the cut; see shinglePairCountsFromHashed)
+    shinglePairCountsFromHashed(
       t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
         .select(col("doc_id"), explode(shingles3(col("ts"))).as("shingle"),
                 col("lang"))
         .select(col("doc_id"),
-                md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")),
-      eager = false)) // materialized by the hot-list aggregate, the first
-                      // action over it — an eager cut would add a whole job
+                md5Long(concat_ws("\u0001", col("lang"), col("shingle"))).as("h")))
 
-  /** The Jaccard/containment pair machinery over an ALREADY-MATERIALIZED
-    * hashed shingle table (doc_id, h) — the caller owns the lineage cut
-    * (see [[evalMinhash]], which shares one shingle pass across both the
-    * LSH and Jaccard pipelines). */
+  /** The Jaccard/containment pair machinery over a hashed shingle table
+    * (doc_id, h) — also fed by [[evalMinhash]], which shares one
+    * already-cut shingle pass across the LSH and Jaccard pipelines. */
   private[graft] def shinglePairCountsFromHashed(shAll: DataFrame): DataFrame = {
-    val hot = shAll.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
-      .select(col("h"))
-    // ... and the filtered rows once more: three consumers (set sizes +
-    // both join sides) would otherwise each re-run the anti-join
-    // (measured 15% slower at sf0.1). A cluster pipeline persists this
-    // table to storage for the same reason — it is also the reusable
-    // artifact incremental dedup reads back.
-    val sh = Checkpoints.cut(shAll.join(hot, Seq("h"), "left_anti"),
-      eager = false) // materialized by the first consumer's action
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE corpus-sized exchange builds everything: per-shingle df AND the
+    // df-capped posting list in the same aggregate, with the per-doc set
+    // sizes (na/nb) derived from the surviving lists instead of a second
+    // pass over the shingle rows. History: r13 shipped a hash self-join
+    // on h plus a hot-list anti-join (two exchanges of the shingle rows
+    // + two lineage cuts) after posting lists measured 8× slower with
+    // interpreted HOF lambdas; r17 re-measured with the native codegen
+    // CombinationPairs (built for market basket in r14) and the posting
+    // form won (interleaved AbConf at sf1: 5.98 vs 8.18 s containment,
+    // 7.61 vs 8.27 s jaccard), and this single-aggregate form then
+    // subsumed the hot-list anti-join and the second shingle-row pass.
+    // Bounded state: CollectLongsCapped stops retaining at cap+1
+    // entries, so a billion-df boilerplate shingle costs cap+1 longs of
+    // buffer, not a billion — surviving (df ≤ cap) lists are provably
+    // complete, and truncated ones are discarded by the size filter
+    // (exact: retained size = min(df, cap+1)) before anything observes
+    // them. Pair multiplicity matches the old
+    // join form exactly: a doc repeating a shingle m (resp. n) times
+    // yields m·n (a,b) pairs from the sorted list, as the join's
+    // cnt_a·cnt_b (full-outer equivalence check at sf1: 0 differing
+    // rows); within-doc self-pairs (a,a) are the one divergence and are
+    // filtered. 100 TB shape: nothing quadratic past the df cap
+    // (≤ C(cap,2) pairs per shingle), shingle rows cross the wire ONCE,
+    // executor state bounded.
+    val byH = Checkpoints.cut(
+      shAll.groupBy(col("h"))
+        .agg(graft.functions.CollectLongsCapped
+               .collectLongsCapped(col("doc_id"), MaxShingleDf + 1).as("ds0"))
+        .filter(size(col("ds0")) <= MaxShingleDf) // exact df filter: the
+        // collector stops retaining at cap+1, so size = min(df, cap+1)
+        .select(sort_array(col("ds0")).as("ds")),
+      eager = false) // two consumers (set sizes + pair explode);
+                     // materialized by the first action over it
+    val counts = byH.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = byH.filter(size(col("ds")) >= 2)
+      .select(explode(
+        graft.functions.CombinationPairs.combinationPairs(col("ds"))).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")

@@ -141,18 +141,24 @@ object Sampling {
       .select(col("doc_id"), md5Long(col("gram")).as("h"))
       .distinct()
       .withColumn("split", splitCol(col("doc_id")))
-    // ONE aggregate per gram hash carries df AND the per-split doc lists,
-    // so the df-cap, the train/test partitioning, and the pair generation
-    // all come out of a single shuffle of the gram table (a df-then-join
+    // ONE aggregate per gram hash carries the per-split doc lists, so the
+    // df-cap, the train/test partitioning, and the pair generation all
+    // come out of a single shuffle of the gram table (a df-then-join
     // formulation re-shuffled the corpus twice more and measured 35%
-    // slower). The collected lists are bounded by the cap — ≤ 64 docs per
-    // gram, ≤ 4096 pairs — so executor state stays bounded at any corpus
-    // size, which is the same reason the cap exists at all.
+    // slower). The collectors stop RETAINING at cap+1 entries
+    // (CollectLongsCapped — r17; plain collect_list built the FULL
+    // posting list for a hot gram before the filter discarded it, the
+    // boilerplate-gram unbounded-buffer edge). The size-sum filter is
+    // exact: each retained size is min(df_split, cap+1), so the sum
+    // exceeds the cap iff true df does — surviving lists are provably
+    // complete, executor state is ≤ 2·(cap+1) longs per group.
+    val cl = (c: Column) => graft.functions.CollectLongsCapped
+      .collectLongsCapped(c, DecontamDfCap + 1)
     val byGram = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"),
-           collect_list(when(col("split") === "train", col("doc_id"))).as("tr"),
-           collect_list(when(col("split") === "test", col("doc_id"))).as("te"))
-      .filter(col("df") <= DecontamDfCap && size(col("tr")) > 0 && size(col("te")) > 0)
+      .agg(cl(when(col("split") === "train", col("doc_id"))).as("tr"),
+           cl(when(col("split") === "test", col("doc_id"))).as("te"))
+      .filter(size(col("tr")) + size(col("te")) <= DecontamDfCap &&
+              size(col("tr")) > 0 && size(col("te")) > 0)
     byGram
       .select(explode(col("tr")).as("train_doc"), col("te"))
       .select(col("train_doc"), explode(col("te")).as("test_doc"))
