@@ -301,27 +301,38 @@ object Events {
    * user_id, so the same hash partitioning serves all three steps.
    */
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    // One explicit shuffle on user_id, cut ONCE: the checkpoint pins the
-    // partitioning, so the median aggregate, the dev join, the MAD
-    // aggregate, and the final join are ALL partition-local over the
-    // materialized 3-column table — dev is consumed twice (MAD + final
-    // join) but re-deriving it is an in-memory co-partitioned join, not
-    // a re-read of the scan (which is what re-executed at sf1 when AQE
-    // exchange reuse stopped firing). Cutting dev itself was measured
-    // WORSE: it materializes the wide 5-column double table instead.
-    val c = Checkpoints.cut(
-      events(spark, dir)
-        .select(col("user_id"), col("event_id"),
-                (dec(col("value")) * 100).cast("long").as("cents"))
-        .repartition(col("user_id")),
-      eager = false)
-    val med = c.groupBy(col("user_id"))
-      .agg(percentile(col("cents"), lit(0.5)).as("med"))
-    val dev = c.join(med, "user_id")
+    // Window-median form (r17): ONE exchange on user_id, two
+    // partition-local sorts, ZERO joins, no lineage cut, and — the
+    // point — no exact-percentile UDAF. The previous form (explicit
+    // repartition + cut, percentile(x, 0.5) twice, two co-partitioned
+    // joins back) paid Spark's percentile ObjectHashAggregate, which
+    // buffers a value->count map per user — the same per-group object
+    // state the shingle rewrite retired; interleaved A/B at sf1: window
+    // form 0.61 s vs 1.46 s. The continuous median is instead
+    // avg(values at 1-based positions floor/ceil((n+1)/2)) over each
+    // user's sorted run — bit-identical to percentile(x, 0.5) here
+    // because cents (and the 0.5-granular absolute deviations) are
+    // exactly representable doubles far below 2^52, so both
+    // interpolation forms are exact IEEE arithmetic. Row_number ties on
+    // equal values cannot change the median value. 100 TB: the sorts are
+    // partition-local behind one hash exchange; WindowExec streams each
+    // user's run with O(run) state, no executor-wide maps.
+    val byUser = Window.partitionBy(col("user_id"))
+    val c = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              (dec(col("value")) * 100).cast("long").as("cents"))
+    def medOf(v: Column,
+              ordered: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val rn = row_number().over(ordered)
+      val n = count(lit(1)).over(byUser)
+      // integer halves: Column./ is ALWAYS double division, which made
+      // rn === (n+1)/2 silently miss the lower middle row for even n
+      avg(when(rn === shiftright(n + 1, 1) || rn === shiftright(n + 2, 1), v))
+        .over(byUser)
+    }
+    c.withColumn("med", medOf(col("cents"), byUser.orderBy(col("cents"))))
       .withColumn("adev", abs(col("cents").cast("double") - col("med")))
-    val mad = dev.groupBy(col("user_id"))
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.join(mad, "user_id")
+      .withColumn("mad", medOf(col("adev"), byUser.orderBy(col("adev"))))
       .filter(col("adev") > lit(3.0) * col("mad"))
       .select(col("user_id"), col("event_id"), col("cents"),
               col("med"), col("mad"))

@@ -346,17 +346,29 @@ object Sketches {
    * register lookups (the broadcast join below).
    */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(col("user_id"))
-    // 4 (row, col) cells per event: row r uses md5(r \x01 user) % width
-    val cells = ev
-      .select(col("user_id"),
+    // Pre-aggregate to (user_id, exact_cnt) BEFORE sketching (r17): the
+    // CMS cell of a user is a pure function of user_id, so register
+    // values are identical whether raw events or per-user totals are
+    // hashed in (sum of counts = count of events) — but the per-user
+    // table is ~20x smaller than the event stream, so the xCmsDepth
+    // explode, the md5-of-string cell addressing, and the register
+    // aggregation all run over users, not events. The exact top-K side
+    // reads the SAME aggregate: one corpus scan total, was two. At
+    // 100 TB a batch CMS build over a keyed table should collapse the
+    // key first; the no-pre-agg streaming build is the HllSketchAgg /
+    // stream-gate territory, not this query's.
+    val byUser = Checkpoints.cut(
+      events(spark, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt")),
+      eager = false) // two consumers: register build + exact top-K
+    val cells = byUser
+      .select(col("user_id"), col("exact_cnt"),
               explode(array((0 until CmsDepth).map(lit): _*)).as("r"))
-      .select(col("user_id"), col("r"),
-              pmod(md5Long(concat_ws("\u0001", col("r"), col("user_id"))),
+      .select(col("exact_cnt"), col("r"),
+              pmod(md5Long(concat_ws("", col("r"), col("user_id"))),
                    lit(CmsWidth)).as("c"))
-    val regs = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    val top = events(spark, dir).groupBy(col("user_id"))
-      .agg(count(lit(1)).as("exact_cnt"))
+    val regs = cells.groupBy(col("r"), col("c")).agg(sum(col("exact_cnt")).as("cnt"))
+    val top = byUser
       .orderBy(col("exact_cnt").desc, col("user_id").asc)
       .limit(CmsTopK)
     // point query: est = min over the 4 rows of the addressed register
@@ -364,7 +376,7 @@ object Sketches {
       .select(col("user_id"), col("exact_cnt"),
               explode(array((0 until CmsDepth).map(lit): _*)).as("r"))
       .select(col("user_id"), col("exact_cnt"), col("r"),
-              pmod(md5Long(concat_ws("\u0001", col("r"), col("user_id"))),
+              pmod(md5Long(concat_ws("", col("r"), col("user_id"))),
                    lit(CmsWidth)).as("c"))
     probes.join(broadcast(regs), Seq("r", "c"))
       .groupBy(col("user_id"), col("exact_cnt"))

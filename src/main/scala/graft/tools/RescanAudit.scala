@@ -65,7 +65,8 @@ object RescanAudit {
       "split_semantic_decontam" -> (2, selfJoinAnn),
       // --- sketch / filter vs exact ground truth
       "bloom_membership" -> (3, sketchVsExact),
-      "cms_heavy_hitters" -> (2, sketchVsExact),
+      // cms_heavy_hitters left the list in r17: sketch build and exact
+      // top-K now share one cut per-user aggregate (single corpus scan)
       "hll_distinct" -> (2, sketchVsExact),
       "events_hll_sliding" -> (3, sketchVsExact),
       "layout_zorder" -> (2, "before/after layout comparison reads the fact " +
