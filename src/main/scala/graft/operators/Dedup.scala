@@ -174,6 +174,31 @@ object Dedup {
   private def signaturesWide(spark: SparkSession, dir: String): DataFrame =
     signaturesWideOf(t(spark, dir, "documents"))
 
+  /** Banded signatures computed ROW-LOCALLY — bit-identical to
+    * [[bandedSignaturesOf]] (same md5-derived hash family, same min over
+    * the same shingle multiset: min of a set is insensitive to the
+    * duplicate shingles the aggregate form also folds) but expressed as
+    * array HOFs within the row, no aggregation. This is the form a
+    * STREAMING source composes with: a stateless projection leaves the
+    * plan's stateful-operator slot free for the downstream bucket state
+    * (`flatMapGroupsWithState`), where the groupBy form would claim it.
+    * Scale: per-row work is |shingles| × 16 multiply-mods — embarrassing
+    * parallel, no shuffle at all (the aggregate form shuffles the
+    * shingle rows once). Docs with <3 tokens have no shingles and drop
+    * out, exactly as the aggregate form's explode drops them. */
+  private[graft] def bandedSignaturesRowLocalOf(docs: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).map { i =>
+      array_min(transform(col("hs"),
+        x => (x * (2 * i + 1) + (i + 1) * 7919L) % M)).as(s"mh$i")
+    }
+    bandedSignaturesFromWide(docs
+      .select(col("doc_id"),
+              transform(shingles3(toks(col("text"))),
+                        s => md5Long(s) % M).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: mh: _*))
+  }
+
   /** Band signature strings derived row-wise from the wide minhashes (no
     * extra shuffle): band b = "mh(4b),..,mh(4b+3)". */
   private def bandSig(b: Int): Column =
@@ -228,7 +253,7 @@ object Dedup {
     * prefix buckets; max observed occupancy on the testdata is 10 and 121
     * respectively (sf0.1), so the cap is provably inert here — it exists
     * for the 100 TB case. */
-  private val MaxBucketDocs = 256
+  private[graft] val MaxBucketDocs = 256
 
   /** MinHash+LSH candidate pairs: documents sharing any band signature.
     * Implemented as bucket-grouping (shuffle on (band, sig), collect the
@@ -285,6 +310,27 @@ object Dedup {
        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |  JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle for the STREAMING LSH gate ([[graft.streaming.StreamQueries
+    * .streamMinhash]]): per-band candidate pairs under the stream's
+    * PREFIX-cap (each bucket admits its first [[MaxBucketDocs]] docs in
+    * arrival order — doc_id order, since the stream stages documents by
+    * doc_id — and later docs emit nothing), expressed exactly as a
+    * rank-bounded self-join. Differs from the batch [[dedupMinhashLsh]]
+    * cap (which DROPS a whole over-cap bucket retroactively — a batch
+    * engine can see the final occupancy, a stream cannot un-emit) and
+    * from its output shape (per-band pairs, no distinct: the band IS the
+    * dedup key here, so no second stateful operator is needed). */
+  private[graft] def streamMinhashOracleSql: String =
+    s"""WITH ${bandedSignaturesCtesFrom("documents")},
+       |ranked AS (
+       |  SELECT band, sig, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
+       |  FROM bands)
+       |SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM ranked a JOIN ranked b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |WHERE a.rk <= $MaxBucketDocs AND b.rk <= $MaxBucketDocs""".stripMargin
 
   /** Oracle CTE body ending in `pairs(doc_a, doc_b)` with the identical
     * bucket cap, over any source relation. */

@@ -38,6 +38,17 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
 
+  /** File-source schema for the staged DOCUMENTS stream (the similarity
+    * gate's corpus — only the columns the minhash pipeline reads). */
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  def readDocsStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream
+      .schema(docsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+
   // ------------------------------------------------- unified transforms
 
   /** Tumbling 1-hour counts per event type — the incremental twin of
@@ -235,5 +246,57 @@ object EventStreams {
       .as[Ev]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  // ------------------------------------------- streaming LSH near-dup
+
+  /** One emitted LSH candidate pair, tagged with the band that produced
+    * it (the band is the natural dedup key — per band, an unordered pair
+    * is emitted exactly once, when its later member arrives). */
+  case class BandPair(band: Int, doc_a: Long, doc_b: Long)
+
+  /** Per-bucket state transition: the bucket's membership so far (doc
+    * ids, arrival order). New docs pair with every existing member and
+    * with each other; a bucket already holding
+    * [[graft.operators.Dedup.MaxBucketDocs]] members admits no more —
+    * the STREAMING form of the batch pathological-bucket cap (a stream
+    * cannot retroactively drop a bucket it already emitted pairs from,
+    * so it prefix-caps instead; the two semantics agree whenever
+    * occupancy stays under the cap, which the oracle corpus does by two
+    * orders of magnitude). State is bounded by the cap per bucket. */
+  private def bucketStep(key: (Int, String),
+                         rows: Iterator[(Int, String, Long)],
+                         state: GroupState[Seq[Long]]): Iterator[BandPair] = {
+    var members = state.getOption.getOrElse(Seq.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[BandPair]
+    // sort within the batch so emission order (not just the emitted SET)
+    // is deterministic under the staged doc_id-ordered arrival
+    for (d <- rows.map(_._3).toVector.sorted
+         if members.size < graft.operators.Dedup.MaxBucketDocs) {
+      for (m <- members)
+        out += BandPair(key._1, math.min(d, m), math.max(d, m))
+      members = members :+ d
+    }
+    if (members.nonEmpty) state.update(members)
+    out.iterator
+  }
+
+  /** Incremental MinHash-LSH candidate pairs over a documents stream:
+    * row-local banded signatures (stateless — see
+    * [[graft.operators.Dedup.bandedSignaturesRowLocalOf]]), then ONE
+    * stateful operator keyed by (band, sig) whose state is the bucket's
+    * membership. Each arriving doc emits its pairs against the bucket's
+    * prior members at arrival time — the streaming composition of the
+    * batch LSH bucket-grouping, with identical hash family and bands.
+    * Scale: state is per-bucket and cap-bounded; only (band, sig,
+    * doc_id) rows cross the shuffle, never text or signatures-×-pairs. */
+  def minhashPairsStateful(docs: DataFrame): Dataset[BandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.bandedSignaturesRowLocalOf(docs)
+      .select(col("band"), col("sig"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(bucketStep)
   }
 }

@@ -203,7 +203,9 @@ object StreamQueries {
     *   a compile error instead of a wrong answer. */
   private def runStagedStream(spark: SparkSession, src: File, mode: String,
                               xform: DataFrame => DataFrame,
-                              needsNoDataBatch: Boolean): DataFrame = {
+                              needsNoDataBatch: Boolean,
+                              read: (SparkSession, String) => DataFrame =
+                                EventStreams.readEventsStream): DataFrame = {
     val ckpt = scratchDir("graft_stream_ckpt")
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // the partition count and the no-data-batch policy are read at query
@@ -243,7 +245,7 @@ object StreamQueries {
       spark.conf.set(snapKey, "100")
       spark.conf.set(maintKey, "600s")
       val q = try {
-        xform(EventStreams.readEventsStream(spark, src.toString))
+        xform(read(spark, src.toString))
           .writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
@@ -316,6 +318,43 @@ object StreamQueries {
 
   val streamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** Staged documents (doc_id-ordered, (doc_id, text) only) for the
+    * similarity stream gate — the corpus analog of [[stageMicroBatches]]:
+    * a crawl frontier delivers documents in fetch order; doc_id order is
+    * the deterministic stand-in. */
+  private def stageDocMicroBatches(spark: SparkSession, dir: String,
+                                   chunks: Int): File = synchronized {
+    staged.getOrElseUpdate((s"$dir#docs", chunks), {
+      val docs = graft.operators.Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      stageFiles(docs.withColumn("mb",
+        ntile(chunks).over(Window.orderBy(col("doc_id")))), chunks)
+    })
+  }
+
+  /** Streaming MinHash-LSH near-dup candidates as a gated query — the
+    * first streaming+similarity composition on the surface: documents
+    * arrive as a micro-batched stream, each computes its banded minhash
+    * signature row-locally (stateless), and ONE stateful operator keyed
+    * by (band, sig) holds each bucket's membership and emits an arriving
+    * doc's pairs against the bucket's prior members — cross-batch pairs
+    * (doc in batch 1, near-dup in batch 3) come from the bucket state.
+    * Emitted per band (no distinct — the band tags the pair, so each
+    * unordered pair appears exactly once per shared band and no second
+    * stateful operator is needed); the oracle is the rank-bounded batch
+    * self-join ([[graft.operators.Dedup.streamMinhashOracleSql]]),
+    * identical to the drained result for ANY chunking because a pair
+    * emits exactly when its later member arrives. */
+  def streamMinhash(spark: SparkSession, dir: String): DataFrame =
+    // flatMapGroupsWithState with no timeout: emits on data arrival only
+    runStagedStream(spark, stageDocMicroBatches(spark, dir, chunks = 3),
+      "append",
+      docs => EventStreams.minhashPairsStateful(docs).toDF(),
+      needsNoDataBatch = false,
+      read = EventStreams.readDocsStream)
+
+  val streamMinhashSql: String = graft.operators.Dedup.streamMinhashOracleSql
 
   /** Stream-STREAM interval self-join as a gated query (the hardest
     * streaming operator on the surface, previously only spec-

@@ -15,44 +15,46 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  * The protocol floor amortizes iff per-trigger time grows far slower
  * than 10× — equivalently, ns-per-row drops several-fold.
  *
- * r17 (VERDICT r16 item 2): the sweep extends to a synthesized sf10
- * events corpus — sf1 replicated 10× with event_id/user_id offset per
- * replica (event times unchanged, so the window structure and watermark
- * cadence hold; per-replica user spaces keep the dedup key count and
- * the attribution self-join LINEAR in the replication). Rows per
- * trigger reach 100× sf0.1's, far past any plausible production
- * micro-batch at this corpus shape — where the per-trigger cost curve
- * flattens is the protocol floor's final verdict.
+ * r17 (VERDICT r16 item 2): the sweep extends to synthesized sf10 /
+ * sf100 events corpora — sf1 replicated N× with event_id/user_id offset
+ * per replica (event times unchanged, so the window structure and
+ * watermark cadence hold; per-replica user spaces keep the dedup key
+ * count and the attribution self-join LINEAR in the replication). Rows
+ * per trigger reach 100–1000× sf0.1's, far past any plausible
+ * production micro-batch at this corpus shape — where the per-trigger
+ * cost curve flattens is the protocol floor's final verdict.
  *
  * Usage: sbt "runMain graft.tools.StreamAmort [gate ...]"
- * (defaults to the two stateful gates; sf dirs fixed to the testdata
- * sf0.1, the local sf1 derivation, and the synthesized sf10). Writes
- * docs/STREAM_AMORTIZATION.json.
+ * (defaults to the two stateful gates). SPARK_GRAFT_AMORT_SFS selects
+ * the decades to run (comma list from sf0.1,sf1,sf10,sf100; default
+ * the first three). Cells MERGE into docs/STREAM_AMORTIZATION.json by
+ * (gate, sf), so a targeted one-gate/one-decade run extends the
+ * artifact instead of clobbering the rest of the grid.
  */
 object StreamAmort {
 
   /** Synthesize (once, cached under target/) an events-only corpus with
-    * 10× sf1's rows: each replica offsets event_id and user_id past the
+    * N× sf1's rows: each replica offsets event_id and user_id past the
     * previous one so stream_dedup's key space and stream_attribution's
     * per-user join both scale linearly; ts is unchanged so the event-time
     * window structure (and hence watermark/state cadence) is that of the
-    * real corpus, just 10× denser — exactly what a larger trigger means. */
-  private def sf10EventsDir(spark: SparkSession): String = {
+    * real corpus, just N× denser — exactly what a larger trigger means. */
+  private def synthEventsDir(spark: SparkSession, factor: Int): String = {
     import org.apache.spark.sql.functions._
-    val root = new java.io.File("target/sf10_events")
+    val root = new java.io.File(s"target/sf${factor}_events")
     val out = new java.io.File(root, "events.parquet")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val ev = spark.read.parquet("/root/repo/sf1_local/events.parquet")
       val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head
       val eOff = mx.getLong(0) + 1
       val uOff = mx.getLong(1) + 1
-      ev.crossJoin(spark.range(10).select(col("id").as("rep")))
+      ev.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("event_id") + col("rep") * eOff).as("event_id"),
                 col("ts"),
                 (col("user_id") + col("rep") * uOff).as("user_id"),
                 col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(out.toString)
-      println(s"SAMORT synthesized $out (10x sf1 events)")
+      println(s"SAMORT synthesized $out (${factor}x sf1 events)")
     }
     root.toString
   }
@@ -70,9 +72,15 @@ object StreamAmort {
     spark.range(1000).selectExpr("sum(id)").collect()
     val gates = if (args.nonEmpty) args.toSeq
                 else Seq("stream_hourly_counts", "stream_sessionize")
-    val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
-                   "sf1" -> "/root/repo/sf1_local",
-                   "sf10" -> sf10EventsDir(spark))
+    val sfSel = sys.env.getOrElse("SPARK_GRAFT_AMORT_SFS", "sf0.1,sf1,sf10")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dirs = sfSel.map {
+      case "sf0.1" => "sf0.1" -> "/root/testdata/sf0.1"
+      case "sf1"   => "sf1" -> "/root/repo/sf1_local"
+      case "sf10"  => "sf10" -> synthEventsDir(spark, 10)
+      case "sf100" => "sf100" -> synthEventsDir(spark, 100)
+      case other   => sys.error(s"unknown amortization sf '$other'")
+    }
 
     @volatile var sink: java.util.List[(Long, Long)] = null
     spark.streams.addListener(new StreamingQueryListener {
@@ -113,9 +121,30 @@ object StreamAmort {
       println(f"SAMORT $g%-22s $sfName%-6s rows=$totalRows%8d triggers=${fed.size} medAddBatch=${medBatch}ms ns/row=$nsPerRow wall=$wall%.2f s")
       (g, sfName, totalRows, fed.size, medBatch, nsPerRow, wall)
     }
-    val json = cells.map { case (g, sf, r, t, m, ns, w) =>
+    // Merge with the committed artifact by (gate, sf): keep every prior
+    // cell this run didn't re-measure, so targeted one-gate extensions
+    // (e.g. attribution at sf100) grow the grid instead of replacing it.
+    val cellRe = """"gate":"([^"]+)","sf":"([^"]+)"""".r.unanchored
+    val fresh = cells.map { case (g, sf, _, _, _, _, _) => (g, sf) }.toSet
+    val keptLines =
+      try Files.readAllLines(Paths.get("docs/STREAM_AMORTIZATION.json"))
+        .toArray(Array.empty[String]).toSeq
+        .map(_.stripSuffix(","))
+        .filter(l => cellRe.findFirstMatchIn(l) match {
+          case Some(m) => !fresh((m.group(1), m.group(2)))
+          case None    => false
+        })
+      catch { case _: java.io.IOException => Seq.empty }
+    val freshLines = cells.map { case (g, sf, r, t, m, ns, w) =>
       s"""  {"gate":"$g","sf":"$sf","rows":$r,"fed_triggers":$t,"median_addBatch_ms":$m,"ns_per_row":$ns,"wall_sec":${f"$w%.3f"}}"""
-    }.mkString("[\n", ",\n", "\n]")
+    }
+    val sfOrd = Seq("sf0.1", "sf1", "sf10", "sf100").zipWithIndex.toMap
+    val json = (keptLines ++ freshLines)
+      .sortBy { l =>
+        val m = cellRe.findFirstMatchIn(l).get
+        (m.group(1), sfOrd.getOrElse(m.group(2), 99))
+      }
+      .mkString("[\n", ",\n", "\n]")
     val out =
       s"""{"what":"warm per-trigger addBatch cost of the stateful stream gates at 1x (sf0.1) vs 10x (sf1) rows per trigger, same trigger count — measures the STREAM_FLOOR amortization claim: if the cost were dataflow, addBatch would grow ~10x; a far smaller growth means the floor is per-trigger protocol that amortizes over trigger size in production",
          |"measured_at":${System.currentTimeMillis / 1000},

@@ -227,6 +227,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect) // == also proves no key re-emitted across batches
   }
 
+  test("StreamQueries.streamMinhash: cross-batch bucket state emits exactly the batch pair set") {
+    val got = graft.streaming.StreamQueries.streamMinhash(spark, TestSpark.Sf0001)
+    val gotPairs = got.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // batch twin over the SAME row-local signatures: per-band self-join
+    val bands = graft.operators.Dedup.bandedSignaturesRowLocalOf(
+      graft.operators.Tables.t(spark, TestSpark.Sf0001, "documents"))
+    val expect = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(gotPairs.nonEmpty)
+    assert(gotPairs == expect) // == also proves no pair re-emitted across batches
+    // and the distinct pair projection IS the batch LSH operator's
+    // candidate set — row-local signatures == aggregate-form signatures,
+    // transitively (cap inert at this scale on both sides)
+    val viaBatchOp = graft.operators.Dedup
+      .dedupMinhashLsh(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotPairs.map(p => (p._2, p._3)).distinct.sorted == viaBatchOp)
+  }
+
   test("StreamQueries.streamHourlyCounts: self-staged stream == batch aggregation") {
     val streamed = graft.streaming.StreamQueries.streamHourlyCounts(spark, TestSpark.Sf0001)
     val batch = EventStreams.hourlyCounts(batchEvents)

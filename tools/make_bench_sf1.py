@@ -45,15 +45,20 @@ try:
         per.setdefault(c["gate"], {})[c["sf"]] = (c["ns_per_row"], c["rows"])
     for gate, d in per.items():
         if "sf0.1" in d and len(d) > 1 and gate in qs and qo.get(gate, 0) > 0:
-            # amortize against the LARGEST measured trigger size (sf10 =
-            # 100x sf0.1 rows/trigger when present, else sf1 = 10x)
-            big = max(d, key=lambda k: d[k][1])
-            drop = d["sf0.1"][0] / d[big][0]
-            scale = d[big][1] // d["sf0.1"][1]
+            # amortize against the curve's MINIMUM per-row cost — the
+            # best measured operating point (r17: the attribution curve
+            # is U-shaped on this box, 675 ns/row at sf10 triggers but
+            # 931 at sf100 where state pressure bites; a deployment
+            # sizes triggers near the minimum, and crediting the
+            # largest trigger would let a degrading tail hide it)
+            best = min(d, key=lambda k: d[k][0])
+            drop = d["sf0.1"][0] / d[best][0]
+            scale = d[best][1] // d["sf0.1"][1]
             amort[gate] = {
                 "raw_ratio": round(qs[gate] / qo[gate], 2),
                 f"per_row_cost_drop_at_{scale}x_rows_per_trigger": round(drop, 2),
                 "amortized_ratio": round(qs[gate] / qo[gate] / drop, 2),
+                "curve_ns_per_row": {sf: d[sf][0] for sf in sorted(d, key=lambda k: d[k][1])},
                 "source": "docs/STREAM_AMORTIZATION.json",
             }
 except FileNotFoundError:
