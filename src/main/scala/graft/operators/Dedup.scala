@@ -187,16 +187,31 @@ object Dedup {
     * shingle rows once). Docs with <3 tokens have no shingles and drop
     * out, exactly as the aggregate form's explode drops them. */
   private[graft] def bandedSignaturesRowLocalOf(docs: DataFrame): DataFrame = {
-    val mh = (0 until NumHashes).map { i =>
-      array_min(transform(col("hs"),
-        x => (x * (2 * i + 1) + (i + 1) * 7919L) % M)).as(s"mh$i")
-    }
-    bandedSignaturesFromWide(docs
+    // md5 + mod + all 16 mins in ONE native fused pass (r17): the HOF
+    // form — transform(shingles, md5Long % M) then 16
+    // array_min(transform(hs, affine % M)) — ran 17 interpreted lambda
+    // passes per doc (CodegenFallback) with an intermediate array each,
+    // and its `size(hs) > 0` guard re-evaluated the whole md5 pass a
+    // second time (no cross-operator subexpression elimination around
+    // fallback HOFs). MinHashSigs is bit-identical (MinHashSigsSpec)
+    // and codegen-fused. Interleaved A/B (AbConf, this box): 1.85 vs
+    // 2.15 s at sf0.1, 3.71 vs 8.77 s at sf1 — the per-row signature IS
+    // this gate's amortized floor, so the win scales with trigger size.
+    val mh = (0 until NumHashes).map(i => col("mha")(i).as(s"mh$i"))
+    val wide = docs
       .select(col("doc_id"),
-              transform(shingles3(toks(col("text"))),
-                        s => md5Long(s) % M).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: mh: _*))
+        graft.functions.MinHashSigs.minHashSigs(
+          shingles3(toks(col("text"))), NumHashes, M).as("mha"))
+      .select(col("doc_id") +: mh: _*)
+    // The no-shingle guard sits BELOW the band explode: any
+    // pre-projection predicate on the signature gets pushed back through
+    // the project and re-evaluates the fused expression per row. A doc
+    // with no shingles has ALL-NULL mins (MinHashSigs contract), so its
+    // band sigs concat_ws to the empty string — while a real sig is 4
+    // comma-joined integers, never empty. `sig != ''` drops exactly the
+    // docs the HOF form's `size(hs) > 0` dropped, evaluated on the 4
+    // generated band rows instead of re-running the signature.
+    bandedSignaturesFromWide(wide).filter(col("sig") =!= lit(""))
   }
 
   /** Band signature strings derived row-wise from the wide minhashes (no

@@ -1757,6 +1757,16 @@ object Similarity {
     val scored = q.join(n, Seq("bkt")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
               round(cosine(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("cos6"))
+    // Top-K neighbors per query: the rank window, KEPT after an r17 A/B
+    // against the bounded-heap TopKByCount form (the window_topk
+    // playbook, order-isomorphic cos6-micro-int/zero-padded-id keys,
+    // oracle hash-matched): interleaved medians said window 0.53 vs heap
+    // 0.55 s at sf0.1 and window 3.99 vs heap 4.50 s at sf1 — the
+    // ObjectHashAggregate's interpreted per-row eval plus the string-tag
+    // allocation outweighs the shuffle saving at every measured scale
+    // (candidates per (q_id, task) stay near K under this LSH's bucket
+    // occupancy, so map-side combining reduces little — the opposite
+    // regime from window_topk's customer histories).
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos6").desc, col("n_id").asc)
     val pred = scored.withColumn("rnk", row_number().over(w))

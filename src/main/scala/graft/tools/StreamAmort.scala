@@ -59,6 +59,29 @@ object StreamAmort {
     root.toString
   }
 
+  /** Synthesize (once, cached) an N×-sf1 DOCUMENTS table into the same
+    * synth root, for the stream_minhash cells: doc_id offset per replica
+    * AND every token suffixed with the replica id (the gen_sf1.py
+    * policy) — token/shingle/minhash spaces stay disjoint across
+    * replicas, so bucket occupancy and candidate-pair counts scale
+    * LINEARLY in the replication instead of quadratically (replicating
+    * identical texts would put N copies in every LSH bucket). */
+  private def synthDocsInto(spark: SparkSession, root: String, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val out = new java.io.File(root, "documents.parquet")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val docs = spark.read.parquet("/root/repo/sf1_local/documents.parquet")
+      val dOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      docs.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select(
+          (col("doc_id") + col("rep") * dOff).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"))
+        .write.mode("overwrite").parquet(out.toString)
+      println(s"SAMORT synthesized $out (${factor}x sf1 documents)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -81,6 +104,13 @@ object StreamAmort {
       case "sf100" => "sf100" -> synthEventsDir(spark, 100)
       case other   => sys.error(s"unknown amortization sf '$other'")
     }
+    // the docs-streaming gate needs a documents table in the synth dirs
+    if (gates.contains("stream_minhash"))
+      dirs.foreach {
+        case ("sf10", d)  => synthDocsInto(spark, d, 10)
+        case ("sf100", d) => synthDocsInto(spark, d, 100)
+        case _            => ()
+      }
 
     @volatile var sink: java.util.List[(Long, Long)] = null
     spark.streams.addListener(new StreamingQueryListener {
