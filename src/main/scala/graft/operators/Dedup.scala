@@ -281,15 +281,31 @@ object Dedup {
     minhashPairsFromBanded(bandedSignaturesOf(docs))
 
   private def minhashPairsFromBanded(banded: DataFrame): DataFrame =
-    banded
+    bucketPairs(banded)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+  /** Bucket grouping + native i<j pair explode shared by the weighted
+    * and unweighted LSH pair pipelines (r17): the nested
+    * transform(slice(...)) HOF formulation ran an interpreted lambda per
+    * (element × bucket) — the same fallback hot loop CombinationPairs
+    * replaced in orders_market_basket (r14) and the shingle family
+    * (r17 build); pair sets and order are identical (ids are sorted, so
+    * i<j pairs come out (a<b) in the same order). Conf gate kept for the
+    * interleaved A/B. */
+  private def bucketPairs(banded: DataFrame): DataFrame = {
+    val buckets = banded
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+    if (banded.sparkSession.conf.getOption("spark.graft.hofPairs").contains("true"))
+      buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
-                  y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+                  y => struct(x.as("a"), y.as("b")))))).as("p"))
+    else
+      buckets.select(explode(
+        graft.functions.CombinationPairs.combinationPairs(col("ids"))).as("p"))
+  }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(t(spark, dir, "documents"))
@@ -301,14 +317,8 @@ object Dedup {
     * pair list is this one's projection (the `distinct()` there is the
     * `groupBy` here). */
   private[operators] def minhashWeightedPairsOf(docs: DataFrame): DataFrame =
-    bandedSignaturesOf(docs)
-      .groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketDocs)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-                  y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    bucketPairs(bandedSignaturesOf(docs))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
 
   /** Oracle CTE body ending in `wpairs(doc_a, doc_b, n_bands)` — the
