@@ -34,7 +34,17 @@ object Bench {
     // samples; dropping the worst first never moves it, so no rejection
     // step. The samples come from 7 interleaved full-suite PASSES, not
     // back-to-back reps — see the comment at passResults.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "7").toInt
+    //
+    // Self-scaling at low core counts (r18, VERDICT r17 item 2): the
+    // driver also runs this bench at SPARK_GRAFT_CPUS=8 to measure
+    // per-query parallelism, and 7 passes x 214 queries at a quarter of
+    // the cores did not fit its wall-clock window (BENCH_r17_c8
+    // rc=124 — zero scaling evidence shipped). At <=8 cores default to
+    // 3 passes: still a median (tolerates one spiked sample), ~2.3x
+    // faster, and the timing protocol (interleaved passes, per-query
+    // median) is unchanged. SPARK_GRAFT_BENCH_RUNS still overrides.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
+      if (cpus.toIntOption.exists(_ <= 8)) "3" else "7").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // co-tenant context at run time, so a judge can down-weight noisy
     // totals from the artifact alone: 1-min load average + process count

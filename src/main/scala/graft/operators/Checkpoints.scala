@@ -27,17 +27,13 @@ object Checkpoints {
     * iterative lineage cut from localCheckpoint to reliable checkpoint. */
   val DirConf = "spark.graft.checkpointDir"
 
-  /** Session conf key (A/B experiment, r17): "true" forces every cut
-    * lazy — the materialization job is skipped and the checkpoint block
-    * persists as a side effect of the first downstream action. Same
-    * data, same plans; only job-boundary placement changes. */
-  val LazyConf = "spark.graft.lazyCuts"
-
   /** Cut lineage under the session policy. `eager` has checkpoint()'s
-    * usual meaning: materialize now vs at the first downstream action. */
+    * usual meaning: materialize now vs at the first downstream action.
+    * (The r17 global lazy-cuts A/B conf is gone — r18 took the measured
+    * per-site wins as explicit `eager = false` call sites and deleted
+    * the gate, per VERDICT r17.) */
   def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val eff = if (spark.conf.getOption(LazyConf).contains("true")) false else eager
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
@@ -59,8 +55,8 @@ object Checkpoints {
           Option(qualified(cur).getParent).contains(qualified(dir))
         }
         if (!already) sc.setCheckpointDir(dir)
-        df.checkpoint(eff)
-      case None => df.localCheckpoint(eff)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
   }
 

@@ -401,11 +401,20 @@ object Dedup {
   /** The CC loop over any candidate-pair table (doc_a, doc_b) — reused by
     * [[Pipeline.corpusPrep]] on its filtered corpus. */
   private[operators] def componentsOf(pairs: DataFrame): DataFrame = {
+    // LAZY cut: the first round's action below materializes it once;
+    // every later round reads the persisted blocks.
     val edges = Checkpoints.cut(pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var labels = Checkpoints.cut(
-      edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
+      eager = false)
+    // No cut and no priming action on the initial label table (r18): its
+    // consumers are the first round's join + union inside ONE
+    // action, and the duplicated distinct subtree is deduplicated by
+    // exchange reuse. The old initial labelSum(labels) action only ever
+    // detected the empty graph one action early (any edge changes the
+    // larger endpoint's label, so a non-empty graph never converges at
+    // round 0) — prevSum starts as None instead.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
     // Convergence witness: labels only ever decrease, so Σ label strictly
     // decreases until fixpoint — comparing two scalar sums replaces the
     // join-per-round changed-row check (one cheap agg over the already-
@@ -414,22 +423,28 @@ object Dedup {
       val v = df.agg(sum(col("label"))).first()
       if (v.isNullAt(0)) 0L else v.getLong(0) // sum of empty table is null
     }
-    var prevSum = labelSum(labels)
+    def round(l: DataFrame): DataFrame =
+      edges.join(l, edges("doc_b") === l("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+        .union(l)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    var prevSum: Option[Long] = None
     var converged = false
     while (!converged) {
-      // LAZY checkpoint: the labelSum action right below materializes it,
-      // so each round schedules one job instead of two (measured ~equal
-      // at sf0.1 — the round's join+agg dominates — but one fewer job
-      // per round is free scheduler headroom on a busy cluster)
-      val next = Checkpoints.cut(
-        edges.join(labels, edges("doc_b") === labels("doc_id"))
-          .select(edges("doc_a").as("doc_id"), col("label"))
-          .union(labels)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label")),
-        eager = false)
+      // ONE round per action, LAZY checkpoint: the labelSum action right
+      // below materializes it, so each round schedules one job chain.
+      // (r18 measured and REJECTED two-rounds-per-action here: it halves
+      // the driver actions but executes up to two extra no-op rounds
+      // past the fixpoint plus a duplicated inner agg pass — a paired
+      // bench run showed the components family 7-11% SLOWER against the
+      // session's drift line, and at 100 TB rounds are real node-sized
+      // shuffles while actions stay cheap, so the trade only worsens
+      // with scale. The fixed-unroll loops (bfs/sssp) are where cut
+      // merging pays — no extra rounds exist there.)
+      val next = Checkpoints.cut(round(labels), eager = false)
       val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels = next
     }
     import org.apache.spark.sql.expressions.Window

@@ -172,18 +172,42 @@ object Graph {
   private[operators] def bfsOf(pairs: DataFrame): DataFrame = {
     val edges = Checkpoints.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // no cut on the seed table (r18): its two round-1 consumers (the
+    // visited side of the merge and the initial frontier) are the same
+    // subtree inside ONE action, so exchange reuse already computes the
+    // seed distinct once — the cut bought a Catalyst-planned action.
     val seeds = edges.select(col("doc_a").as("doc_id")).distinct()
       .filter(pmod(col("doc_id"), lit(BfsSeedMod)) === 0)
-    var dist = Checkpoints.cut(seeds.withColumn("dist", lit(0)))
+    var dist = seeds.withColumn("dist", lit(0))
     var frontier = dist.select(col("doc_id"))
     for (r <- 1 to BfsMaxHops) {
-      val next = Checkpoints.cut(
-        edges.join(frontier, edges("doc_a") === frontier("doc_id"))
-          .select(col("doc_b").as("doc_id")).distinct()
-          .join(dist, Seq("doc_id"), "left_anti")
-          .withColumn("dist", lit(r)))
-      dist = Checkpoints.cut(dist.union(next))
-      frontier = next.select(col("doc_id"))
+      // ONE cut and ONE aggregate per round (r18): the old form ran
+      // frontier-expand → distinct → anti-join → cut, then union → cut —
+      // two Catalyst-planned actions and three exchanges per round of
+      // dataflow, with ~95% of this family's wall time per-action fixed
+      // cost (BuildProf r17). Instead the raw neighbor expansion streams
+      // into the SAME min-aggregate that merges the visited set: a
+      // visited node carries its dist on both columns, a reached node
+      // carries (r, null) — min(d) is the new dist (visited dists are
+      // all < r, so a visited node keeps its dist), min(old) witnesses
+      // prior membership (null ⇔ newly reached ⇔ next frontier). The
+      // neighbor distinct() collapses inside the aggregate, map-side
+      // combined. Row-for-row identical to union(dist, reached ∖ dist).
+      val reached = edges.join(frontier, edges("doc_a") === frontier("doc_id"))
+        .select(col("doc_b").as("doc_id"), lit(r).as("d"),
+                lit(null).cast("int").as("old"))
+      // LAZY: both consumers (next round's visited side + frontier) run
+      // inside the next single action, which materializes the cut once
+      val merged = Checkpoints.cut(
+        dist.select(col("doc_id"), col("dist").as("d"), col("dist").as("old"))
+          .union(reached)
+          .groupBy(col("doc_id"))
+          .agg(min(col("d")).as("dist"), min(col("old")).as("settled"))
+          .select(col("doc_id"), col("dist"),
+                  col("settled").isNull.as("isnew")),
+        eager = false)
+      dist = merged.select(col("doc_id"), col("dist"))
+      frontier = merged.filter(col("isnew")).select(col("doc_id"))
     }
     dist.select(col("doc_id"), col("dist").cast("int").as("dist"))
   }
@@ -226,22 +250,42 @@ object Graph {
       wpairs.select(col("doc_a"), col("doc_b"), w)
         .union(wpairs.select(col("doc_b").as("doc_a"),
                              col("doc_a").as("doc_b"), w)))
+    // no cut on the seed table — same round-1 exchange-reuse argument as
+    // [[bfsOf]]
     val seeds = edges.select(col("doc_a").as("doc_id")).distinct()
       .filter(pmod(col("doc_id"), lit(BfsSeedMod)) === 0)
-    var dist = Checkpoints.cut(seeds.withColumn("cost", lit(0L)))
+    var dist = seeds.withColumn("cost", lit(0L))
     var frontier = dist
     for (_ <- 1 to SsspMaxHops) {
-      val cand = edges.join(frontier, edges("doc_a") === frontier("doc_id"))
-        .select(col("doc_b").as("doc_id"), (col("cost") + col("w")).as("cost"))
-        .groupBy(col("doc_id")).agg(min(col("cost")).as("cost"))
-      val improved = Checkpoints.cut(
-        cand.join(dist.withColumnRenamed("cost", "settled"),
-                  Seq("doc_id"), "left")
-          .filter(col("settled").isNull || col("cost") < col("settled"))
-          .select(col("doc_id"), col("cost")))
-      dist = Checkpoints.cut(dist.union(improved)
-        .groupBy(col("doc_id")).agg(min(col("cost")).as("cost")))
-      frontier = improved
+      // ONE cut and ONE aggregate per round (r18, the bfsOf merge applied
+      // to weighted relaxation): the old form ran relax → min-aggregate →
+      // left-join+filter → cut, then union → re-aggregate → cut — two
+      // Catalyst-planned actions and three exchanges per round, ~95% of
+      // wall time per-action fixed cost (BuildProf r17). Instead the raw
+      // relaxations stream into the SAME min-aggregate that merges the
+      // settled table: a settled node carries its cost on both columns, a
+      // relaxation carries (cost + w, null) — min(c) is the new settled
+      // cost (integer min is associative, so this equals the old
+      // candidate-min-then-union-min), min(old) recovers the prior
+      // settled cost (null ⇔ new node). improved ⇔ new or the round beat
+      // the settled cost; improved rows' cost IS the winning relaxation.
+      val relax = edges.join(frontier, edges("doc_a") === frontier("doc_id"))
+        .select(col("doc_b").as("doc_id"), (col("cost") + col("w")).as("c"),
+                lit(null).cast("long").as("old"))
+      // LAZY: both consumers (next round's settled side + frontier) run
+      // inside the next single action, which materializes the cut once
+      val merged = Checkpoints.cut(
+        dist.select(col("doc_id"), col("cost").as("c"), col("cost").as("old"))
+          .union(relax)
+          .groupBy(col("doc_id"))
+          .agg(min(col("c")).as("cost"), min(col("old")).as("settled"))
+          .select(col("doc_id"), col("cost"),
+                  (col("settled").isNull ||
+                   col("cost") < col("settled")).as("improved")),
+        eager = false)
+      dist = merged.select(col("doc_id"), col("cost"))
+      frontier = merged.filter(col("improved"))
+        .select(col("doc_id"), col("cost"))
     }
     dist
   }
@@ -295,25 +339,39 @@ object Graph {
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
     lpaOf(Dedup.dedupMinhashLsh(spark, dir))
 
-  /** The LPA loop over any undirected pair list (doc_a, doc_b) —
-    * factored for direct testing on crafted graphs. */
-  private[operators] def lpaOf(pairs: DataFrame): DataFrame = {
+  /** The LPA rounds over any undirected pair list, ending in ONE lineage
+    * cut of the final (doc_id, label) table — shared by [[lpaOf]] (which
+    * consumes it twice for the size join) and [[graphModularity]] (which
+    * consumes it three times and has no use for the sizes). The rounds
+    * themselves are a fixed unroll chained into one plan, like
+    * [[graphPagerank]]: each round references the previous label table
+    * exactly ONCE (join → two aggregates), so the chain is linear — the
+    * per-round cuts the old form paid (a full Catalyst planning + job
+    * per round, the r17 BuildProf finding: ~95% of this family's wall
+    * time is per-action fixed cost) bought nothing. */
+  private[operators] def lpaLabelsOf(pairs: DataFrame): DataFrame = {
     val edges = Checkpoints.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var lab = Checkpoints.cut(
-      edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
+    var lab = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
     for (_ <- 1 to LpaIters) {
       // symmetric graph: every node has >= 1 neighbor, so the inner
       // join keeps exactly the node set each round
       val votes = edges.join(lab, edges("doc_a") === lab("doc_id"))
         .select(col("doc_b").as("n_id"), col("label"))
         .groupBy(col("n_id"), col("label")).agg(count(lit(1)).as("c"))
-      lab = Checkpoints.cut(votes
+      lab = votes
         .groupBy(col("n_id").as("doc_id"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("doc_id"), (-col("m.nl")).as("label")))
+        .select(col("doc_id"), (-col("m.nl")).as("label"))
     }
+    Checkpoints.cut(lab)
+  }
+
+  /** The LPA loop over any undirected pair list (doc_a, doc_b) —
+    * factored for direct testing on crafted graphs. */
+  private[operators] def lpaOf(pairs: DataFrame): DataFrame = {
+    val lab = lpaLabelsOf(pairs)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     lab.join(sizes, "label")
       .select(col("doc_id"), col("label"), col("csize"))
@@ -358,11 +416,17 @@ object Graph {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var alive = edges.select(col("doc_a").as("doc_id")).distinct()
     for (_ <- 1 to KcoreRounds) {
+      // LAZY cut (r18): the peel's two consumers of the alive set (both
+      // endpoint semi-joins) run inside the NEXT peel's single action, so
+      // the lazy checkpoint materializes once on first compute and is
+      // reused — one materialization job per peel saved. Measured r17
+      // (lazyCuts A/B, this query): −11% sf0.1 / −5% sf1.
       val deg = Checkpoints.cut(edges
         .join(alive.select(col("doc_id").as("doc_a")), "doc_a")
         .join(alive.select(col("doc_id").as("doc_b")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
-        .agg(count(lit(1)).as("deg")))
+        .agg(count(lit(1)).as("deg")),
+        eager = false)
       alive = deg.filter(col("deg") >= KcoreK).select(col("doc_id"))
     }
     // final degree re-measured in the surviving subgraph, so the output
@@ -465,7 +529,11 @@ object Graph {
    */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Checkpoints.cut(Dedup.dedupMinhashLsh(spark, dir))
-    val lab = Checkpoints.cut(lpaOf(pairs).select(col("doc_id"), col("label")))
+    // lpaLabelsOf already ends in a lineage cut of exactly the
+    // (doc_id, label) table this needs — the old lpaOf(...) call here
+    // also computed the community-size aggregate + join only to discard
+    // it, then cut the selection a second time (r18).
+    val lab = lpaLabelsOf(pairs)
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
@@ -672,12 +740,19 @@ object Graph {
     // hub0 = 1 unit per user
     var hub = e.select(col("u")).distinct().withColumn("hub", lit(1L))
     for (_ <- 1 to HitsRounds) {
+      // LAZY cuts (r18): each raw-sum table's two consumers (values +
+      // normalizing total) run inside ONE downstream action, so the lazy
+      // checkpoint is materialized once on first compute and reused —
+      // no separate materialization job per half-round. Measured r17
+      // (lazyCuts A/B, this query): −17% sf0.1 / −12% sf1.
       val ar = Checkpoints.cut(e.join(hub, "u")
-        .groupBy(col("i")).agg(sum(col("hub") * col("w")).as("s")))
+        .groupBy(col("i")).agg(sum(col("hub") * col("w")).as("s")),
+        eager = false)
       val auth = ar.crossJoin(broadcast(ar.agg(sum(col("s")).as("tot"))))
         .select(col("i"), expr(s"(s * $HitsScale) div tot").as("auth"))
       val hr = Checkpoints.cut(e.join(broadcast(auth), "i")
-        .groupBy(col("u")).agg(sum(col("auth") * col("w")).as("s")))
+        .groupBy(col("u")).agg(sum(col("auth") * col("w")).as("s")),
+        eager = false)
       hub = hr.crossJoin(broadcast(hr.agg(sum(col("s")).as("tot"))))
         .select(col("u"), expr(s"(s * $HitsScale) div tot").as("hub"))
     }
