@@ -39,14 +39,21 @@ object BuildProf {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$dir/region.parquet").count()
     def snap(): (Int, Int, Long) = {
-      // listener events are async; poll until the counters stabilize
+      // listener events are async; poll until the counters stabilize —
+      // bounded (ADVICE r17) so a continuously firing background job
+      // (a leaked stream, speculative tasks) can't spin this forever;
+      // proceed with the last snapshot after ~6 s of non-quiescence
       var prev = (-1, -1, -1L)
       var cur = (jobs.get(), tasks.get(), taskMs.get())
-      while (cur != prev) {
+      var spins = 0
+      while (cur != prev && spins < 100) {
         Thread.sleep(60)
         prev = cur
         cur = (jobs.get(), tasks.get(), taskMs.get())
+        spins += 1
       }
+      if (spins >= 100)
+        System.err.println("[buildprof] counters never quiesced; using last snapshot")
       cur
     }
     for (n <- args.tail) {

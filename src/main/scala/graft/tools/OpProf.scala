@@ -60,10 +60,21 @@ object OpProf {
       graft.SparkEntry.queries(n)(spark, dir).count()
       graft.operators.Checkpoints.releaseAll(spark)
       val df = graft.SparkEntry.queries(n)(spark, dir)
+      // capture the pre-measurement listener state so the wait below can
+      // tell the measured run's QueryExecution from the warm-up's
+      // (ADVICE r17: a fixed sleep could profile the stale run)
+      val before = lastQe
       val t0 = System.nanoTime()
       df.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener delivery
+      // listener delivery is async: poll until lastQe changes identity,
+      // bounded so a dropped event can't hang the profile
+      var waited = 0
+      while ((lastQe eq before) && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+      if (lastQe eq before)
+        System.err.println(s"[opprof] $n: listener never delivered; profiling stale plan")
       val sb = new StringBuilder
       walk(finalPlan(lastQe.executedPlan), 0, sb)
       println(f"OPPROF $n wall=$wall%.3f\n$sb")

@@ -34,6 +34,29 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("string-array input equals transform(md5Long % m) into the mins family") {
+    // pins the computeStrings branch — the one
+    // bandedSignaturesRowLocalOf actually fuses (md5 → mod → mins) —
+    // directly against the r16 HOF form it replaced, including empty
+    // strings, empty arrays, unicode, and null elements (ADVICE r17)
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(300)(Seq.fill(rnd.nextInt(12))(
+      rnd.alphanumeric.take(rnd.nextInt(20)).mkString)) ++
+      Seq(Seq.empty[String], Seq(""), Seq("", "a b c"), Seq("☃ unicode"))
+    val withNulls = rows.toDF("ss").union(spark.sql(
+      "SELECT array(CAST(NULL AS STRING), 'x') " +
+      "UNION ALL SELECT array(CAST(NULL AS STRING))"))
+    val df = withNulls
+      .select(MinHashSigs.minHashSigs(col("ss"), NumHashes, M).as("mha"),
+              transform(col("ss"),
+                s => graft.operators.Tables.md5Long(s) % M).as("hs"))
+      .select(col("mha") +: hofMins: _*)
+    val bad = df.filter(not((0 until NumHashes)
+      .map(i => col("mha")(i) <=> col(s"h$i")).reduce(_ && _)))
+    assert(bad.count() == 0)
+  }
+
   test("null elements are skipped like array_min; null input propagates") {
     val withNulls = spark.sql(
       "SELECT array(CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(9 AS BIGINT)) AS hs " +
